@@ -1,0 +1,450 @@
+"""Driver-facing query catalog: SURVEY.md §2 operators realized on the
+driver's testdata star schema (FIXTURES.md F5 mapping), each paired with an
+ANSI-SQL DuckDB oracle.
+
+Contract (see __spark_entry__.py): every query is a callable
+``(spark, sf_dir) -> DataFrame``; its oracle is an equivalent SQL string over
+views named after the parquet files. Column names AND types are aligned on
+both sides (the driver hashes values after sorting columns by name).
+
+Determinism rules applied throughout (SURVEY §7 hard-part 5):
+- keep-any dedup → compare key columns only;
+- floating aggregates → round(×, 6) on both sides (ulp-order noise);
+- timestamps in outputs → formatted strings (engine-neutral);
+- top-k → total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scalar import case_rank, decade_of
+from .operators.cleaning import range_filter
+from .operators.dedup import dedup_keep_any
+from .operators.merge import anti_join_merge, high_water_mark_filter
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and convert (floor to
+        # micros — exactly DuckDB's nanos→micros truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    # The driver owns the SparkSession; pin UTC at runtime so parquet
+    # timestamps collate identically to DuckDB's UTC-naive timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# M0/M1 — cleaning chain, aggregates, sorts (SURVEY §2.2/2.3/2.5/2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P4+P5+P6+W2: projection, conjunctive range filters, keyed dedup.
+
+    The cleaning spine of the reference (pipeline/clean_historical.py:27-50)
+    mapped onto `events` (value≙magnitude, ts≙earthquake_datetime). Keep-any
+    dedup survivor is nondeterministic → output the key columns only.
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    filtered = range_filter(
+        ev.filter(F.col("value").isNotNull()), {"value": (0.0, 150.0)}
+    ).filter(
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-25").cast("timestamp"))
+    )
+    return dedup_keep_any(filtered, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
+SQL_CLEAN_EVENTS = """
+SELECT DISTINCT user_id, event_type
+FROM events
+WHERE value IS NOT NULL
+  AND value BETWEEN 0.0 AND 150.0
+  AND ts >= TIMESTAMP '2024-01-05'
+  AND ts <= TIMESTAMP '2024-01-25'
+"""
+
+
+def q_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+O1 (yearly_earthquake_stats.sql analog): count/avg by year."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 3)
+        .groupBy(F.year("l_shipdate").cast("int").alias("year"))
+        .agg(
+            F.count("*").alias("item_count"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+        .orderBy("year")
+    )
+
+
+SQL_YEARLY_STATS = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+       count(*) AS item_count,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price
+FROM lineitem
+WHERE l_quantity > 3
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+SEVERITY_THRESHOLDS = [
+    (400000.0, "Great"),
+    (300000.0, "Major"),
+    (200000.0, "Strong"),
+    (100000.0, "Moderate"),
+    (50000.0, "Light"),
+]
+SEVERITY_RANKS = {"Great": 1, "Major": 2, "Strong": 3, "Moderate": 4, "Light": 5, "Minor": 6}
+
+
+def q_severity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+D5+A1+O3 (fact severity ladder + country_severe_earthquake_stats
+    analog): CASE bucket on o_totalprice, count per bucket, rank-ordered."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    sev = F.when(F.col("o_totalprice") >= 400000.0, "Great")
+    for bound, label in SEVERITY_THRESHOLDS[1:]:
+        sev = sev.when(F.col("o_totalprice") >= bound, label)
+    sev = sev.otherwise("Minor")
+    return (
+        orders.groupBy(sev.alias("severity"))
+        .agg(
+            F.count("*").alias("frequency"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy(case_rank("severity", SEVERITY_RANKS, 7))
+    )
+
+
+SQL_SEVERITY_BUCKETS = """
+SELECT severity, count(*) AS frequency, round(avg(o_totalprice), 6) AS avg_price
+FROM (
+  SELECT o_totalprice,
+         CASE WHEN o_totalprice >= 400000.0 THEN 'Great'
+              WHEN o_totalprice >= 300000.0 THEN 'Major'
+              WHEN o_totalprice >= 200000.0 THEN 'Strong'
+              WHEN o_totalprice >= 100000.0 THEN 'Moderate'
+              WHEN o_totalprice >= 50000.0  THEN 'Light'
+              ELSE 'Minor' END AS severity
+  FROM orders
+) GROUP BY severity
+ORDER BY CASE severity WHEN 'Great' THEN 1 WHEN 'Major' THEN 2 WHEN 'Strong' THEN 3
+              WHEN 'Moderate' THEN 4 WHEN 'Light' THEN 5 WHEN 'Minor' THEN 6 ELSE 7 END
+"""
+
+
+def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2+O4 (top_100_earthquake intended form): TakeOrderedAndProject, total
+    tiebreak (price desc, key asc) for determinism."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TOP_K_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 (broadcast dim join ×2) + A2/A3: customer⋈nation⋈region rollup.
+
+    nation (25) and region (5) are broadcast — no shuffle for the joins;
+    the only exchange is the final group-by, exactly as at 100 TB.
+    """
+    _utc(spark)
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    region = _table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name AS region_name,
+       count(*) AS customer_count,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_max_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+R1 (top_countries_strongest_earthquake analog): max order value per
+    nation through a two-hop join."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    nation = _table(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.max("o_totalprice").alias("max_order_value"))
+        .orderBy(F.desc("max_order_value"))
+    )
+
+
+SQL_MAX_PER_GROUP = """
+SELECT n_name AS nation_name, max(o_totalprice) AS max_order_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+ORDER BY 2 DESC
+"""
+
+
+def q_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A6+D13+D14 (tsunami_flags analog): conditional sum + ratio-of-aggs."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    flag = F.when(F.col("value") > 100.0, 1).otherwise(0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("total_events"),
+            F.sum(flag).alias("high_value_events"),
+            F.round((F.sum(flag) / F.count("*")) * 100, 6).alias("percent_high_value"),
+        )
+        .orderBy(F.desc("percent_high_value"), "event_type")
+    )
+
+
+SQL_CONDITIONAL_RATIO = """
+SELECT event_type,
+       count(*) AS total_events,
+       sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS high_value_events,
+       round((sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) / count(*)) * 100, 6)
+         AS percent_high_value
+FROM events
+GROUP BY event_type
+ORDER BY percent_high_value DESC, event_type
+"""
+
+
+ALERT_LIKE_RANKS = {"error": 1, "purchase": 2, "signup": 3, "click": 4}
+
+
+def q_in_list_case_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+D5+O3 (alert_level_frequency_stats analog): IN-list filter + CASE
+    rank multi-key sort."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("error", "purchase", "signup", "click"))
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy(
+            case_rank("event_type", ALERT_LIKE_RANKS, 5), F.desc("value"), "event_id"
+        )
+    )
+
+
+SQL_IN_LIST_CASE_SORT = """
+SELECT event_id, event_type, user_id, value
+FROM events
+WHERE event_type IN ('error', 'purchase', 'signup', 'click')
+ORDER BY CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+              WHEN 'signup' THEN 3 WHEN 'click' THEN 4 ELSE 5 END,
+         value DESC, event_id
+"""
+
+
+def q_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2+D3: epoch-ms round-trip, year extraction, decade bucketing.
+
+    ts → unix_millis → timestamp_millis reproduces the reference's
+    epoch-ms ingestion (clean_historical.py:27) exactly (ms truncation).
+    Timestamps are output as formatted strings (engine-neutral hashing).
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    return ev.select(
+        "event_id",
+        ms.alias("ts_ms"),
+        F.date_format(F.timestamp_millis(ms), "yyyy-MM-dd HH:mm:ss.SSS").alias("ts_rt"),
+        F.year("ts").cast("int").alias("event_year"),
+        decade_of("ts").alias("event_decade"),
+    )
+
+
+SQL_SCALAR_DERIVATIONS = """
+SELECT event_id,
+       epoch_ms(ts) AS ts_ms,
+       strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts_rt,
+       CAST(year(ts) AS INTEGER) AS event_year,
+       CAST(CAST(floor(year(ts) / 10) AS BIGINT) * 10 AS INTEGER) AS event_decade
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# M2 — incremental / merge semantics (SURVEY §2.9, R4, P10, U1, W1)
+# ---------------------------------------------------------------------------
+
+
+def q_merge_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4/S13 (MERGE WHEN NOT MATCHED): rows of the increment whose key is
+    absent from the accumulated table → exactly the rows a MERGE inserts."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("event_id") % 3 != 0)
+    increment = ev.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+    return anti_join_merge(increment, existing, ["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+SQL_MERGE_ANTI_JOIN = """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE e.ts >= TIMESTAMP '2024-01-15'
+  AND NOT EXISTS (
+    SELECT 1 FROM events x
+    WHERE x.event_id % 3 != 0 AND x.event_id = e.event_id
+  )
+"""
+
+
+def q_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+A7/I1: scalar-subquery high-water mark — only rows strictly past
+    max(ts) of the existing slice flow through."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    existing = ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    return high_water_mark_filter(ev, existing, "ts").select("event_id", "user_id")
+
+
+SQL_HIGH_WATER_MARK = """
+SELECT event_id, user_id
+FROM events
+WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20')
+"""
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+W1 (stg_earthquake first-run branch): union of two overlapping
+    slices, keyed dedup, per-type census."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    a = ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    b = ev.filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+SQL_UNION_DEDUP = """
+SELECT event_type, count(*) AS n_events
+FROM (
+  SELECT DISTINCT event_id, event_type FROM (
+    SELECT event_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-20'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+  )
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_top2_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (the OLAP face of W1's row_number): top-2
+    events per user by value, deterministic tiebreak."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+SQL_TOP2_PER_USER = """
+SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn <= 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "clean_events": q_clean_events,
+    "yearly_stats": q_yearly_stats,
+    "severity_buckets": q_severity_buckets,
+    "top_k_orders": q_top_k_orders,
+    "region_rollup": q_region_rollup,
+    "max_per_group": q_max_per_group,
+    "conditional_ratio": q_conditional_ratio,
+    "in_list_case_sort": q_in_list_case_sort,
+    "scalar_derivations": q_scalar_derivations,
+    "merge_anti_join": q_merge_anti_join,
+    "high_water_mark": q_high_water_mark,
+    "union_dedup": q_union_dedup,
+    "top2_per_user": q_top2_per_user,
+}
+
+ORACLE: dict[str, str] = {
+    "clean_events": SQL_CLEAN_EVENTS,
+    "yearly_stats": SQL_YEARLY_STATS,
+    "severity_buckets": SQL_SEVERITY_BUCKETS,
+    "top_k_orders": SQL_TOP_K_ORDERS,
+    "region_rollup": SQL_REGION_ROLLUP,
+    "max_per_group": SQL_MAX_PER_GROUP,
+    "conditional_ratio": SQL_CONDITIONAL_RATIO,
+    "in_list_case_sort": SQL_IN_LIST_CASE_SORT,
+    "scalar_derivations": SQL_SCALAR_DERIVATIONS,
+    "merge_anti_join": SQL_MERGE_ANTI_JOIN,
+    "high_water_mark": SQL_HIGH_WATER_MARK,
+    "union_dedup": SQL_UNION_DEDUP,
+    "top2_per_user": SQL_TOP2_PER_USER,
+}

@@ -1,0 +1,67 @@
+"""Deduplication operators (SURVEY.md §2.6 W1/W2; north-star exact dedup).
+
+Three flavors, all single-shuffle (hash exchange on the dedup key):
+
+- ``dedup_keep_any``    — W2: dropDuplicates(subset) — keep an arbitrary row
+  per key (reference: pipeline/clean_historical.py:48).
+- ``dedup_row_number``  — W1: row_number() over (partition by key order by
+  tiebreak) + rn=1 (reference: dbt_files/models/core/stg_earthquake.sql:25-29,44).
+  With a DETERMINISTIC tiebreak this upgrades the reference's arbitrary pick
+  to a reproducible one — required for oracle equality on non-key columns.
+- ``exact_dedup``       — whole-row (or hash-of-content) dedup for the
+  training-data pipeline: group by content hash, keep min(id).
+
+Scale: all three are groupBy/Window over the key — partial aggregation
+map-side where possible, AQE handles skewed keys. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_keep_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """W2 — keep-any keyed dedup; Spark plans it as a HashAggregate(first)."""
+    return df.dropDuplicates(list(keys))
+
+
+def dedup_row_number(
+    df: DataFrame,
+    keys: Sequence[str],
+    tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """W1 — row_number dedup. ``tiebreak=None`` reproduces the reference's
+    order-by-partition-key (arbitrary survivor); pass explicit tiebreak
+    columns for a deterministic survivor.
+    """
+    order = [F.col(c) for c in (tiebreak if tiebreak else keys)]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact content dedup: one surviving id per distinct content.
+
+    Hash-groupBy on the content columns keeping ``min(id_col)`` — a single
+    shuffle on (typically) a 128-bit content hash; at 100 TB this is the
+    cheapest possible exact dedup (map-side partial min, then final).
+    Returns (content hash, surviving id, duplicate count).
+    """
+    fingerprint = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.select(fingerprint.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )

@@ -1,0 +1,80 @@
+"""Incremental / merge operators (SURVEY.md §2.4 R4, §2.2 P10, §2.9 I1/I3).
+
+The reference's incremental story is dbt's high-water-mark branch
+(dbt_files/models/core/stg_earthquake.sql:9-23) plus a BigQuery MERGE
+insert-if-absent (airflow/dags/earthquake_batch_pipeline.py:171-196).
+Spark-first restatement:
+
+- ``high_water_mark_filter`` — scalar-subquery predicate ts > max(existing).
+- ``anti_join_merge``        — left_anti on the business key → only genuinely
+  new rows survive; append them. Idempotent by construction (replaying a
+  batch inserts 0 rows) — the I3 exactly-once-ish contract.
+- ``incremental_upsert``     — the full I1 routine: HWM filter → window dedup
+  → anti-join → rows to append.
+
+Scale: the anti-join shuffles both sides on the key ONLY if the existing
+side is large; when `existing` is a month-partitioned table, partition
+pruning on the HWM month bounds the join input to O(new data) — the design
+that keeps incremental cost flat as total data grows to 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_row_number
+
+
+def high_water_mark_filter(
+    new: DataFrame, existing: DataFrame, ts_col: str
+) -> DataFrame:
+    """P10/A7/I1 — keep only rows strictly past max(existing.ts).
+
+    NOTE (late-data caveat, SURVEY §2.9 I1): rows with timestamps ≤ the
+    high-water mark are silently dropped — faithful to the reference. The
+    streaming face (streaming/incremental.py) replaces this with a watermark
+    that makes the late-data bound explicit.
+
+    The scalar max is computed as a real scalar subquery when `existing`
+    is a table-backed plan; here we compute it with a 1-row agg (a cheap
+    job even at scale — max is partial-aggregated map-side).
+    """
+    hwm = existing.agg(F.max(ts_col)).first()[0]
+    if hwm is None:
+        return new
+    return new.filter(F.col(ts_col) > F.lit(hwm))
+
+
+def anti_join_merge(
+    new: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """R4/S13 — MERGE WHEN NOT MATCHED THEN INSERT, Spark-style.
+
+    Returns the rows of ``new`` whose key is absent from ``existing``
+    (caller appends them). When `existing` is big and `new` is a small
+    increment, Catalyst/AQE broadcast the small side; the existing side
+    only needs its KEY columns — project before joining so the scan is
+    2 columns, not the full row.
+    """
+    existing_keys = existing.select(*keys).dropDuplicates(list(keys))
+    return new.join(existing_keys, on=list(keys), how="left_anti")
+
+
+def incremental_upsert(
+    new: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    use_hwm: bool = True,
+) -> DataFrame:
+    """I1 — the full incremental routine: HWM → dedup-within-batch → anti-join.
+
+    Returns the rows to append. Running the same batch twice appends zero
+    rows (idempotence property test in tests/test_merge.py).
+    """
+    batch = high_water_mark_filter(new, existing, ts_col) if use_hwm else new
+    batch = dedup_row_number(batch, keys, tiebreak=[ts_col])
+    return anti_join_merge(batch, existing, keys)

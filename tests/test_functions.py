@@ -1,0 +1,76 @@
+"""Unit tests for Column-expression helpers (SURVEY.md §2.3, §5.3 properties)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.functions.scalar import (
+    case_rank,
+    decade_of,
+    epoch_ms_to_timestamp,
+    severity_of,
+    surrogate_key,
+    token_pattern,
+)
+
+
+def test_severity_bucket_boundaries(spark):
+    # D4 boundary semantics: magnitude exactly 8/7/6/5/4 (FIXTURES.md §5.3).
+    rows = [(8.0, "Great"), (7.9, "Major"), (7.0, "Major"), (6.0, "Strong"),
+            (5.0, "Moderate"), (4.0, "Light"), (3.99, "Minor"), (-1.0, "Minor")]
+    df = spark.createDataFrame([(m,) for m, _ in rows], ["magnitude"])
+    got = df.select("magnitude", severity_of("magnitude").alias("s")).collect()
+    expected = dict(rows)
+    for r in got:
+        assert r.s == expected[r.magnitude], r
+
+
+def test_decade_boundaries(spark):
+    # D3: years x0 and x9 land in the same decade (FIXTURES.md §5.3).
+    df = spark.createDataFrame(
+        [("1990-01-01",), ("1999-12-31",), ("2000-01-01",), ("1905-06-15",)], ["d"]
+    ).select(F.col("d").cast("timestamp").alias("ts"))
+    got = [r.dec for r in df.select(decade_of("ts").alias("dec")).collect()]
+    assert got == [1990, 1990, 2000, 1900]
+
+
+def test_epoch_ms_roundtrip(spark):
+    # D1 property: ms → timestamp → ms is the identity (exact variant).
+    ms = [0, 1_700_000_000_123, -3_600_000]
+    df = spark.createDataFrame([(m,) for m in ms], ["t"])
+    got = df.select(
+        F.unix_millis(epoch_ms_to_timestamp("t", exact=True)).alias("back")
+    ).collect()
+    assert [r.back for r in got] == ms
+
+
+def test_surrogate_key_matches_dbt_utils(spark):
+    # D6: exact dbt_utils.generate_surrogate_key semantics
+    # (md5 of '-'-joined coalesced string casts, null sentinel).
+    df = spark.createDataFrame(
+        [Row(place="Tokyo", ts="2024-01-01 00:00:00"), Row(place=None, ts="x")]
+    )
+    got = [r.k for r in df.select(surrogate_key(["place", "ts"]).alias("k")).collect()]
+    exp0 = hashlib.md5(b"Tokyo-2024-01-01 00:00:00").hexdigest()
+    exp1 = hashlib.md5(b"_dbt_utils_surrogate_key_null_-x").hexdigest()
+    assert got == [exp0, exp1]
+
+
+def test_case_rank_order(spark):
+    df = spark.createDataFrame([("red",), ("green",), ("???",)], ["alert"])
+    ranks = {"red": 1, "orange": 2, "yellow": 3, "green": 4}
+    got = [r.r for r in df.select(case_rank("alert", ranks, 5).alias("r")).collect()]
+    assert got == [1, 4, 5]
+
+
+def test_token_pattern_word_boundaries(spark):
+    # D11: 'Japan' matches as a token, not inside 'Japanese'.
+    df = spark.createDataFrame(
+        [("off the coast of Japan",), ("Japanese trench",), ("JAPAN deep",)], ["place"]
+    )
+    got = [r.m for r in df.select(
+        F.col("place").rlike(token_pattern("Japan")).alias("m")).collect()]
+    assert got == [True, False, False]

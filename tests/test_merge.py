@@ -1,0 +1,74 @@
+"""Incremental/merge property tests (SURVEY.md §5.3: replay idempotence,
+late-data drop; §2.9 I1/I3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.operators.dedup import (
+    dedup_row_number,
+    exact_dedup,
+)
+from earthquake_data_pipeline_spark.operators.merge import (
+    anti_join_merge,
+    high_water_mark_filter,
+    incremental_upsert,
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_anti_join_merge_inserts_only_new(spark):
+    existing = _events(spark, [("a", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0)])
+    batch = _events(spark, [("b", "2024-01-02", 99.0), ("c", "2024-01-03", 3.0)])
+    inserted = anti_join_merge(batch, existing, ["k"])
+    assert [r.k for r in inserted.collect()] == ["c"]
+
+
+def test_merge_replay_idempotence(spark):
+    # I3: replaying an already-merged batch inserts zero rows.
+    existing = _events(spark, [("a", "2024-01-01", 1.0)])
+    batch = _events(spark, [("b", "2024-01-02", 2.0)])
+    merged = existing.unionByName(anti_join_merge(batch, existing, ["k"]))
+    replay = anti_join_merge(batch, merged, ["k"])
+    assert replay.count() == 0
+
+
+def test_high_water_mark_drops_late_rows(spark):
+    # I1 late-data caveat: rows at-or-before max(existing.ts) are dropped.
+    existing = _events(spark, [("a", "2024-01-05", 1.0)])
+    batch = _events(
+        spark,
+        [("late", "2024-01-04", 9.0), ("edge", "2024-01-05", 9.0), ("new", "2024-01-06", 9.0)],
+    )
+    kept = high_water_mark_filter(batch, existing, "ts")
+    assert [r.k for r in kept.collect()] == ["new"]
+
+
+def test_incremental_upsert_dedups_within_batch(spark):
+    existing = _events(spark, [("a", "2024-01-01", 1.0)])
+    batch = _events(
+        spark,
+        [("b", "2024-01-02", 1.0), ("b", "2024-01-02", 2.0), ("a", "2024-01-03", 3.0)],
+    )
+    out = incremental_upsert(batch, existing, ["k"], "ts")
+    rows = out.collect()
+    # 'b' deduped to one row; 'a' already exists → only one insert
+    assert sorted(r.k for r in rows) == ["b"]
+
+
+def test_dedup_row_number_deterministic_survivor(spark):
+    df = _events(spark, [("k1", "2024-01-02", 2.0), ("k1", "2024-01-01", 1.0)])
+    out = dedup_row_number(df, ["k"], tiebreak=["ts"]).collect()
+    assert len(out) == 1 and out[0].v == 1.0  # earliest ts survives
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["id", "text"]
+    )
+    out = {r.kept_id: r.dup_count for r in exact_dedup(df, ["text"], "id").collect()}
+    assert out == {1: 2, 3: 1}

@@ -1,0 +1,108 @@
+"""Local correctness harness mimicking the driver's DuckDB-oracle gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` on the same
+parquet tables: compares row count, column names/types, and an
+order-insensitive value hash (rows sorted, columns sorted by name).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_repr(df: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(round(v, 9))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from earthquake_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pd = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only check, {len(spark_pd)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            duck_pd = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+
+        s, d = normalize(spark_pd), normalize(duck_pd)
+        problems = []
+        if len(s) != len(d):
+            problems.append(f"rowcount spark={len(s)} duck={len(d)}")
+        if list(s.columns) != list(d.columns):
+            problems.append(f"columns spark={list(s.columns)} duck={list(d.columns)}")
+        elif len(s) == len(d) and value_repr(s) != value_repr(d):
+            diff = (s.compare(d) if s.shape == d.shape else None)
+            problems.append(
+                "value mismatch"
+                + (f" first diffs:\n{diff.head(5)}" if diff is not None and not diff.empty else "")
+            )
+        if problems:
+            print(f"FAIL {name}: {'; '.join(str(p) for p in problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
