@@ -417,6 +417,140 @@ WHERE rn <= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# M3 — enrichment: spatial join, regex fallback, coalesce-fill
+# (SURVEY §2.4 R1-R3, §2.3 D9-D11)
+# ---------------------------------------------------------------------------
+
+# Synthetic "world" dim for the driver tables (FIXTURES.md F3 shape):
+# rectangles + a MULTIPOLYGON, bounds on .5/.1 offsets so the derived
+# point grid can never land exactly on a boundary (ray-cast edge cases
+# are measure-zero by construction).
+GEO_POLYGONS = [
+    ("Eastland", "Asia", "POLYGON ((10.3 -20.5, 90.7 -20.5, 90.7 40.5, 10.3 40.5, 10.3 -20.5))"),
+    ("Westland", "Americas", "POLYGON ((-150.7 -60.5, -30.3 -60.5, -30.3 20.5, -150.7 20.5, -150.7 -60.5))"),
+    ("Northisles", "Europe",
+     "MULTIPOLYGON (((-10.1 50.5, 20.9 50.5, 20.9 75.5, -10.1 75.5, -10.1 50.5)), "
+     "((30.1 55.5, 60.9 55.5, 60.9 70.5, 30.1 70.5, 30.1 55.5)))"),
+]
+
+# Deterministic pseudo-coordinates derived from event columns — identical
+# IEEE double arithmetic on both engines.
+_LON_EXPR = "(value % 100) * 3.6 - 180"
+_LAT_EXPR = "CAST((user_id % 160) - 80 AS DOUBLE)"
+
+
+def _events_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(_LON_EXPR).alias("longitude"),
+        F.expr(_LAT_EXPR).alias("latitude"),
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — point-in-polygon left join (numpy ray-cast mapInPandas over a
+    broadcast polygon dim). Oracle expresses the same rectangles as range
+    predicates — verifying the geometry kernel against closed-form SQL."""
+    _utc(spark)
+    from .operators.enrichment import spatial_join
+
+    pts = _events_with_coords(spark, sf_dir)
+    return spatial_join(pts, GEO_POLYGONS).select(
+        "event_id",
+        F.col("country").alias("geo_country"),
+        F.col("region").alias("geo_region"),
+    )
+
+
+SQL_SPATIAL_JOIN = f"""
+SELECT event_id,
+       CASE
+         WHEN lon BETWEEN 10.3 AND 90.7 AND lat BETWEEN -20.5 AND 40.5 THEN 'Eastland'
+         WHEN lon BETWEEN -150.7 AND -30.3 AND lat BETWEEN -60.5 AND 20.5 THEN 'Westland'
+         WHEN (lon BETWEEN -10.1 AND 20.9 AND lat BETWEEN 50.5 AND 75.5)
+           OR (lon BETWEEN 30.1 AND 60.9 AND lat BETWEEN 55.5 AND 70.5) THEN 'Northisles'
+       END AS geo_country,
+       CASE
+         WHEN lon BETWEEN 10.3 AND 90.7 AND lat BETWEEN -20.5 AND 40.5 THEN 'Asia'
+         WHEN lon BETWEEN -150.7 AND -30.3 AND lat BETWEEN -60.5 AND 20.5 THEN 'Americas'
+         WHEN (lon BETWEEN -10.1 AND 20.9 AND lat BETWEEN 50.5 AND 75.5)
+           OR (lon BETWEEN 30.1 AND 60.9 AND lat BETWEEN 55.5 AND 70.5) THEN 'Europe'
+       END AS geo_region
+FROM (
+  SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events
+)
+"""
+
+
+REGEX_TOKENS = ["vector", "customer", "spark", "window", "stream"]
+
+
+def q_regex_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/F1 — first-match-wins word-token containment join on documents
+    (broadcast nested-loop crossJoin + RLIKE + priority row_number)."""
+    _utc(spark)
+    from .operators.enrichment import regex_token_join
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return regex_token_join(
+        docs, "text", REGEX_TOKENS, ["doc_id"], case_insensitive=False
+    ).select("doc_id", "matched_token")
+
+
+SQL_REGEX_TOKEN_MATCH = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '\bvector\b') THEN 'vector'
+            WHEN regexp_matches(text, '\bcustomer\b') THEN 'customer'
+            WHEN regexp_matches(text, '\bspark\b') THEN 'spark'
+            WHEN regexp_matches(text, '\bwindow\b') THEN 'window'
+            WHEN regexp_matches(text, '\bstream\b') THEN 'stream'
+       END AS matched_token
+FROM documents
+"""
+
+
+def q_enrich_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9/R5 + R1 — coalesce-fill of spatial misses from a broadcast lookup
+    (the reference's index-aligned fillna restated as key-join + coalesce)."""
+    _utc(spark)
+    from .operators.enrichment import spatial_join
+
+    pts = _events_with_coords(spark, sf_dir)
+    geo = spatial_join(pts, GEO_POLYGONS)
+    nation = _table(spark, sf_dir, "nation")
+    fallback = _table(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 25).cast("int").alias("nk")
+    )
+    return (
+        geo.join(fallback, "event_id")
+        .join(F.broadcast(nation), F.col("nk") == nation.n_nationkey, "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("country"), F.col("n_name")).alias("final_country"),
+        )
+    )
+
+
+SQL_ENRICH_COALESCE = f"""
+SELECT e.event_id,
+       COALESCE(
+         CASE
+           WHEN lon BETWEEN 10.3 AND 90.7 AND lat BETWEEN -20.5 AND 40.5 THEN 'Eastland'
+           WHEN lon BETWEEN -150.7 AND -30.3 AND lat BETWEEN -60.5 AND 20.5 THEN 'Westland'
+           WHEN (lon BETWEEN -10.1 AND 20.9 AND lat BETWEEN 50.5 AND 75.5)
+             OR (lon BETWEEN 30.1 AND 60.9 AND lat BETWEEN 55.5 AND 70.5) THEN 'Northisles'
+         END,
+         n.n_name
+       ) AS final_country
+FROM (
+  SELECT event_id, user_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events
+) e
+LEFT JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_events": q_clean_events,
     "yearly_stats": q_yearly_stats,
@@ -431,6 +565,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "high_water_mark": q_high_water_mark,
     "union_dedup": q_union_dedup,
     "top2_per_user": q_top2_per_user,
+    "spatial_join": q_spatial_join,
+    "regex_token_match": q_regex_token_match,
+    "enrich_coalesce": q_enrich_coalesce,
 }
 
 ORACLE: dict[str, str] = {
@@ -447,4 +584,7 @@ ORACLE: dict[str, str] = {
     "high_water_mark": SQL_HIGH_WATER_MARK,
     "union_dedup": SQL_UNION_DEDUP,
     "top2_per_user": SQL_TOP2_PER_USER,
+    "spatial_join": SQL_SPATIAL_JOIN,
+    "regex_token_match": SQL_REGEX_TOKEN_MATCH,
+    "enrich_coalesce": SQL_ENRICH_COALESCE,
 }
