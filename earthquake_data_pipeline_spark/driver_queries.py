@@ -551,6 +551,334 @@ LEFT JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# M5 — LLM-data-pipeline operators (north-star): text analysis, dedup
+# family, similarity search, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces, one scan."""
+    _utc(spark)
+    from .operators.text import token_count
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_pieces")
+
+
+SQL_TOKEN_STATS = rf"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS BIGINT) AS n_bpe_pieces
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, punctuation density, composite score."""
+    _utc(spark)
+    from .operators.text import quality_score
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
+    )
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id,
+         {_TOKS_SQL} AS toks,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','of','and','to','in','is'], t))) AS n_stop,
+         n_chars, n_punct
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(n_stop / n_tok, 6) AS stopword_ratio,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round((n_stop / n_tok) * 0.4
+             + least(((n_chars - (n_tok - 1)) / n_tok) / 10.0, 1.0) * 0.3
+             + (1.0 - n_punct / greatest(n_chars, 1)) * 0.3, 6) AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token counts, argmax, lexicographic ties."""
+    _utc(spark)
+    from .operators.text import language_id
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return language_id(docs).select("doc_id", "detected_lang", "lang_score")
+
+
+SQL_LANG_ID = rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter({_TOKS_SQL}, t -> list_contains(
+             ['der','die','das','und','nicht','ist'], t))) AS c_de,
+         len(list_filter({_TOKS_SQL}, t -> list_contains(
+             ['the','a','of','and','to','is'], t))) AS c_en,
+         len(list_filter({_TOKS_SQL}, t -> list_contains(
+             ['el','la','de','que','y','es'], t))) AS c_es,
+         len(list_filter({_TOKS_SQL}, t -> list_contains(
+             ['le','la','de','et','que','est'], t))) AS c_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+            WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+            WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+            ELSE 'fr' END AS detected_lang,
+       CAST(greatest(c_de, c_en, c_es, c_fr) AS BIGINT) AS lang_score
+FROM s
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-text fingerprint → hash-groupBy keep-min-id."""
+    _utc(spark)
+    from .operators.dedup import exact_dedup
+    from .operators.text import fingerprint
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = fingerprint(docs)
+    return exact_dedup(fp, ["doc_fingerprint"], "doc_id").withColumnRenamed(
+        "content_hash", "dedup_hash"
+    )
+
+
+SQL_EXACT_DEDUP = rf"""
+SELECT md5(md5(array_to_string({_TOKS_SQL}, ' '))) AS dedup_hash,
+       min(doc_id) AS kept_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+MINHASH_SEEDS = 12
+LSH_BANDS = 4
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → 12 md5-minhashes → 4 band
+    keys → bucket self-join (id_a < id_b)."""
+    _utc(spark)
+    from .operators.fuzzy_dedup import minhash_lsh_pairs
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(
+        docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+
+
+def _minhash_sql() -> str:
+    mins = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('s{s}:' || s))) AS h{s}"
+        for s in range(MINHASH_SEEDS)
+    )
+    rows = MINHASH_SEEDS // LSH_BANDS
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+            b=b,
+            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM toks
+), mh AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh
+), bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH = _minhash_sql()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints over distinct tokens (md5-derived bits,
+    majority vote, ties → 1)."""
+    _utc(spark)
+    from .operators.fuzzy_dedup import simhash
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(docs)
+
+
+SQL_SIMHASH = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+), vals AS (
+  SELECT doc_id, tok,
+         CAST(sum((strpos('0123456789abcdef', substr(md5(tok), p + 1, 1)) - 1)
+                  * CAST(power(16, 7 - p) AS BIGINT)) AS BIGINT) AS v
+  FROM toks, (SELECT unnest(generate_series(0, 7)) AS p) ps
+  GROUP BY doc_id, tok
+), bits AS (
+  SELECT doc_id, j,
+         sum((v // CAST(power(2, j) AS BIGINT)) % 2) AS s,
+         count(*) AS n
+  FROM vals, (SELECT unnest(generate_series(0, 31)) AS j) js
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s * 2 >= n THEN CAST(power(2, j) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard on a bounded pair set (doc_id < 40) — the
+    verification stage of the LSH pipeline."""
+    _utc(spark)
+    from .operators.fuzzy_dedup import ngram_jaccard_pairs
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    return ngram_jaccard_pairs(docs, docs).filter(F.col("jaccard") > 0)
+
+
+SQL_NGRAM_JACCARD = rf"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS_SQL}) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len({_TOKS_SQL}) - 2),
+             i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]))
+              ELSE [] END AS sh
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 10): broadcast
+    queries × corpus scan, JVM fold dot products, per-query row_number."""
+    _utc(spark)
+    from .operators.similarity import cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS cosine_sim
+  FROM e c, q
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4, id_a < id_b)."""
+    _utc(spark)
+    from .operators.similarity import embedding_near_dup_pairs
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets — the
+    scale path (rows-only check: recall < 1 by design, no SQL oracle)."""
+    _utc(spark)
+    from .operators.similarity import lsh_bucket_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(emb, queries, k=10, num_planes=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text→binary payload → Arrow-batched
+    mapInPandas decode-stub → (byte_len, content_hash). The oracle checks
+    the binary path end-to-end (md5 over utf-8 bytes)."""
+    _utc(spark)
+    from .operators.multimodal import extract_features
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media, decode="fake").select(
+        F.col("media_id").alias("doc_id"), "byte_len", "content_hash"
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_events": q_clean_events,
     "yearly_stats": q_yearly_stats,
@@ -568,6 +896,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_join": q_spatial_join,
     "regex_token_match": q_regex_token_match,
     "enrich_coalesce": q_enrich_coalesce,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "exact_dedup": q_exact_dedup,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLE: dict[str, str] = {
@@ -587,4 +926,15 @@ ORACLE: dict[str, str] = {
     "spatial_join": SQL_SPATIAL_JOIN,
     "regex_token_match": SQL_REGEX_TOKEN_MATCH,
     "enrich_coalesce": SQL_ENRICH_COALESCE,
+    "token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    # ann_lsh: recall<1 by design → rows-only check (no oracle)
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

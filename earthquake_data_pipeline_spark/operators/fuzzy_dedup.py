@@ -1,0 +1,197 @@
+"""Near-duplicate detection for training-data pipelines (north-star ops):
+MinHash+LSH, SimHash, n-gram Jaccard — all as declarative DataFrame plans.
+
+Design for 100 TB:
+- MinHash signatures and SimHash fingerprints are per-document map-side work
+  (scan-speed, no shuffle); only the LSH band-bucket join shuffles, and it
+  shuffles on (band, band_key) — tiny keys, heavily reduced data (one row
+  per doc per band, not per shingle).
+- All hashing is md5-derived (engine-neutral, deterministic), so every
+  operator here carries an exact DuckDB oracle. No Python UDFs anywhere —
+  shingling/minhashing run as Catalyst higher-order array functions inside
+  codegen.
+- Pair explosion is bounded by LSH design (band/row trade-off), not by a
+  quadratic cross join — the scale path. A brute-force n-gram Jaccard join
+  is provided for verification on bounded subsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_of
+
+
+def shingles_of(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) of the lowercased text.
+
+    Guarded: Spark's sequence(0, -k) yields a DESCENDING sequence, so a
+    doc shorter than n tokens must short-circuit to an empty array.
+    """
+    toks = tokens_of(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n)),
+    )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(items: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature: for seed s, min over items of md5('s{s}:' || item).
+
+    Hex-string minima are a valid MinHash family (md5 is a uniform permutation
+    surrogate; lexicographic min over hex = numeric min over the 128-bit
+    value). Engine-neutral: DuckDB computes the identical strings.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(items, lambda t, s=s: F.md5(F.concat(F.lit(f"s{s}:"), t)))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
+    """Band keys: md5 of the '|'-joined signature slice per band."""
+    keys = []
+    for b in range(num_bands):
+        parts = [
+            F.element_at(sig, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        keys.append(F.md5(F.concat_ws("|", *parts)))
+    return keys
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 12,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash+LSH banding.
+
+    shingle → minhash(k) → band keys → self-equi-join on (band, key) with
+    id_a < id_b → distinct pairs. The join is an equi-join on a hashed key:
+    shuffle-bounded, skew handled by AQE; never a cross join.
+    """
+    rows_per_band = num_hashes // num_bands
+    # One shingling pass (explode), then 12 md5s per shingle and a map-side
+    # partial min aggregation. The naive form — an array expression
+    # referencing shingles_of() twelve times — recomputes tokenization per
+    # seed (Catalyst does not CSE higher-order functions): 14× slower at
+    # sf0.1. Docs shorter than one shingle drop out of the explode, which
+    # matches the oracle (their NULL minhashes can never band-match).
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_of(text_col, shingle_n)).alias("shingle")
+    )
+    hashed = exploded.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+        for b in range(num_bands)
+    ]
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), k.alias("band_key"))
+                    for b, k in enumerate(band_cols)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (id_a < id_b).
+
+    Quadratic — use on LSH candidates or bounded subsets only; the scale
+    path is minhash_lsh_pairs → this as the verification/refinement stage.
+    """
+    ls = left.select(
+        F.col(id_col).alias("id_a"), shingles_of(text_col, shingle_n).alias("sh_a")
+    )
+    rs = right.select(
+        F.col(id_col).alias("id_b"), shingles_of(text_col, shingle_n).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        ls.join(rs, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint over distinct whitespace tokens.
+
+    Token value = first 8 md5 hex chars as a 32-bit int (conv(...,16,10) —
+    JVM-side); fingerprint bit j = majority of token bit j (ties → 1).
+    Near-duplicates then reduce to fingerprint equality or small Hamming
+    distance — a groupBy, not a pairwise join, at scale.
+    """
+    toks = F.array_distinct(tokens_of(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    val = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    with_val = exploded.select(id_col, val.alias("v"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = with_val.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0))
+        term = bit.cast("long") * F.lit(2**j).cast("long")
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,158 @@
+"""Multimodal column plumbing (north-star ops): image/audio/video as opaque
+``binary`` columns + typed metadata, with decode / feature-extract /
+resize / frame-sample as Arrow-batched pandas stages over mapInPandas.
+
+The media codecs are NOT in this container, so the decode kernels are
+STUBBED: ``decode=fake`` produces deterministic pseudo-features from the
+bytes (so the full pipeline is testable end-to-end), ``decode=real``
+raises NotImplementedError at the exact point a PIL/ffmpeg call would go.
+Everything around the stub — schema, binary handling, Arrow batch shape,
+partitioning — is real Spark plumbing and is what these operators verify.
+
+Scale notes: binary payloads ride in the same parquet row groups as their
+metadata (no side-channel file fetch per row); mapInPandas streams Arrow
+record batches, so executor memory is bounded by batch size
+(spark.sql.execution.arrow.maxRecordsPerBatch), not partition size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, source_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Build a MEDIA_SCHEMA-shaped frame from any string column (test
+    harness for the binary path: utf-8 bytes stand in for media bytes)."""
+    return df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode(F.col(source_col), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(
+    media: DataFrame, decode: str = "fake", feature_dim: int = 8
+) -> DataFrame:
+    """Decode + featurize each payload via Arrow-batched mapInPandas.
+
+    decode='fake': deterministic pseudo-embedding from md5(payload) bytes —
+    exercises the full binary→vector pipeline without codecs.
+    decode='real': the integration point for PIL/torchvision/ffmpeg.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, lens, hashes, feats = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if payload is None:
+                    lens.append(None)
+                    hashes.append(None)
+                    feats.append(None)
+                    continue
+                raw = bytes(payload)
+                lens.append(len(raw))
+                digest = hashlib.md5(raw)
+                hashes.append(digest.hexdigest())
+                if decode == "real":
+                    raise NotImplementedError(
+                        "media decode requires PIL/ffmpeg — not in this "
+                        "container; wire the codec call here"
+                    )
+                # fake decode: md5-seeded bytes → unit-ish float vector
+                seed = digest.digest()
+                buf = bytearray()
+                counter = 0
+                while len(buf) < feature_dim * 2:
+                    buf += hashlib.md5(seed + counter.to_bytes(2, "big")).digest()
+                    counter += 1
+                u = np.frombuffer(bytes(buf[: feature_dim * 2]), dtype=">u2")
+                feats.append((u.astype(np.float32) / 32768.0 - 1.0))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "byte_len": pd.array(lens, dtype="Int64"),
+                    "content_hash": hashes,
+                    "feature": feats,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(fn, _FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, every_ms: int = 1000, decode: str = "fake"
+) -> DataFrame:
+    """Frame sampling for video payloads: one row per sampled timestamp.
+
+    With decode='fake', frames are deterministic slices of the payload hash
+    (the plumbing — explode to frame rows, per-frame binary — is real).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), True),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ts, frames = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None:
+                    continue
+                if decode == "real":
+                    raise NotImplementedError("video decode not available here")
+                raw = bytes(payload)
+                total = int(dur) if dur is not None and not pd.isna(dur) else 3000
+                for t in range(0, total, every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+                    frames.append(
+                        hashlib.md5(raw + t.to_bytes(8, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": ts, "frame_bytes": frames}
+            )
+
+    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+        fn, out_schema
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(BASELINE.json north-star: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+All pure Column expressions — JVM-side, whole-stage codegen, no Python in
+the hot path. Each operator is deterministic and SQL-expressible, so every
+one carries a DuckDB oracle in driver_queries.py. At 100 TB these are
+embarrassingly parallel scans (zero shuffles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenization split: letter runs, digit runs, single
+# non-alphanumeric marks (the GPT-2 pre-tokenizer shape, minus unicode
+# categories — RE2/Java-compatible so the oracle matches byte-for-byte).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+DEFAULT_STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+
+
+def tokens_of(text: Column | str) -> Column:
+    """Whitespace tokens (lowercased)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    return df.select(
+        "*",
+        F.size(tokens_of(text_col)).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Heuristic document quality: length, mean word length, stopword ratio,
+    punctuation density — the standard cheap pre-filter signals (C4/Gopher
+    -style rules) as one scan.
+
+    score = stopword_ratio * 0.4 + clamp(mean_word_len/10) * 0.3
+          + (1 - punct_ratio) * 0.3        ∈ [0, 1]
+    """
+    toks = tokens_of(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^A-Za-z0-9\s]"), 0)
+    )
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars net of separators
+    stop_ratio = n_stop / n_tok
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    score = (
+        stop_ratio * 0.4
+        + F.least(mean_word_len / 10.0, F.lit(1.0)) * 0.3
+        + (1.0 - punct_ratio) * 0.3
+    )
+    return df.select(
+        "*",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+# Marker tokens per language for the n-gram/stopword language-ID heuristic.
+# Deterministic: score = |tokens ∩ markers(lang)|; argmax with lexicographic
+# tie-break. (On synthetic corpora this mostly says 'en' — the point is the
+# operator shape: pure-expression language ID at scan speed.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "de", "et", "que", "est"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language ID via marker-token counts, argmax with lexicographic
+    tie-break (first language in sorted order wins ties)."""
+    toks = tokens_of(text_col)
+
+    def marker_count(markers):
+        # NB: F.filter treats a two-arg lambda as (element, index) — bind
+        # the marker array via an outer closure, never a default arg.
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: marker_count(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
+    best = F.greatest(*scores.values())
+    pick = None
+    for lang in sorted(LANG_MARKERS):  # first max in sorted order wins
+        cond = scores[lang] == best
+        pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+    return df.select(
+        "*",
+        pick.alias("detected_lang"),
+        best.cast("bigint").alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the canonical exact-dedup key for content-identical documents
+    that differ only in spacing/case."""
+    normalized = F.concat_ws(" ", tokens_of(text_col))
+    return df.select(
+        "*",
+        F.md5(normalized).alias("doc_fingerprint"),
+    )

@@ -1,0 +1,175 @@
+"""Tests for the LLM-data-pipeline operators: text analysis, fuzzy dedup,
+similarity search, multimodal plumbing (north-star coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles_of,
+    simhash,
+)
+from earthquake_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample,
+)
+from earthquake_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from earthquake_data_pipeline_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "The  Quick   Brown Fox jumps over the lazy dog"),  # case/space variant of 1
+        (5, "hi"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    out = {r.doc_id: (r.n_ws_tokens, r.n_bpe_pieces) for r in token_count(docs).collect()}
+    assert out[1] == (9, 9)
+    assert out[5] == (1, 1)
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = quality_score(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].stopword_ratio == round(2 / 9, 6)  # 'the' twice
+
+
+def test_language_id_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "der the nicht of"), (2, "xyzzy blob")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.detected_lang for r in language_id(df).collect()}
+    assert out[1] == "de"   # 2-2 tie de/en → lexicographic first
+    assert out[2] == "de"   # all-zero tie → lexicographic first
+
+
+def test_fingerprint_normalizes_case_and_space(spark, docs):
+    out = {r.doc_id: r.doc_fingerprint for r in fingerprint(docs).collect()}
+    assert out[1] == out[4]
+    assert out[1] != out[2]
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    out = {
+        r.doc_id: r.sh
+        for r in docs.select("doc_id", shingles_of("text").alias("sh")).collect()
+    }
+    assert out[5] == []
+    assert "the quick brown" in out[1]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in pairs  # identical after normalization → all bands agree
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, docs).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    # docs 1,2: 9 tokens → 7 shingles each, 6 shared → 6/8
+    assert out[(1, 2)] == 0.75
+    assert out.get((1, 3), 0.0) == 0.0 or (1, 3) not in out
+
+
+def test_simhash_identical_for_same_token_set(spark, docs):
+    out = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert out[1] == out[4]
+    assert 0 <= out[1] < 2**32
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    got = cosine_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert got[0].cosine_sim == pytest.approx(0.995037, abs=1e-6)
+    assert got[1].cosine_sim == 0.0 and got[2].cosine_sim == -1.0
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(df, q, k=50).collect()
+    }
+    approx = lsh_bucket_topk(df, q, k=10, num_planes=4).collect()
+    assert len(approx) > 0
+    for r in approx:  # every approx hit is a true pair with the same score
+        assert (r.query_id, r.neighbor_id, r.cosine_sim) in exact
+
+
+def test_embedding_near_dup_threshold(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = attach_binary_payload(docs, "text", media_type="image")
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    feats = extract_features(media, decode="fake").collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert r.byte_len > 0 and len(r.content_hash) == 32
+        assert len(r.feature) == 8 and all(-1.0 <= v < 1.0 for v in r.feature)
+    # deterministic: same payload → same feature vector
+    again = extract_features(media, decode="fake").collect()
+    assert {r.media_id: list(r.feature) for r in feats} == {
+        r.media_id: list(r.feature) for r in again
+    }
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = attach_binary_payload(docs, "text")
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        extract_features(media, decode="real").collect()
+
+
+def test_frame_sample_rows(spark, docs):
+    media = attach_binary_payload(docs.limit(1), "text", media_type="video")
+    media = media.withColumn("duration_ms", F.lit(2500).cast("long"))
+    frames = frame_sample(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000]
+    assert all(len(bytes(r.frame_bytes)) == 16 for r in frames)
