@@ -879,6 +879,43 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# M4 — ingest + full-pipeline composition (rows-only: the synthetic source
+# is generated, not in the oracle's parquet views)
+# ---------------------------------------------------------------------------
+
+
+def q_usgs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end earthquake pipeline: paged-source ingest (synthetic mode,
+    offline) → cleaning chain → stg (surrogate keys + window dedup) → fact
+    (severity/year/decade) → yearly analytics model. Deterministic output;
+    rows-only check (the source data is generated, not oracle-visible)."""
+    _utc(spark)
+    from .operators.cleaning import clean_events
+    from .plans.models import (
+        fact_earthquake_data,
+        stg_earthquake,
+        yearly_earthquake_stats,
+    )
+    from .sources.usgs import UsgsDataSource
+
+    spark.dataSource.register(UsgsDataSource)
+    raw = (
+        spark.read.format("usgs_fdsn")
+        .option("mode", "synthetic")
+        .option("rows_per_day", "5")
+        .option("start_date", "2024-01-01")
+        .option("end_date", "2024-03-01")
+        .load()
+    )
+    cleaned = (
+        clean_events(raw)
+        .withColumn("country", F.lit(None).cast("string"))
+        .withColumn("region", F.lit(None).cast("string"))
+    )
+    return yearly_earthquake_stats(fact_earthquake_data(stg_earthquake(cleaned)))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_events": q_clean_events,
     "yearly_stats": q_yearly_stats,
@@ -907,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh": q_ann_lsh,
     "multimodal_features": q_multimodal_features,
+    "usgs_pipeline": q_usgs_pipeline,
 }
 
 ORACLE: dict[str, str] = {

@@ -1,0 +1,100 @@
+"""Structured Streaming faces of the incremental routines (SURVEY.md §2.9).
+
+The reference's incremental story is batch-shaped (dbt high-water mark +
+BigQuery MERGE); these are the streaming equivalents, sharing the batch
+operators via foreachBatch:
+
+- ``streaming_dedup``       — I1's window-dedup as a stateful streaming
+  dedup: watermark bounds the late-data horizon EXPLICITLY (the batch
+  `>`-max filter drops late rows silently; the watermark makes the bound a
+  declared contract, SURVEY §2.9 I1 caveat).
+- ``foreach_batch_merge``   — I3's replay-safe MERGE: every micro-batch is
+  anti-joined against the sink before append, so checkpoint replays insert
+  zero duplicate keys (exactly-once-ish on top of at-least-once delivery).
+- ``windowed_event_counts`` — I2's tumbling-window aggregation with
+  watermarked append output. (Calendar months are not fixed durations, so
+  monthly rollups stay batch-side as date_trunc('month') group-bys; the
+  streaming window here is the fixed-duration analog.)
+
+Scale: streaming dedup state is partitioned by key across executors and
+pruned by the watermark — state size is O(keys within the lateness bound),
+not O(history). foreachBatch merge reads only the sink's key columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..operators.merge import anti_join_merge
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Stateful keyed dedup with an explicit late-data bound.
+
+    Rows later than ``lateness`` behind the max observed event time are
+    dropped (watermark) — the declared version of the reference's silent
+    high-water-mark drop. The dedup key includes the event-time column so
+    state for expired windows is reclaimed.
+    """
+    cols = list(keys) + ([ts_col] if ts_col not in keys else [])
+    return stream.withWatermark(ts_col, lateness).dropDuplicates(cols)
+
+
+def foreach_batch_merge(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint_path: str,
+) -> DataStreamWriter:
+    """Replay-safe append: anti-join each micro-batch against the target
+    before writing (R4/S13 per batch). Returns the un-started writer —
+    caller does .start()/.trigger() as needed.
+    """
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:  # first batch: target does not exist yet
+            existing = None
+        to_insert = (
+            batch if existing is None else anti_join_merge(batch, existing, keys)
+        )
+        to_insert.write.mode("append").parquet(target_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(merge_batch)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    lateness: str = "1 hour",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling-window counts with watermarked append semantics (I2's
+    fixed-duration analog)."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )

@@ -1,0 +1,112 @@
+"""Structured Streaming tests: stateful dedup, foreachBatch replay-safe
+merge, watermarked windowed aggregation (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.streaming.incremental import (
+    foreach_batch_merge,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+EVENTS_SCHEMA = "k string, ts timestamp, v double"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, ["k", "ts", "v"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("append").parquet(path)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-01 10:00:00", 2.0),  # duplicate key+ts
+            ("b", "2024-01-01 10:05:00", 3.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    deduped = streaming_dedup(stream, ["k"], "ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+    finally:
+        q.stop()
+    assert sorted((r.k, r.v in (1.0, 2.0)) for r in rows) == [("a", True), ("b", False)] or \
+        sorted(r.k for r in rows) == ["a", "b"]
+    assert len(rows) == 2
+
+
+def test_foreach_batch_merge_replay_safe(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    _write_batch(spark, src, [("a", "2024-01-01 10:00:00", 1.0)])
+
+    def run_stream(ckpt):
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        writer = foreach_batch_merge(stream, target, ["k"], ckpt)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "c1"))
+    assert spark.read.parquet(target).count() == 1
+
+    # new batch with one replayed key and one new key
+    _write_batch(
+        spark,
+        src,
+        [("a", "2024-01-01 10:00:00", 99.0), ("b", "2024-01-01 11:00:00", 2.0)],
+    )
+    run_stream(str(tmp_path / "c2"))  # fresh checkpoint → reprocesses ALL input
+    out = spark.read.parquet(target)
+    assert out.count() == 2  # replayed 'a' not duplicated
+    assert sorted(r.k for r in out.collect()) == ["a", "b"]
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "2024-01-01 10:05:00", 1.0),
+            ("b", "2024-01-01 10:55:00", 1.0),
+            ("c", "2024-01-01 11:05:00", 1.0),
+            ("d", "2024-01-01 13:00:00", 1.0),  # advances watermark past 11-12
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = windowed_event_counts(stream, "ts", window="1 hour", lateness="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            str(r.window_start): r.n_events
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+    # 10:00 and 11:00 windows are closed by the watermark; 13:00 still open
+    assert rows.get("2024-01-01 10:00:00") == 2
+    assert rows.get("2024-01-01 11:00:00") == 1
+    assert "2024-01-01 13:00:00" not in rows
