@@ -417,6 +417,152 @@ WHERE rn <= 2
 """
 
 
+def q_stats_per_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+D3+O2 (country_earthquake_stats_per_decade analog): 3-key groupBy
+    with decade bucketing, ordered by frequency."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 3)
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            decade_of("l_shipdate").alias("ship_decade"),
+        )
+        .agg(
+            F.count("*").alias("frequency"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+        .orderBy(F.desc("frequency"), "l_returnflag", "l_linestatus", "ship_decade")
+    )
+
+
+SQL_STATS_PER_DECADE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(floor(year(l_shipdate) / 10) AS BIGINT) * 10 AS INTEGER) AS ship_decade,
+       count(*) AS frequency,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_discount
+FROM lineitem
+WHERE l_quantity > 3
+GROUP BY 1, 2, 3
+ORDER BY frequency DESC, l_returnflag, l_linestatus, ship_decade
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (the canonical OLAP agg): 2 group keys × 8 aggregates
+    over the biggest fact table — partial+final HashAggregate, one shuffle."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large fact⋈fact equi-join (orders⋈lineitem on orderkey): the
+    shuffle-join path — both sides hash-exchange on the key; AQE picks
+    broadcast/shuffle-hash/sort-merge by observed sizes. Revenue per
+    order priority."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.round(F.sum(revenue), 6).alias("total_revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_FACT_FACT_JOIN = """
+SELECT o_orderpriority,
+       count(*) AS line_count,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join census (the how='...' variants SURVEY §2.4 notes we
+    get for free): customers with vs without orders, per market segment."""
+    _utc(spark)
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    with_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "outer")
+        .na.fill({"n_with_orders": 0, "n_without_orders": 0})
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SEMI_ANTI_JOIN = """
+WITH w AS (
+  SELECT c_mktsegment, count(*) AS n_with_orders
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+), wo AS (
+  SELECT c_mktsegment, count(*) AS n_without_orders
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY 1
+)
+SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       COALESCE(n_with_orders, 0) AS n_with_orders,
+       COALESCE(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # M3 — enrichment: spatial join, regex fallback, coalesce-fill
 # (SURVEY §2.4 R1-R3, §2.3 D9-D11)
@@ -930,6 +1076,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "high_water_mark": q_high_water_mark,
     "union_dedup": q_union_dedup,
     "top2_per_user": q_top2_per_user,
+    "stats_per_decade": q_stats_per_decade,
+    "pricing_summary": q_pricing_summary,
+    "fact_fact_join": q_fact_fact_join,
+    "semi_anti_join": q_semi_anti_join,
     "spatial_join": q_spatial_join,
     "regex_token_match": q_regex_token_match,
     "enrich_coalesce": q_enrich_coalesce,
@@ -961,6 +1111,10 @@ ORACLE: dict[str, str] = {
     "high_water_mark": SQL_HIGH_WATER_MARK,
     "union_dedup": SQL_UNION_DEDUP,
     "top2_per_user": SQL_TOP2_PER_USER,
+    "stats_per_decade": SQL_STATS_PER_DECADE,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "fact_fact_join": SQL_FACT_FACT_JOIN,
+    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
     "spatial_join": SQL_SPATIAL_JOIN,
     "regex_token_match": SQL_REGEX_TOKEN_MATCH,
     "enrich_coalesce": SQL_ENRICH_COALESCE,
