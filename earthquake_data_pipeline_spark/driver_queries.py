@@ -44,6 +44,23 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row work (hashing, regex,
+    vector math).
+
+    A file smaller than maxPartitionBytes scans as ONE partition, which
+    serializes the expensive expression chain on one core no matter how
+    many the session has. On a real cluster the scan is already wide, the
+    guard is false, and no shuffle is added — so this never becomes a
+    100-TB repartition; it only fires for small inputs where the shuffle
+    is trivially cheap.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # M0/M1 — cleaning chain, aggregates, sorts (SURVEY §2.2/2.3/2.5/2.7)
 # ---------------------------------------------------------------------------
@@ -639,7 +656,7 @@ def q_regex_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.enrichment import regex_token_join
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return regex_token_join(
         docs, "text", REGEX_TOKENS, ["doc_id"], case_insensitive=False
     ).select("doc_id", "matched_token")
@@ -710,7 +727,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import token_count
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return token_count(docs).select("doc_id", "n_ws_tokens", "n_bpe_pieces")
 
 
@@ -728,7 +745,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import quality_score
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return quality_score(docs).select(
         "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
     )
@@ -765,7 +782,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import language_id
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return language_id(docs).select("doc_id", "detected_lang", "lang_score")
 
 
@@ -798,7 +815,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dedup
     from .operators.text import fingerprint
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     fp = fingerprint(docs)
     return exact_dedup(fp, ["doc_fingerprint"], "doc_id").withColumnRenamed(
         "content_hash", "dedup_hash"
@@ -824,22 +841,25 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.fuzzy_dedup import minhash_lsh_pairs
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return minhash_lsh_pairs(
         docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
 
 def _minhash_sql() -> str:
+    from .operators.fuzzy_dedup import MINHASH_PRIME, minhash_coeffs
+
+    a, b = minhash_coeffs(MINHASH_SEEDS)
     mins = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5('s{s}:' || s))) AS h{s}"
+        f"list_min(list_transform(xs, x -> ({a[s]} * x + {b[s]}) % {MINHASH_PRIME})) AS h{s}"
         for s in range(MINHASH_SEEDS)
     )
     rows = MINHASH_SEEDS // LSH_BANDS
     bands = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM mh".format(
             b=b,
-            key=" || '|' || ".join(f"h{b * rows + r}" for r in range(rows)),
+            key=" || '|' || ".join(f"h{b * rows + r}::VARCHAR" for r in range(rows)),
         )
         for b in range(LSH_BANDS)
     )
@@ -853,10 +873,15 @@ WITH toks AS (
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
               ELSE [] END AS sh
   FROM toks
+), xs AS (
+  SELECT doc_id,
+         list_transform(sh, g ->
+             ('0x' || substring(md5(g), 1, 15))::BIGINT % {MINHASH_PRIME}) AS xs
+  FROM sh
 ), mh AS (
   SELECT doc_id,
          {mins}
-  FROM sh
+  FROM xs
 ), bands AS (
 {bands}
 )
@@ -875,7 +900,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.fuzzy_dedup import simhash
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     return simhash(docs)
 
 
@@ -940,7 +965,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.similarity import cosine_topk
 
-    emb = _table(spark, sf_dir, "embeddings")
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, k=10)
 
@@ -970,7 +995,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.similarity import embedding_near_dup_pairs
 
-    emb = _table(spark, sf_dir, "embeddings")
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
@@ -991,7 +1016,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.similarity import lsh_bucket_topk
 
-    emb = _table(spark, sf_dir, "embeddings")
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(emb, queries, k=10, num_planes=6)
 
@@ -1003,7 +1028,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.multimodal import extract_features
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),

@@ -40,17 +40,38 @@ def shingles_of(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(items: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature: for seed s, min over items of md5('s{s}:' || item).
+# Affine MinHash family over the prime field p = 2^31 - 1:
+#   h_s(x) = (A[s] * x + B[s]) mod p,  x = md5(shingle) truncated to [0, p).
+# One md5 per shingle total; the per-seed work is two int64 ops inside
+# codegen (vs. one md5 + concat per seed in the naive form — ~8× less
+# hashing). A[s] in [1, p) keeps h_s a permutation; A[s]*x < 2^62 so the
+# arithmetic is overflow-free in both Spark and DuckDB int64.
+MINHASH_PRIME = 2_147_483_647
 
-    Hex-string minima are a valid MinHash family (md5 is a uniform permutation
-    surrogate; lexicographic min over hex = numeric min over the 128-bit
-    value). Engine-neutral: DuckDB computes the identical strings.
-    """
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic LCG-derived (A, B) coefficient lists, A[s] != 0."""
+    a = [(1_103_515_245 * (s + 1) + 12_345) % MINHASH_PRIME or 1 for s in range(num_hashes)]
+    b = [(69_069 * (s + 1) + 1) % MINHASH_PRIME for s in range(num_hashes)]
+    return a, b
+
+
+def minhash_base(item: Column | str) -> Column:
+    """x = first 60 bits of md5(item) reduced mod p — the shared hash input."""
+    return (
+        F.conv(F.substring(F.md5(item), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+
+
+def minhash_signature(items: Column, num_hashes: int = 12) -> Column:
+    """MinHash signature as array<long>: min over items of (A*x+B) mod p."""
+    a, b = minhash_coeffs(num_hashes)
+    x = F.transform(items, minhash_base)
     return F.array(
         *[
             F.array_min(
-                F.transform(items, lambda t, s=s: F.md5(F.concat(F.lit(f"s{s}:"), t)))
+                F.transform(x, lambda v, s=s: (F.lit(a[s]) * v + F.lit(b[s])) % MINHASH_PRIME)
             )
             for s in range(num_hashes)
         ]
@@ -84,24 +105,24 @@ def minhash_lsh_pairs(
     shuffle-bounded, skew handled by AQE; never a cross join.
     """
     rows_per_band = num_hashes // num_bands
-    # One shingling pass (explode), then 12 md5s per shingle and a map-side
-    # partial min aggregation. The naive form — an array expression
-    # referencing shingles_of() twelve times — recomputes tokenization per
-    # seed (Catalyst does not CSE higher-order functions): 14× slower at
-    # sf0.1. Docs shorter than one shingle drop out of the explode, which
-    # matches the oracle (their NULL minhashes can never band-match).
+    # One shingling pass (explode), ONE md5 per shingle (the shared base
+    # hash x), then per-seed affine maps — pure int64 codegen — under a
+    # map-side partial min aggregation. The naive form — an array
+    # expression referencing shingles_of() per seed — recomputes
+    # tokenization per seed (Catalyst does not CSE higher-order
+    # functions): 14× slower at sf0.1. Docs shorter than one shingle drop
+    # out of the explode, which matches the oracle (their NULL minhashes
+    # can never band-match).
+    a, b = minhash_coeffs(num_hashes)
     exploded = df.select(
         F.col(id_col), F.explode(shingles_of(text_col, shingle_n)).alias("shingle")
     )
-    hashed = exploded.select(
-        id_col,
-        *[
-            F.md5(F.concat(F.lit(f"s{s}:"), F.col("shingle"))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ],
-    )
+    hashed = exploded.select(id_col, minhash_base("shingle").alias("x"))
     sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+        *[
+            F.min((F.lit(a[s]) * F.col("x") + F.lit(b[s])) % MINHASH_PRIME).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
     )
     band_cols = [
         F.md5(
