@@ -27,38 +27,7 @@ from .operators.dedup import dedup_keep_any
 from .operators.merge import anti_join_merge, high_water_mark_filter
 
 
-def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and convert (floor to
-        # micros — exactly DuckDB's nanos→micros truncation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def _utc(spark: SparkSession) -> None:
-    # The driver owns the SparkSession; pin UTC at runtime so parquet
-    # timestamps collate identically to DuckDB's UTC-naive timestamps.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-
-
-def _fanout(df: DataFrame) -> DataFrame:
-    """Widen a narrow scan before CPU-heavy per-row work (hashing, regex,
-    vector math).
-
-    A file smaller than maxPartitionBytes scans as ONE partition, which
-    serializes the expensive expression chain on one core no matter how
-    many the session has. On a real cluster the scan is already wide, the
-    guard is false, and no shuffle is added — so this never becomes a
-    100-TB repartition; it only fires for small inputs where the shuffle
-    is trivially cheap.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .qcommon import _fanout, _table, _utc  # noqa: F401  (re-exported)
 
 
 # ---------------------------------------------------------------------------
@@ -1155,3 +1124,9 @@ ORACLE: dict[str, str] = {
     # ann_lsh: recall<1 by design → rows-only check (no oracle)
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
+
+
+from .driver_queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLE.update(ORACLE_EXT)

@@ -1,0 +1,475 @@
+"""Extended analytics catalog: capabilities beyond the reference's literal
+surface that any engine replacing it must offer (SURVEY §2.4/2.5/2.8 notes
+the reference gets these "for free" from BigQuery/Spark — here each one is
+a first-class, oracle-checked operator).
+
+Covers: ROLLUP/CUBE multi-level aggregates, pivot, window frames
+(running/moving/lag/lead), sessionization (gap-based), distinct
+aggregates, exact percentiles, as-of join (scalable union-sort
+formulation, not a range-join explosion), set operations, and JSON
+extraction (the ingest-boundary op from SURVEY §2.3).
+
+Scale notes are per-query docstrings; everything is pure Column
+expressions inside whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .qcommon import _table, _utc
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): hierarchy totals in one pass.
+
+    Spark expands grouping sets inside a single shuffle (Expand + one
+    HashAggregate pair) — no N-pass union of group-bys at 100 TB.
+    """
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+SQL_ROLLUP_AGG = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_items,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority): all 4 grouping sets, one
+    shuffle (Expand multiplies rows map-side; partial agg collapses them
+    before the exchange)."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            # exact decimal sum: money magnitudes (1e8+) make float sums
+            # order-sensitive past 6 dp; decimal is engine-neutral exact
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+"""
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order priority into columns per status. Values are DECLARED
+    (no discovery pass over the data — at 100 TB an implicit pivot would
+    scan once just to learn the column set)."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renamed = piv.select(
+        F.col("o_orderstatus").alias("status"),
+        *[
+            F.col(f"`{p}`").alias(f"p{i + 1}")
+            for i, p in enumerate(PRIORITIES)
+        ],
+    )
+    return renamed.orderBy("status")
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderstatus AS status,
+       count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+       count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window frames, sessionization (SURVEY §2.6 "full Window API" claim)
+# ---------------------------------------------------------------------------
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running/moving/lag analytics per customer order history: running
+    total (unbounded→current), 3-row moving average, lag, row_number.
+
+    One hash exchange on o_custkey + per-partition sort; all four
+    functions share a single Window spec, so Spark plans ONE sort.
+    """
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(running), 6).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(moving), 6).alias("moving_avg3"),
+        # coalesce the leading-edge null: keeps the output column NOT NULL
+        # so engine-neutral value hashing never compares NaN
+        F.coalesce(F.round(F.lag("o_totalprice", 1).over(w), 6), F.lit(-1.0)).alias(
+            "prev_price"
+        ),
+        F.row_number().over(w).alias("order_seq"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w_run, 6) AS running_total,
+       round(avg(o_totalprice) OVER w_mov, 6) AS moving_avg3,
+       COALESCE(round(lag(o_totalprice, 1) OVER w_ord, 6), -1.0) AS prev_price,
+       CAST(row_number() OVER w_ord AS INTEGER) AS order_seq
+FROM orders
+WHERE o_custkey < 100
+WINDOW
+  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, order_seq
+"""
+
+
+SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream: a new session starts
+    after >1h of inactivity per user. lag → boundary flag → running sum =
+    session id; then one agg per (user, session).
+
+    Batch form of a session window: one exchange on user_id, one sort.
+    The streaming face is F.session_window (see streaming/); semantics
+    here are identical for completed sessions.
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    t_us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = (
+        F.when(
+            (t_us - F.lag(t_us, 1).over(w)) > SESSION_GAP_US, 1
+        )
+        .otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(boundary).over(run).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       round(sum(value), 6) AS session_value
+FROM sess
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate variants: distinct, exact percentiles (SURVEY §2.5 "absent" set)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) alongside plain aggregates — Spark plans the
+    two-phase Expand/agg rewrite; distinct cardinality per group never
+    materializes the distinct set on one node."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+            # exact decimal sum (see q_cube_agg note)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) + stddev per group.
+
+    F.percentile is the exact sort-based aggregate (matches SQL
+    percentile_cont / DuckDB quantile_cont); the approx_percentile
+    variant is the 100-TB scale path when exactness can be traded.
+    """
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+            F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_PERCENTILE_STATS = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join, set ops, JSON extraction
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at
+    or before the event time.
+
+    Scalable union-sort formulation: tag both streams, ONE hash exchange
+    on the key, ONE sort on (t, side), then last(order, ignorenulls) over
+    the running frame — cost O((n+m) log) per key with no range-join
+    pair explosion (a naive t1<=t2 join is quadratic in keys' row
+    counts). Orders are pre-deduped to max orderkey per (key, date) to
+    make the pick deterministic.
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    orders = _table(spark, sf_dir, "orders")
+    od = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("okey")
+    )
+    o_side = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("okey"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    e_side = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("k")
+        # at equal t the order row sorts first → `>=` (inclusive) as-of
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o_side.unionByName(e_side).withColumn(
+        "asof_orderkey", F.last("okey", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select("event_id", "asof_orderkey")
+        .orderBy("event_id")
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS asof_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, od.asof_orderkey
+FROM events e
+ASOF LEFT JOIN od
+  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT census: customers who placed orders under both
+    'F' and 'O' status, only 'F', only 'O'. Set ops plan as aggregates +
+    joins — no driver-side sets."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_cust.intersect(o_cust).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    f_only = f_cust.exceptAll(o_cust).agg(F.count("*").alias("n")).select(
+        F.lit("f_only").alias("cohort"), "n"
+    )
+    o_only = o_cust.exceptAll(f_cust).agg(F.count("*").alias("n")).select(
+        F.lit("o_only").alias("cohort"), "n"
+    )
+    return both.unionByName(f_only).unionByName(o_only).orderBy("cohort")
+
+
+SQL_SET_OPS = """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'both' AS cohort, count(*) AS n FROM (SELECT * FROM f INTERSECT SELECT * FROM o)
+UNION ALL
+SELECT 'f_only', count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+UNION ALL
+SELECT 'o_only', count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+ORDER BY cohort
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON navigation at the ingest boundary (SURVEY §2.3 tail): extract
+    a typed field from the raw props JSON string, aggregate on it — the
+    idiomatic restatement of the reference's per-row dict walking
+    (extract_historical.py:88-108)."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k_value"), "value")
+        .groupBy("k_value")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("k_value")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(props->>'k' AS BIGINT) AS k_value,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    "pivot_status": q_pivot_status,
+    "window_running": q_window_running,
+    "sessionization": q_sessionization,
+    "distinct_agg": q_distinct_agg,
+    "percentile_stats": q_percentile_stats,
+    "asof_join": q_asof_join,
+    "set_ops": q_set_ops,
+    "json_extract": q_json_extract,
+}
+
+ORACLE_EXT: dict[str, str] = {
+    "rollup_agg": SQL_ROLLUP_AGG,
+    "cube_agg": SQL_CUBE_AGG,
+    "pivot_status": SQL_PIVOT_STATUS,
+    "window_running": SQL_WINDOW_RUNNING,
+    "sessionization": SQL_SESSIONIZATION,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "percentile_stats": SQL_PERCENTILE_STATS,
+    "asof_join": SQL_ASOF_JOIN,
+    "set_ops": SQL_SET_OPS,
+    "json_extract": SQL_JSON_EXTRACT,
+}

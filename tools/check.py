@@ -37,7 +37,8 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
         vals = []
         for v in row:
             if isinstance(v, float):
-                vals.append(round(v, 9))
+                # NaN != NaN would flag aligned nulls as a mismatch
+                vals.append(None if v != v else round(v, 9))
             else:
                 vals.append(v)
         out.append(tuple(vals))
