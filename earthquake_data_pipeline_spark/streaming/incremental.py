@@ -78,6 +78,75 @@ def foreach_batch_merge(
     )
 
 
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    lateness: str = "1 hour",
+    group_cols: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows (streaming face of the batch
+    sessionization in driver_queries_ext.q_sessionization).
+
+    ``F.session_window`` keeps per-key open-session state; a session
+    closes when no event arrives within ``gap``, and the watermark both
+    bounds late arrivals and lets closed sessions emit in append mode.
+    State is O(open sessions), pruned by the watermark — never O(history).
+    """
+    aggs = [F.count("*").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("session_value"))
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+            *(["session_value"] if value_col is not None else []),
+        )
+    )
+
+
+def running_user_totals(
+    stream: DataFrame, key_col: str = "k", value_col: str = "v"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    (count, sum) emitted on every update — the arbitrary-state API for
+    semantics the built-in stateful operators can't express.
+
+    State is one (long, double) pair per key, partitioned across executors
+    by the group-by hash; each micro-batch touches only the keys present
+    in it (Arrow-batched, not row-at-a-time).
+    """
+    import pandas as pd  # local import: only the workers need it at run time
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str,

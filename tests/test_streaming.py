@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from earthquake_data_pipeline_spark.streaming.incremental import (
     foreach_batch_merge,
+    running_user_totals,
+    session_window_agg,
     streaming_dedup,
     windowed_event_counts,
 )
@@ -110,3 +112,75 @@ def test_windowed_event_counts(spark, tmp_path):
     assert rows.get("2024-01-01 10:00:00") == 2
     assert rows.get("2024-01-01 11:00:00") == 1
     assert "2024-01-01 13:00:00" not in rows
+
+
+def test_session_window_agg(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-01 10:10:00", 2.0),  # same session (gap 30m)
+            ("a", "2024-01-01 12:00:00", 3.0),  # new session after >30m gap
+            ("b", "2024-01-01 10:00:00", 4.0),
+            ("a", "2024-01-01 15:00:00", 0.0),  # advances watermark, closes all
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = session_window_agg(
+        stream, "ts", gap="30 minutes", lateness="10 minutes",
+        group_cols=("k",), value_col="v",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r.k, str(r.session_start)): (r.n_events, r.session_value)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    # first 'a' session merges 10:00+10:10; second is 12:00; 15:00 still open
+    assert rows[("a", "2024-01-01 10:00:00")] == (2, 3.0)
+    assert rows[("a", "2024-01-01 12:00:00")] == (1, 3.0)
+    assert rows[("b", "2024-01-01 10:00:00")] == (1, 4.0)
+    assert ("a", "2024-01-01 15:00:00") not in rows
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [("a", "2024-01-01 10:00:00", 1.0), ("a", "2024-01-01 10:01:00", 2.0),
+         ("b", "2024-01-01 10:00:00", 5.0)],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch exercises state carry-over across micro-batches
+        _write_batch(spark, src, [("a", "2024-01-01 10:02:00", 4.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM totals_out").collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:  # memory sink in update mode appends; last write wins
+        latest[r.k] = (r.n_events, r.total_value)
+    assert latest["a"] == (3, 7.0)
+    assert latest["b"] == (1, 5.0)
