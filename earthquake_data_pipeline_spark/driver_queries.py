@@ -990,6 +990,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=10, num_planes=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via IVF cells (sample-trained spherical
+    k-means, map-only GEMM assignment, nprobe cell probing) — the second
+    ANN scale path (rows-only check: recall < 1 by design)."""
+    _utc(spark)
+    from .operators.similarity import ivf_topk
+
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text→binary payload → Arrow-batched
     mapInPandas decode-stub → (byte_len, content_hash). The oracle checks
@@ -1087,6 +1099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "usgs_pipeline": q_usgs_pipeline,
 }

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .qcommon import _table, _utc
+from .qcommon import _fanout, _table, _utc
 
 # ---------------------------------------------------------------------------
 # Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
@@ -425,7 +425,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiomatic restatement of the reference's per-row dict walking
     (extract_historical.py:88-108)."""
     _utc(spark)
-    ev = _table(spark, sf_dir, "events")
+    ev = _fanout(_table(spark, sf_dir, "events").select("props", "value"))
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         ev.select(k.alias("k_value"), "value")

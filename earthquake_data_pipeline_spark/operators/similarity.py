@@ -152,6 +152,103 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_iters: int = 2,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning — the
+    second scale path next to lsh_bucket_topk.
+
+    Train: spherical k-means on a bounded, deterministic sample
+    (orderBy(id).limit(n)) driver-side — IVF training is always
+    sample-based; the sample never exceeds ``sample_size`` rows.
+    Assign: broadcast the centroid matrix; one map-only numpy GEMM tags
+    every corpus row with its nearest-centroid cell (no shuffle).
+    Probe: each query fans out to its ``nprobe`` nearest cells; the
+    candidate set is an equi-join on cell id; exact cosine re-rank on
+    candidates only. With nprobe == n_centroids this degrades gracefully
+    to exact brute force (the property the tests pin).
+
+    At 100 TB: cells give ~corpus/n_centroids × nprobe candidates per
+    query; the cell tag can be persisted as a partition column so probes
+    prune at the parquet-scan level.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
+    cent = Xn[:n_centroids].copy()  # deterministic init: first rows
+    for _ in range(train_iters):
+        assign = (Xn @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def tag(df: DataFrame, out_id: str, vec_out: str, probes: int) -> DataFrame:
+        schema = T.StructType(
+            [
+                T.StructField(out_id, T.LongType(), False),
+                T.StructField(vec_out, df.schema[vec_col].dataType, False),
+                T.StructField("cell", T.IntegerType(), False),
+            ]
+        )
+
+        def fn(batches):
+            import pandas as pd
+
+            C = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+                sims = (mat / norms[:, None]) @ C.T
+                # top-`probes` cells per row, emitted as one row per probe
+                order = np.argsort(-sims, axis=1)[:, :probes]
+                n, p = order.shape
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf[id_col].to_numpy(np.int64).repeat(p),
+                        vec_out: [v for v in pdf[vec_col] for _ in range(p)],
+                        "cell": order.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+    c = tag(corpus, "neighbor_id", "c_vec", 1)
+    q = tag(queries, "query_id", "q_vec", nprobe)
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -20,6 +20,7 @@ from earthquake_data_pipeline_spark.operators.multimodal import (
 from earthquake_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from earthquake_data_pipeline_spark.operators.text import (
@@ -173,3 +174,33 @@ def test_frame_sample_rows(spark, docs):
     frames = frame_sample(media, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000]
     assert all(len(bytes(r.frame_bytes)) == 16 for r in frames)
+
+
+def test_ivf_topk_subset_and_full_probe_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    exact_full = {
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in cosine_topk(df, q, k=60).collect()
+    }
+    # nprobe < n_centroids: every hit is a true pair with the exact score
+    approx = ivf_topk(df, q, k=10, n_centroids=8, nprobe=2).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert (r.query_id, r.neighbor_id, r.cosine_sim) in exact_full
+    # nprobe == n_centroids degrades to exact brute force
+    exact_top = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in cosine_topk(df, q, k=10).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in ivf_topk(df, q, k=10, n_centroids=8, nprobe=8).collect()
+    }
+    assert full == exact_top
