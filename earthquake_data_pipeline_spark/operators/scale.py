@@ -1,0 +1,88 @@
+"""Scale primitives: skew-salted joins and bucketed (co-located) tables.
+
+AQE's skew-join splitting (on by default, session.py) handles moderate
+skew at runtime; these are the explicit tools for the cases AQE can't
+fix:
+
+- ``salted_join`` — a single hot key whose matching rows exceed one
+  executor's memory even after AQE splits (AQE splits the skewed side's
+  partitions but every split still joins against the FULL matching build
+  rows). Salting spreads the hot key across ``salt_factor`` reducers by
+  construction.
+- ``write_bucketed`` / ``bucketed_join_ready`` — repeated large⋈large
+  joins on a stable key: pay the shuffle once at write time, then every
+  subsequent join is exchange-free (Spark's bucketing metadata satisfies
+  the join's distribution requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_factor: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join with deterministic key salting for skewed left sides.
+
+    The left (skewed, large) side gets a salt in [0, salt_factor) derived
+    from ``salt_source`` (a high-cardinality left column; defaults to all
+    non-key columns) — deterministic, so retried tasks salt identically
+    (F.rand() would break replay/speculative execution). The right side
+    is replicated once per salt value via an exploded literal array —
+    rows × salt_factor, acceptable when right is the smaller side of a
+    shuffle join. Join keys become (keys..., salt); result columns equal
+    a plain join's.
+
+    At 100 TB: a key holding 10% of rows caps one reducer at rows/10; the
+    salt spreads it to rows/(10·salt_factor) with zero semantic change
+    for equi-joins (each left row meets each matching right row exactly
+    once — on one specific salt).
+    """
+    keys = list(on)
+    if salt_source is not None:
+        salt_expr = F.pmod(F.xxhash64(salt_source), F.lit(salt_factor))
+    else:
+        non_key = [c for c in left.columns if c not in keys]
+        salt_expr = F.pmod(
+            F.xxhash64(*(non_key or keys)), F.lit(salt_factor)
+        )
+    lsalted = left.withColumn("__salt", salt_expr.cast("int"))
+    rsalted = right.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_factor)])),
+    )
+    return lsalted.join(rsalted, keys + ["__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    num_buckets: int = 32,
+    sort_keys: Sequence[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sort-bucketed) table: one
+    shuffle now, exchange-free joins/aggregations on ``keys`` forever
+    after. Sorted buckets additionally remove the join-time Sort."""
+    writer = df.write.bucketBy(num_buckets, *keys)
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.mode("overwrite").saveAsTable(table)
+
+
+def bucketed_join_ready(
+    spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket keys — Catalyst sees
+    both sides' bucketing satisfies the required hash distribution and
+    plans the join with NO Exchange (verified in tests)."""
+    return spark.table(left_table).join(spark.table(right_table), list(on))
