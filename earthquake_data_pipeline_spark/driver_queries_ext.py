@@ -448,6 +448,87 @@ ORDER BY 1
 """
 
 
+VALUE_BANDS = [
+    ("tiny", 0.0, 10.0),
+    ("small", 10.0, 35.0),
+    ("medium", 35.0, 80.0),
+    ("large", 80.0, 200.0),
+]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events banded by value against an irregular
+    interval dimension ([lo, hi) bands — no closed form for width_bucket).
+
+    The band table is broadcast (intervals are always dimension-sized);
+    Spark plans BroadcastNestedLoopJoin with the range predicate pushed
+    into the join condition — per-row work is |bands| comparisons, zero
+    shuffle before the final count agg. Uniform intervals would skip the
+    join entirely via arithmetic binning.
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, ["band", "lo", "hi"])
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 35.0),
+         ('medium', 35.0, 80.0), ('large', 80.0, 200.0)
+)
+SELECT band, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: three lineitem measures into (measure, value) rows,
+    then one aggregate over the long form. Spark's unpivot is a zero-copy
+    Expand (rows × measures map-side) — no shuffle until the agg."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT l_returnflag, measure, round(avg(val), 6) AS avg_val
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -459,6 +540,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "set_ops": q_set_ops,
     "json_extract": q_json_extract,
+    "range_join": q_range_join,
+    "unpivot_measures": q_unpivot_measures,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -472,4 +555,6 @@ ORACLE_EXT: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "set_ops": SQL_SET_OPS,
     "json_extract": SQL_JSON_EXTRACT,
+    "range_join": SQL_RANGE_JOIN,
+    "unpivot_measures": SQL_UNPIVOT_MEASURES,
 }
