@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from datetime import date, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from ..schemas import RAW_EVENT_SCHEMA
@@ -292,3 +294,61 @@ def fetch_to_dataframe(
             if row is not None:
                 rows.append(row)
     return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Distributed flattening: the idiomatic F.from_json form of S1
+# (SURVEY §2.3 tail — the only place nested types appear in the engine)
+# --------------------------------------------------------------------------
+
+GEOJSON_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "properties",
+            T.StructType(
+                [
+                    T.StructField("place", T.StringType()),
+                    T.StructField("time", T.LongType()),
+                    T.StructField("mag", T.DoubleType()),
+                    T.StructField("alert", T.StringType()),
+                    T.StructField("tsunami", T.IntegerType()),
+                    T.StructField("tz", T.IntegerType()),
+                    T.StructField("type", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "geometry",
+            T.StructType(
+                [T.StructField("coordinates", T.ArrayType(T.DoubleType()))]
+            ),
+        ),
+    ]
+)
+
+
+def flatten_geojson(df: DataFrame, json_col: str = "feature_json") -> DataFrame:
+    """Distributed GeoJSON flattening: a column of raw feature JSON strings
+    → RAW_EVENT_SCHEMA columns, entirely via F.from_json + struct field
+    access (JVM-side, codegen) — the idiomatic Spark restatement of the
+    reference's per-row dict walking (extract_historical.py:88-108).
+
+    Malformed JSON → from_json yields null struct → all-null row, the
+    declarative analog of the reference's log-and-skip. Use this when
+    features arrive as text (files/Kafka); the DataSource reader flattens
+    driver-side because it already holds parsed dicts at the HTTP boundary.
+    """
+    f = F.from_json(F.col(json_col), GEOJSON_FEATURE_SCHEMA)
+    coords = f["geometry"]["coordinates"]
+    return df.select(
+        f["properties"]["place"].alias("place"),
+        f["properties"]["time"].alias("time"),
+        f["properties"]["mag"].alias("magnitude"),
+        coords[1].alias("latitude"),
+        coords[0].alias("longitude"),
+        coords[2].alias("depth"),
+        f["properties"]["alert"].alias("alert"),
+        f["properties"]["tsunami"].alias("tsunami"),
+        f["properties"]["tz"].alias("tz"),
+        f["properties"]["type"].alias("type"),
+    )

@@ -147,6 +147,37 @@ def running_user_totals(
     )
 
 
+def interval_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows within
+    [left_ts, left_ts + max_delay] of a matching key.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — together they let Spark evict buffered rows once no future
+    match is possible, so per-side state is O(rows within
+    lateness + max_delay), never O(stream history). Without the time
+    bound a stream-stream join must buffer forever.
+    """
+    lw = left.withWatermark(left_ts, lateness).alias("l")
+    rw = right.withWatermark(right_ts, lateness).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from earthquake_data_pipeline_spark.streaming.incremental import (
     foreach_batch_merge,
+    interval_stream_join,
     running_user_totals,
     session_window_agg,
     streaming_dedup,
@@ -184,3 +185,70 @@ def test_running_user_totals_stateful(spark, tmp_path):
         latest[r.k] = (r.n_events, r.total_value)
     assert latest["a"] == (3, 7.0)
     assert latest["b"] == (1, 5.0)
+
+
+def test_interval_stream_join(spark, tmp_path):
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    _write_batch(
+        spark, lsrc,
+        [("u1", "2024-01-01 10:00:00", 1.0), ("u2", "2024-01-01 11:00:00", 2.0)],
+    )
+    _write_batch(
+        spark, rsrc,
+        [
+            ("u1", "2024-01-01 10:05:00", 10.0),  # within 10m of u1's event
+            ("u1", "2024-01-01 10:30:00", 20.0),  # outside the bound
+            ("u2", "2024-01-01 10:59:00", 30.0),  # BEFORE left ts → no match
+        ],
+    )
+    left = spark.readStream.schema(EVENTS_SCHEMA).parquet(lsrc)
+    right = (
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(rsrc)
+        .withColumnRenamed("ts", "rts").withColumnRenamed("v", "rv")
+    )
+    joined = interval_stream_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", max_delay="10 minutes"
+    ).select(F.col("l.k").alias("k"), "v", "rv")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {(r.k, r.v, r.rv) for r in spark.sql("SELECT * FROM ssj_out").collect()}
+    finally:
+        q.stop()
+    assert rows == {("u1", 1.0, 10.0)}
+
+
+def test_flatten_geojson_from_json(spark):
+    import json as _json
+
+    from earthquake_data_pipeline_spark.sources.usgs import flatten_geojson
+
+    good = _json.dumps(
+        {
+            "properties": {
+                "place": "10 km SE of Somewhere",
+                "time": 1700000000000,
+                "mag": 5.5,
+                "alert": "green",
+                "tsunami": 0,
+                "tz": None,
+                "type": "earthquake",
+            },
+            "geometry": {"coordinates": [140.5, 35.2, 10.0]},
+        }
+    )
+    bad = "{not valid json"
+    df = spark.createDataFrame([(good,), (bad,)], ["feature_json"])
+    rows = flatten_geojson(df).collect()
+    assert len(rows) == 2
+    ok = next(r for r in rows if r.place is not None)
+    assert (ok.magnitude, ok.latitude, ok.longitude, ok.depth) == (5.5, 35.2, 140.5, 10.0)
+    assert ok.time == 1700000000000 and ok.type == "earthquake"
+    nul = next(r for r in rows if r.place is None)
+    assert nul.magnitude is None and nul.latitude is None
