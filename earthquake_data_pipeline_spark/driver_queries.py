@@ -1002,6 +1002,37 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vector mean per label (class centroids): posexplode the
+    embedding array → one hash agg on (label, component). Long-form output
+    (label, pos, avg_comp) — engine-neutral, no array-representation
+    ambiguity in the value hash. The shuffle carries (label × dim) partial
+    sums, not vectors × rows — scan-bound at any corpus size."""
+    _utc(spark)
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "comp")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("comp").cast("double")), 6).alias("avg_comp"))
+        .orderBy("label", "pos")
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       round(avg(CAST(comp AS DOUBLE)), 6) AS avg_comp
+FROM (
+  SELECT label, unnest(embedding) AS comp,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text→binary payload → Arrow-batched
     mapInPandas decode-stub → (byte_len, content_hash). The oracle checks
@@ -1100,6 +1131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "label_centroids": q_label_centroids,
     "multimodal_features": q_multimodal_features,
     "usgs_pipeline": q_usgs_pipeline,
 }
@@ -1134,7 +1166,8 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # ann_lsh: recall<1 by design → rows-only check (no oracle)
+    # ann_lsh/ann_ivf: recall<1 by design → rows-only check (no oracle)
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 

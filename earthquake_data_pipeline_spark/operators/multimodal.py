@@ -156,3 +156,51 @@ def frame_sample(
     return media.select("media_id", "payload", "duration_ms").mapInPandas(
         fn, out_schema
     )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, decode: str = "fake"
+) -> DataFrame:
+    """Resize stage: payload → resized payload + recorded target dims.
+
+    decode='fake' re-hashes the payload with the target geometry so the
+    output bytes are deterministic and dimension-dependent (pipeline
+    plumbing is real: binary in → binary out, metadata columns updated);
+    decode='real' is the PIL.Image.resize integration point.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                if payload is None:
+                    payloads.append(None)
+                    continue
+                if decode == "real":
+                    raise NotImplementedError(
+                        "image resize requires PIL — wire Image.resize here"
+                    )
+                raw = bytes(payload)
+                tag = f":{target_w}x{target_h}".encode()
+                payloads.append(hashlib.md5(raw + tag).digest() + raw[:16])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(fn, out_schema)

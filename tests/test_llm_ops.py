@@ -204,3 +204,21 @@ def test_ivf_topk_subset_and_full_probe_exact(spark):
         for r in ivf_topk(df, q, k=10, n_centroids=8, nprobe=8).collect()
     }
     assert full == exact_top
+
+
+def test_resize_images_stub(spark):
+    from earthquake_data_pipeline_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame([(1, "hello"), (2, None)], ["doc_id", "text"])
+    media = attach_binary_payload(docs, "text")
+    out = resize_images(media, target_w=64, target_h=32).collect()
+    assert len(out) == 2
+    with_payload = [r for r in out if r.payload is not None]
+    assert len(with_payload) == 1
+    r = with_payload[0]
+    assert (r.width, r.height) == (64, 32)
+    # deterministic: same input + geometry → same bytes
+    again = resize_images(media, target_w=64, target_h=32).collect()
+    assert sorted(bytes(x.payload) for x in again if x.payload) == sorted(
+        bytes(x.payload) for x in with_payload
+    )
