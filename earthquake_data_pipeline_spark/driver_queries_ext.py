@@ -297,14 +297,25 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is the 100-TB scale path when exactness can be traded.
     """
     _utc(spark)
-    li = _table(spark, sf_dir, "lineitem")
+    # fanout: exact percentile buffers values per partition; more
+    # partitions → smaller partial buffers and parallel partial sorts
+    li = _fanout(_table(spark, sf_dir, "lineitem"))
+    # one-pass array-percentile: a single sort of l_quantity per group
+    # serves both quantiles (two scalar calls would sort twice)
+    qty_pcts = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
-            F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+            qty_pcts.alias("qp"),
             F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
             F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("qp")[0], 6).alias("median_qty"),
+            F.round(F.col("qp")[1], 6).alias("p90_qty"),
+            "sd_qty",
+            "median_price",
         )
         .orderBy("l_returnflag")
     )
