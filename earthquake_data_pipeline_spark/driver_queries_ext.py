@@ -540,6 +540,77 @@ ORDER BY 1, 2
 """
 
 
+def q_null_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null census over events (the reference's notebook validation —
+    df.isnull().sum() before/after enrichment — as a first-class
+    operator). One aggregate row expanded to long form: a single scan,
+    counts for every column at once."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    wide = ev.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(c)
+            for c in cols
+        ],
+    )
+    long = wide.unpivot(
+        ids=["_total"],
+        values=cols,
+        variableColumnName="column_name",
+        valueColumnName="n_nulls",
+    )
+    return long.select(
+        "column_name", "n_nulls", F.col("_total").alias("n_rows")
+    ).orderBy("column_name")
+
+
+SQL_NULL_CENSUS = """
+WITH t AS (SELECT count(*) AS n_rows FROM events)
+SELECT col AS column_name, n_nulls, n_rows
+FROM (
+  SELECT 'event_id' AS col, count(*) FILTER (event_id IS NULL) AS n_nulls FROM events
+  UNION ALL SELECT 'ts', count(*) FILTER (ts IS NULL) FROM events
+  UNION ALL SELECT 'user_id', count(*) FILTER (user_id IS NULL) FROM events
+  UNION ALL SELECT 'event_type', count(*) FILTER (event_type IS NULL) FROM events
+  UNION ALL SELECT 'value', count(*) FILTER (value IS NULL) FROM events
+  UNION ALL SELECT 'props', count(*) FILTER (props IS NULL) FROM events
+), t
+ORDER BY column_name
+"""
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance of quantity vs discount — single-pass streaming moments
+    (partial+final, no sort, no second scan)."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+                "covar_qp"
+            ),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_CORR_STATS = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_discount), 6) AS corr_qd,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+       round(var_samp(l_quantity), 6) AS var_qty
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -553,6 +624,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "range_join": q_range_join,
     "unpivot_measures": q_unpivot_measures,
+    "null_census": q_null_census,
+    "corr_stats": q_corr_stats,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -568,4 +641,6 @@ ORACLE_EXT: dict[str, str] = {
     "json_extract": SQL_JSON_EXTRACT,
     "range_join": SQL_RANGE_JOIN,
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
+    "null_census": SQL_NULL_CENSUS,
+    "corr_stats": SQL_CORR_STATS,
 }
