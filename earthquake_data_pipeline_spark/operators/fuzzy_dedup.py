@@ -143,18 +143,30 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Bucket-side pair expansion instead of a self-join: a self-join would
+    # evaluate the whole scan→shingle→sig subtree TWICE (Catalyst reuses
+    # exchanges, not arbitrary subtrees) — measured 2× the query cost.
+    # One groupBy per (band, key) collects the bucket's sorted ids; pairs
+    # are the in-array (i<j) combinations via higher-order functions.
+    # Bucket sizes are bounded by LSH design (bands/rows trade-off), the
+    # same bound that keeps the self-join from exploding.
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
