@@ -1002,6 +1002,69 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end as ONE lazy plan: quality
+    scoring → threshold + length filters → exact dedup (min-id survivor
+    per fingerprint) → per-source corpus stats.
+
+    Composition stays a single Catalyst plan: one scan feeds scoring and
+    fingerprinting (both pure expressions); the only shuffles are the
+    dedup groupBy and the final stats groupBy. The near-dup stage
+    (minhash_lsh) plugs in between dedup and stats in production — kept
+    out here so the oracle stays exact."""
+    _utc(spark)
+    from .operators.text import fingerprint, quality_score
+
+    docs = _fanout(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    scored = fingerprint(quality_score(docs))
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5)
+    )
+    survivors = kept.groupBy("doc_fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    curated = kept.join(survivors, ["doc_fingerprint", "doc_id"])
+    return (
+        curated.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_CURATION = rf"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len({_TOKS_SQL}) AS n_tok,
+         round((len(list_filter({_TOKS_SQL}, t -> list_contains(
+                   ['the','a','an','of','and','to','in','is'], t)))
+                / len({_TOKS_SQL})) * 0.4
+               + least(((length(text) - (len({_TOKS_SQL}) - 1))
+                        / len({_TOKS_SQL})) / 10.0, 1.0) * 0.3
+               + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                        / greatest(length(text), 1)) * 0.3, 6) AS q,
+         md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE q >= 0.5 AND n_tok >= 5
+), surv AS (
+  SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n_tok), 6) AS avg_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM kept JOIN surv USING (fp, doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed vector mean per label (class centroids): posexplode the
     embedding array → one hash agg on (label, component). Long-form output
@@ -1132,6 +1195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "label_centroids": q_label_centroids,
+    "corpus_curation": q_corpus_curation,
     "multimodal_features": q_multimodal_features,
     "usgs_pipeline": q_usgs_pipeline,
 }
@@ -1168,6 +1232,7 @@ ORACLE: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     # ann_lsh/ann_ivf: recall<1 by design → rows-only check (no oracle)
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 
