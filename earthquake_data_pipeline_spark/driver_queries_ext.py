@@ -611,6 +611,67 @@ ORDER BY 1
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: daily event counts per user on a complete
+    calendar spine, missing days = 0, with a forward-filled running last
+    observed value.
+
+    The spine is sequence(min, max) exploded per user — generated, not
+    scanned; the left join is on (user, day); forward fill is
+    last(ignorenulls) over one sorted window. One exchange on user_id
+    covers both the join and the fill at any scale.
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("max_value", ignorenulls=True).over(w).alias("ffill_max_value"),
+    ).orderBy("user_id", "day")
+
+
+SQL_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events, round(max(value), 6) AS max_value
+  FROM events WHERE user_id < 10
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT s.user_id,
+       strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(d.max_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_max_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY 1, 2
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -626,6 +687,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_measures": q_unpivot_measures,
     "null_census": q_null_census,
     "corr_stats": q_corr_stats,
+    "gap_fill": q_gap_fill,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -643,4 +705,5 @@ ORACLE_EXT: dict[str, str] = {
     "unpivot_measures": SQL_UNPIVOT_MEASURES,
     "null_census": SQL_NULL_CENSUS,
     "corr_stats": SQL_CORR_STATS,
+    "gap_fill": SQL_GAP_FILL,
 }
