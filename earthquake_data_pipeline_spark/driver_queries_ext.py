@@ -232,15 +232,17 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SESSIONIZATION = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 3600000000
               THEN 1 ELSE 0 END AS boundary
   FROM events
   WHERE user_id < 50
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
+  -- ORDER BY must include event_id: with ts ties, a ROWS cumsum is
+  -- order-sensitive and the Spark side orders by (ts, event_id)
   SELECT user_id, ts, value,
-         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS session_id
   FROM flagged
