@@ -343,7 +343,12 @@ def q_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HIGH_WATER_MARK = """
 SELECT event_id, user_id
 FROM events
-WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20')
+-- COALESCE encodes the engine's first-run semantics: empty existing
+-- slice → NULL max → take everything (ts > NULL would yield 0 rows,
+-- diverging from high_water_mark_filter's `if hwm is None: return new`)
+WHERE ts > COALESCE(
+  (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+  TIMESTAMP '0001-01-01')
 """
 
 
@@ -1077,7 +1082,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos", "comp")
     )
     return (
-        exploded.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
         .agg(F.round(F.avg(F.col("comp").cast("double")), 6).alias("avg_comp"))
         .orderBy("label", "pos")
     )

@@ -183,7 +183,14 @@ def enrich_events(
     """
     spark = events.sparkSession
     if id_col is None:
-        events = events.withColumn("__row_id", F.monotonically_increasing_id())
+        # monotonically_increasing_id is nondeterministic across plan
+        # re-evaluations (the base side and the miss subset below both
+        # reference this subtree): pin the ids with a lineage barrier so
+        # every branch sees the same assignment. Pass a natural id_col
+        # at scale to skip the materialization.
+        events = events.withColumn(
+            "__row_id", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
         id_col = "__row_id"
 
     spatial = spatial_join(events, polygons, lon_col, lat_col)

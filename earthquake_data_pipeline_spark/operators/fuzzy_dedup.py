@@ -64,32 +64,6 @@ def minhash_base(item: Column | str) -> Column:
     )
 
 
-def minhash_signature(items: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature as array<long>: min over items of (A*x+B) mod p."""
-    a, b = minhash_coeffs(num_hashes)
-    x = F.transform(items, minhash_base)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(x, lambda v, s=s: (F.lit(a[s]) * v + F.lit(b[s])) % MINHASH_PRIME)
-            )
-            for s in range(num_hashes)
-        ]
-    )
-
-
-def lsh_bands(sig: Column, num_bands: int, rows_per_band: int) -> list[Column]:
-    """Band keys: md5 of the '|'-joined signature slice per band."""
-    keys = []
-    for b in range(num_bands):
-        parts = [
-            F.element_at(sig, b * rows_per_band + r + 1)
-            for r in range(rows_per_band)
-        ]
-        keys.append(F.md5(F.concat_ws("|", *parts)))
-    return keys
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

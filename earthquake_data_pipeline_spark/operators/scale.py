@@ -48,13 +48,22 @@ def salted_join(
     once — on one specific salt).
     """
     keys = list(on)
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "full_outer", "fullouter"):
+        # the replicated right side would emit each unmatched right row
+        # salt_factor times under right/full outer semantics
+        raise ValueError(f"salted_join does not support how={how!r}")
     if salt_source is not None:
         salt_expr = F.pmod(F.xxhash64(salt_source), F.lit(salt_factor))
     else:
         non_key = [c for c in left.columns if c not in keys]
-        salt_expr = F.pmod(
-            F.xxhash64(*(non_key or keys)), F.lit(salt_factor)
-        )
+        if not non_key:
+            # hashing the key itself gives every hot-key row the SAME
+            # salt — zero spreading; demand an explicit source instead
+            raise ValueError(
+                "left side has only key columns: pass salt_source "
+                "(a high-cardinality column) to get real spreading"
+            )
+        salt_expr = F.pmod(F.xxhash64(*non_key), F.lit(salt_factor))
     lsalted = left.withColumn("__salt", salt_expr.cast("int"))
     rsalted = right.withColumn(
         "__salt",

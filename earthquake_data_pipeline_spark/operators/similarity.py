@@ -113,7 +113,12 @@ def lsh_bucket_topk(
     candidate set. Recall < 1 by design (buckets miss neighbors across
     hyperplane cuts) — the brute-force operator is the ground truth.
     """
-    dim = len(queries.select(vec_col).first()[0])
+    first = queries.select(vec_col).first()
+    if first is None:  # empty query set → empty top-k, not a crash
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
+    dim = len(first[0])
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
 
     def sig(vec: Column) -> Column:
@@ -270,13 +275,16 @@ def embedding_near_dup_pairs(
     import numpy as np
     from pyspark.sql import types as T
 
-    rows = df.select(id_col, vec_col).collect()
-    if not rows:  # empty corpus → empty result (np.array([]) would be 1-D)
+    # Arrow path (toPandas), not collect(): Row objects cost several×
+    # the raw vector bytes on the driver; Arrow keeps the transfer at
+    # ~data size, which is what makes the documented ~2 GB bound real
+    pdf = df.select(id_col, vec_col).toPandas()
+    if len(pdf) == 0:  # empty corpus → empty result (np.array([]) would be 1-D)
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine_sim double"
         )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf[vec_col]), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0.0] = 1.0
     bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))

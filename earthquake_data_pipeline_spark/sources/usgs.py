@@ -153,11 +153,24 @@ def make_fetcher(options: dict):
 
 def _grow_window(fetcher, start: date, end_cap: date, days: int = 15) -> int:
     """Recursive doubling until count > cap, then back off to the last good
-    half (reference: generate_timedelta, extract_historical.py:24-46)."""
+    half (reference: generate_timedelta, extract_historical.py:24-46).
+
+    Unlike the reference, the backed-off half is PROBED too: when even the
+    initial window exceeds the cap (dense aftershock sequences), halving
+    continues until the count fits or the window is a single day —
+    otherwise the ≤-cap guarantee of plan_windows would be false for
+    windows that were never count-checked.
+    """
     while True:
         end = min(start + timedelta(days=days), end_cap)
         if fetcher.count(start, end) > PAGE_CAP:
-            return max(days // 2, 1)
+            days = max(days // 2, 1)
+            while days > 1:
+                end = min(start + timedelta(days=days), end_cap)
+                if fetcher.count(start, end) <= PAGE_CAP:
+                    break
+                days = max(days // 2, 1)
+            return days
         if end >= end_cap:
             return (end_cap - start).days
         days *= 2

@@ -61,10 +61,18 @@ def foreach_batch_merge(
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             existing = spark.read.parquet(target_path)
-        except Exception:  # first batch: target does not exist yet
+        except AnalysisException as e:
+            # ONLY a missing target means "first batch". Any other read
+            # failure (throttle, permissions, corrupt footer) must fail
+            # the batch — treating it as first-batch would skip the
+            # anti-join and append duplicate keys.
+            if "PATH_NOT_FOUND" not in str(e) and "does not exist" not in str(e):
+                raise
             existing = None
         to_insert = (
             batch if existing is None else anti_join_merge(batch, existing, keys)

@@ -222,3 +222,11 @@ def test_resize_images_stub(spark):
     assert sorted(bytes(x.payload) for x in again if x.payload) == sorted(
         bytes(x.payload) for x in with_payload
     )
+
+
+def test_lsh_topk_empty_queries(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    empty_q = df.filter(F.col("vec_id") < 0)
+    assert lsh_bucket_topk(df, empty_q, k=5).count() == 0

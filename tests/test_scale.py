@@ -66,3 +66,12 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bkt.fact_b")
         spark.sql("DROP TABLE IF EXISTS bkt.dim_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_salted_join_rejects_outer_and_keyonly(spark):
+    left = spark.createDataFrame([(1, "a")], ["k", "p"])
+    right = spark.createDataFrame([(1, "x")], ["k", "q"])
+    with pytest.raises(ValueError, match="does not support"):
+        salted_join(left, right, ["k"], how="full")
+    with pytest.raises(ValueError, match="salt_source"):
+        salted_join(left.select("k"), right, ["k"])
