@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: pin the plan PROPERTIES the 100 TB
+design depends on (pushdown, broadcast, top-k operator, single-sort
+windows, Expand-based grouping sets, no nested-loop blowups) — not just
+correctness. DESIGN.md documents these; here they are enforced.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from earthquake_data_pipeline_spark.driver_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_pruning_reach_the_scan(spark):
+    plan = plan_of(spark, "yearly_stats")
+    # the l_quantity > 3 predicate is pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,3.0)" in plan
+    # column pruning: the scan reads only the 3 needed columns
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_orderkey" not in scan and "l_extendedprice" in scan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(spark, "region_rollup")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_k_plans_take_ordered(spark):
+    plan = plan_of(spark, "top_k_orders")
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+def test_window_query_has_single_data_exchange_and_sort(spark):
+    plan = plan_of(spark, "window_running")
+    # one hash exchange feeds the Window; the only other exchange is the
+    # presentation-order range partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1  # all four functions share one node
+
+
+def test_rollup_uses_expand_single_aggregate_pair(spark):
+    plan = plan_of(spark, "rollup_agg")
+    assert "Expand" in plan  # grouping sets in ONE pass, not a union of group-bys
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_is_not_a_nested_loop(spark):
+    plan = plan_of(spark, "asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the union-sort formulation
+
+
+def test_merge_anti_join_stays_join_shaped(spark):
+    plan = plan_of(spark, "merge_anti_join")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
