@@ -674,6 +674,25 @@ ORDER BY 1, 2
 """
 
 
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB scale path when exactness can
+    be traded: HyperLogLog++ distinct counts (fixed-size sketch vs a
+    distinct-set shuffle) and approximate percentiles (Greenwald-Khanna,
+    bounded memory vs a full sort). Rows-only check: sketch outputs are
+    engine-specific by nature, so no SQL oracle — the exact twins
+    (distinct_agg, percentile_stats) are the ground truth."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -690,6 +709,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_census": q_null_census,
     "corr_stats": q_corr_stats,
     "gap_fill": q_gap_fill,
+    "approx_stats": q_approx_stats,  # rows-only: sketches have no SQL oracle
 }
 
 ORACLE_EXT: dict[str, str] = {
