@@ -1007,6 +1007,43 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (64-token windows, 16 overlap): one row per
+    chunk with a content hash — the LLM chunker as a scan-speed map.
+    Output hashes, not chunk text, to keep the comparison payload small."""
+    _utc(spark)
+    from .operators.text import chunk_text
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    chunked = chunk_text(docs, chunk_tokens=64, overlap=16)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_hash"),
+        F.size(F.split("chunk_text", r"\s+")).cast("bigint").alias("n_chunk_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+SQL_CHUNK_DOCUMENTS = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+             greatest(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT), 0))) AS i
+  FROM toks
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       md5(array_to_string(t[i * 48 + 1 : i * 48 + 64], ' ')) AS chunk_hash,
+       CAST(len(regexp_split_to_array(
+           array_to_string(t[i * 48 + 1 : i * 48 + 64], ' '), '\s+')) AS BIGINT)
+           AS n_chunk_tokens
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline end-to-end as ONE lazy plan: quality
     scoring → threshold + length filters → exact dedup (min-id survivor
@@ -1201,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "label_centroids": q_label_centroids,
     "corpus_curation": q_corpus_curation,
+    "chunk_documents": q_chunk_documents,
     "multimodal_features": q_multimodal_features,
     "usgs_pipeline": q_usgs_pipeline,
 }
@@ -1238,6 +1276,7 @@ ORACLE: dict[str, str] = {
     # ann_lsh/ann_ivf: recall<1 by design → rows-only check (no oracle)
     "label_centroids": SQL_LABEL_CENTROIDS,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
 

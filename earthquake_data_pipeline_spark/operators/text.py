@@ -122,3 +122,45 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.md5(normalized).alias("doc_fingerprint"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    token windows (the standard LLM training-data chunker).
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final window is allowed to be
+    short; a doc shorter than one window yields exactly one chunk.
+    Pure higher-order array expressions — the explode multiplies rows
+    map-side with no shuffle, so chunking runs at scan speed at any
+    corpus size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_of(text_col)
+    n = F.size(toks)
+    last_idx = F.greatest(
+        F.ceil((n - chunk_tokens) / F.lit(stride)), F.lit(0)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_idx),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        "*", F.explode(chunks).alias("__chunk")
+    ).select(
+        *df.columns,
+        F.col("__chunk.chunk_idx").alias("chunk_idx"),
+        F.col("__chunk.chunk_text").alias("chunk_text"),
+    )

@@ -230,3 +230,24 @@ def test_lsh_topk_empty_queries(spark):
     ).withColumn("embedding", F.col("embedding").cast("array<float>"))
     empty_q = df.filter(F.col("vec_id") < 0)
     assert lsh_bucket_topk(df, empty_q, k=5).count() == 0
+
+
+def test_chunk_text_windows_and_short_docs(spark):
+    from earthquake_data_pipeline_spark.operators.text import chunk_text
+
+    long_text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "just three tokens")], ["doc_id", "text"]
+    )
+    rows = chunk_text(df, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    # stride 2: chunks at offsets 0,2,4,6 (ceil((10-4)/2)=3 → idx 0..3)
+    assert [c for _, c in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    # consecutive chunks overlap by exactly 2 tokens
+    assert by_doc[1][0][1].split()[-2:] == by_doc[1][1][1].split()[:2]
+    # doc shorter than one window → exactly one (possibly short) chunk
+    assert by_doc[2] == [(0, "just three tokens")]
