@@ -674,6 +674,127 @@ ORDER BY 1, 2
 """
 
 
+def q_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one shared window: rank,
+    dense_rank, percent_rank, cume_dist, ntile — one exchange + one sort
+    serves all five."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    ).orderBy("o_custkey", "rnk", "o_orderkey")
+
+
+SQL_RANKING_SUITE = """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM orders
+WHERE o_custkey < 40
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, rnk, o_orderkey
+"""
+
+
+def q_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth on one scan: casing, trim, pad,
+    substring, replace, split/element access, length, position,
+    concatenation — all codegen expressions."""
+    _utc(spark)
+    cust = _table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    name = F.col("c_name")
+    seg = F.col("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        F.upper(seg).alias("seg_upper"),
+        F.initcap(F.lower(seg)).alias("seg_title"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.regexp_replace(name, "[0-9]", "#").alias("name_masked"),
+        F.split(name, "#").getItem(0).alias("name_head"),
+        F.length(name).cast("bigint").alias("name_len"),
+        F.instr(name, "1").cast("bigint").alias("first_one_pos"),
+        F.concat_ws("/", seg, name).alias("seg_name"),
+        F.reverse(seg).alias("seg_rev"),
+    ).orderBy("c_custkey")
+
+
+SQL_STRING_SUITE = """
+SELECT c_custkey,
+       upper(c_mktsegment) AS seg_upper,
+       -- DuckDB has no initcap; title-case the first letter manually
+       upper(substring(lower(c_mktsegment), 1, 1))
+         || substring(lower(c_mktsegment), 2) AS seg_title,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       substring(c_name, 1, 8) AS name_prefix,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+       string_split(c_name, '#')[1] AS name_head,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       CAST(strpos(c_name, '1') AS BIGINT) AS first_one_pos,
+       concat_ws('/', c_mktsegment, c_name) AS seg_name,
+       reverse(c_mktsegment) AS seg_rev
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+"""
+
+
+def q_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function breadth on one scan: trunc to month/week,
+    add_months, date arithmetic, extraction (year/quarter/month/day/dow/
+    doy), last_day, months_between — formatted as strings/ints so both
+    engines collate identically."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.year(d).cast("int").alias("y"),
+        F.quarter(d).cast("int").alias("q"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("bigint").alias(
+            "days_to_98"
+        ),
+    ).orderBy("o_orderkey")
+
+
+SQL_DATETIME_SUITE = """
+SELECT o_orderkey,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+            AS BIGINT) AS days_to_98
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB scale path when exactness can
     be traded: HyperLogLog++ distinct counts (fixed-size sketch vs a
@@ -709,6 +830,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_census": q_null_census,
     "corr_stats": q_corr_stats,
     "gap_fill": q_gap_fill,
+    "ranking_suite": q_ranking_suite,
+    "string_suite": q_string_suite,
+    "datetime_suite": q_datetime_suite,
     "approx_stats": q_approx_stats,  # rows-only: sketches have no SQL oracle
 }
 
@@ -728,4 +852,7 @@ ORACLE_EXT: dict[str, str] = {
     "null_census": SQL_NULL_CENSUS,
     "corr_stats": SQL_CORR_STATS,
     "gap_fill": SQL_GAP_FILL,
+    "ranking_suite": SQL_RANKING_SUITE,
+    "string_suite": SQL_STRING_SUITE,
+    "datetime_suite": SQL_DATETIME_SUITE,
 }
