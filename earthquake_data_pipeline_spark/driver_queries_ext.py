@@ -795,6 +795,57 @@ ORDER BY o_orderkey
 """
 
 
+def q_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth on the tokenized documents: distinct,
+    sort, set ops against a literal array, membership, size, indexed
+    access, higher-order filter/transform — one scan, all codegen."""
+    _utc(spark)
+    docs = _fanout(
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    vowelish = F.array(F.lit("a"), F.lit("i"), F.lit("of"), F.lit("the"))
+    arr = F.array_distinct(toks)
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("bigint").alias("n_distinct_toks"),
+        F.sort_array(arr).getItem(0).alias("first_tok_sorted"),
+        F.size(F.array_intersect(arr, vowelish)).cast("bigint").alias("n_common"),
+        F.size(F.array_except(arr, vowelish)).cast("bigint").alias("n_rest"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5))
+        .cast("bigint")
+        .alias("n_long_toks"),
+        F.concat_ws(
+            "", F.slice(F.transform(toks, lambda t: F.substring(t, 1, 1)), 1, 5)
+        ).alias("initials5"),
+    ).orderBy("doc_id")
+
+
+SQL_ARRAY_SUITE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_toks,
+       list_sort(list_distinct(toks))[1] AS first_tok_sorted,
+       CAST(len(list_intersect(list_distinct(toks), ['a','i','of','the']))
+            AS BIGINT) AS n_common,
+       CAST(len(list_filter(list_distinct(toks),
+                t -> NOT list_contains(['a','i','of','the'], t)))
+            AS BIGINT) AS n_rest,
+       list_contains(toks, 'the') AS has_the,
+       CAST(len(list_filter(toks, t -> length(t) > 5)) AS BIGINT) AS n_long_toks,
+       array_to_string(list_transform(toks, t -> substring(t, 1, 1))[1:5], '')
+           AS initials5
+FROM t
+ORDER BY doc_id
+"""
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB scale path when exactness can
     be traded: HyperLogLog++ distinct counts (fixed-size sketch vs a
@@ -833,6 +884,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ranking_suite": q_ranking_suite,
     "string_suite": q_string_suite,
     "datetime_suite": q_datetime_suite,
+    "array_suite": q_array_suite,
     "approx_stats": q_approx_stats,  # rows-only: sketches have no SQL oracle
 }
 
@@ -855,4 +907,5 @@ ORACLE_EXT: dict[str, str] = {
     "ranking_suite": SQL_RANKING_SUITE,
     "string_suite": SQL_STRING_SUITE,
     "datetime_suite": SQL_DATETIME_SUITE,
+    "array_suite": SQL_ARRAY_SUITE,
 }
