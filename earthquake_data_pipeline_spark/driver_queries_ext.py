@@ -846,6 +846,40 @@ ORDER BY doc_id
 """
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the engine's SQL face (every
+    other catalog query uses the DataFrame API): orders above their
+    customer's own average price. Catalyst decorrelates the subquery
+    into an aggregate + join — no per-row re-execution, unlike a naive
+    interpreter."""
+    _utc(spark)
+    _table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_custkey, count(*) AS n_above_own_avg
+        FROM v_orders o
+        WHERE o.o_custkey < 200
+          AND o.o_totalprice > (SELECT avg(i.o_totalprice)
+                                FROM v_orders i
+                                WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+        ORDER BY o.o_custkey
+        """
+    )
+
+
+SQL_CORRELATED_SUBQUERY = """
+SELECT o.o_custkey, count(*) AS n_above_own_avg
+FROM orders o
+WHERE o.o_custkey < 200
+  AND o.o_totalprice > (SELECT avg(i.o_totalprice)
+                        FROM orders i
+                        WHERE i.o_custkey = o.o_custkey)
+GROUP BY o.o_custkey
+ORDER BY o.o_custkey
+"""
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB scale path when exactness can
     be traded: HyperLogLog++ distinct counts (fixed-size sketch vs a
@@ -885,6 +919,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_suite": q_string_suite,
     "datetime_suite": q_datetime_suite,
     "array_suite": q_array_suite,
+    "correlated_subquery": q_correlated_subquery,
     "approx_stats": q_approx_stats,  # rows-only: sketches have no SQL oracle
 }
 
@@ -908,4 +943,5 @@ ORACLE_EXT: dict[str, str] = {
     "string_suite": SQL_STRING_SUITE,
     "datetime_suite": SQL_DATETIME_SUITE,
     "array_suite": SQL_ARRAY_SUITE,
+    "correlated_subquery": SQL_CORRELATED_SUBQUERY,
 }
