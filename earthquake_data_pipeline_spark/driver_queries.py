@@ -220,7 +220,14 @@ ORDER BY 2 DESC
 
 
 def q_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5+A6+D13+D14 (tsunami_flags analog): conditional sum + ratio-of-aggs."""
+    """A5+A6+D13+D14 (tsunami_flags analog): conditional sum + ratio-of-aggs.
+
+    percent_high_value = round(high/total*100, 6) is computed via scaled
+    INTEGER arithmetic (round-half-up of high*1e8/total) and one final
+    int→double conversion: a binary-double division round()ed independently
+    by two engines can diverge at the last ulp, but integer div + a single
+    IEEE-754 conversion is bit-identical everywhere.
+    """
     _utc(spark)
     ev = _table(spark, sf_dir, "events")
     flag = F.when(F.col("value") > 100.0, 1).otherwise(0)
@@ -229,20 +236,30 @@ def q_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("total_events"),
             F.sum(flag).alias("high_value_events"),
-            F.round((F.sum(flag) / F.count("*")) * 100, 6).alias("percent_high_value"),
+        )
+        .withColumn(
+            "percent_high_value",
+            F.expr(
+                "CAST((high_value_events * 200000000 + total_events)"
+                " DIV (2 * total_events) AS DOUBLE) / 1000000.0"
+            ),
         )
         .orderBy(F.desc("percent_high_value"), "event_type")
     )
 
 
 SQL_CONDITIONAL_RATIO = """
-SELECT event_type,
-       count(*) AS total_events,
-       sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS high_value_events,
-       round((sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) / count(*)) * 100, 6)
-         AS percent_high_value
-FROM events
-GROUP BY event_type
+WITH agg AS (
+  SELECT event_type,
+         count(*) AS total_events,
+         sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS high_value_events
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, total_events, high_value_events,
+       CAST((high_value_events * 200000000 + total_events)
+            // (2 * total_events) AS DOUBLE) / 1000000.0 AS percent_high_value
+FROM agg
 ORDER BY percent_high_value DESC, event_type
 """
 

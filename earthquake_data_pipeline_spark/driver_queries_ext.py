@@ -224,7 +224,13 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.round(F.sum("value"), 6).alias("session_value"),
+            # exact decimal sum: a double sum is accumulation-order-sensitive
+            # at the last ulp, so Spark and DuckDB can disagree under exact
+            # hashing; per-value cast to decimal(18,6) + exact decimal sum +
+            # one decimal→double conversion is engine-neutral
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("session_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -250,7 +256,7 @@ WITH flagged AS (
 SELECT user_id, session_id,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       round(sum(value), 6) AS session_value
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
 FROM sess
 GROUP BY 1, 2
 ORDER BY 1, 2

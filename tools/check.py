@@ -37,8 +37,10 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
         vals = []
         for v in row:
             if isinstance(v, float):
-                # NaN != NaN would flag aligned nulls as a mismatch
-                vals.append(None if v != v else round(v, 9))
+                # EXACT bits, like the driver's hasher (round-1 lesson: a
+                # 9-dp-rounded local gate passed queries the driver failed).
+                # NaN != NaN would flag aligned nulls as a mismatch.
+                vals.append(None if v != v else v)
             else:
                 vals.append(v)
         out.append(tuple(vals))
