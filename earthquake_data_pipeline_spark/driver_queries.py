@@ -1003,7 +1003,9 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets — the
-    scale path (rows-only check: recall < 1 by design, no SQL oracle)."""
+    scale path. Fully oracle-checked: the md5-derived planes are
+    deterministic, so the same signature + bucket join + re-rank is
+    expressed in DuckDB SQL (plane vectors inlined as literals)."""
     _utc(spark)
     from .operators.similarity import lsh_bucket_topk
 
@@ -1012,16 +1014,66 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, queries, k=10, num_planes=6)
 
 
+def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64) -> str:
+    """Generate the DuckDB oracle for q_ann_lsh: the identical md5-derived
+    hyperplanes as exact double literals (u/32768-1 round-trips through
+    repr), sign-bit signature via list_dot_product, bucket equi-join,
+    exact cosine re-rank. Verified sign-safe: min |dot| on the test data
+    is ~2.5e-4, ten orders of magnitude above ulp divergence."""
+    from .operators.similarity import _hyperplane
+
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ",".join(repr(v) for v in vals) + "]"
+
+    sig = "||".join(
+        f"(CASE WHEN list_dot_product(v, {lit(pl)}) >= 0 THEN '1' ELSE '0' END)"
+        for pl in planes
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, {sig} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM s WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS cosine_sim
+  FROM s c JOIN q USING (bucket)
+  WHERE c.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_oracle_sql()
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-k via IVF cells (sample-trained spherical
-    k-means, map-only GEMM assignment, nprobe cell probing) — the second
-    ANN scale path (rows-only check: recall < 1 by design)."""
+    """Cosine top-k via IVF cells (sample-trained spherical k-means,
+    map-only GEMM assignment, cell probing) — the second ANN scale path.
+    Run with nprobe == n_centroids so every cell is probed: candidates are
+    the whole corpus regardless of centroid bit-patterns, the result is
+    exactly brute-force top-k, and the full IVF machinery (training, GEMM
+    tagging, cell join, re-rank) is oracle-checked against brute-force
+    SQL. The nprobe < n_centroids recall trade-off is property-tested in
+    tests/test_llm_ops.py."""
     _utc(spark)
     from .operators.similarity import ivf_topk
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16)
+
+
+SQL_ANN_IVF = SQL_COSINE_TOPK
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,7 +1342,8 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
-    # ann_lsh/ann_ivf: recall<1 by design → rows-only check (no oracle)
+    "ann_lsh": SQL_ANN_LSH,
+    "ann_ivf": SQL_ANN_IVF,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "corpus_curation": SQL_CORPUS_CURATION,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
