@@ -987,7 +987,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, small_corpus=True)
 
 
 SQL_EMBEDDING_NEAR_DUP = """
@@ -999,6 +999,69 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: banded hyperplane-LSH candidates +
+    exact cosine re-rank on candidates only — no driver materialization
+    (the 100 TB path next to the small-corpus GEMM of
+    q_embedding_near_dup). Deterministic planes → full SQL oracle."""
+    _utc(spark)
+    from .operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.4, num_planes=12, num_bands=3, dim=64
+    )
+
+
+def _near_dup_lsh_oracle_sql(
+    threshold: float = 0.4, num_planes: int = 12, num_bands: int = 3, dim: int = 64
+) -> str:
+    """DuckDB oracle for q_embedding_near_dup_lsh: identical plane
+    literals, per-band sign-bit keys, UNION ALL banding, distinct
+    candidate pairs via band equi-join, exact cosine re-rank."""
+    from .operators.similarity import _hyperplane
+
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+    rows_per_band = num_planes // num_bands
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ",".join(repr(v) for v in vals) + "]"
+
+    band_keys = []
+    for b in range(num_bands):
+        bits = "||".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[b * rows_per_band + r])})"
+            " >= 0 THEN '1' ELSE '0' END)"
+            for r in range(rows_per_band)
+        )
+        band_keys.append(f"{bits} AS k{b}")
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM s" for b in range(num_bands)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, {", ".join(band_keys)} FROM e
+), bands AS (
+  {union}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_sim
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+"""
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = _near_dup_lsh_oracle_sql()
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "label_centroids": q_label_centroids,
@@ -1342,6 +1406,7 @@ ORACLE: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     "ann_lsh": SQL_ANN_LSH,
     "ann_ivf": SQL_ANN_IVF,
     "label_centroids": SQL_LABEL_CENTROIDS,

@@ -259,6 +259,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    small_corpus: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -269,11 +270,21 @@ def embedding_near_dup_pairs(
     — ~50× faster at sf0.1, and the executor-side memory is one block ×
     the broadcast matrix.
 
-    Broadcast bound: ~1 M × 256-dim float64 ≈ 2 GB — beyond that, switch
-    to lsh_bucket_topk candidates + this operator on the candidate set.
+    This is the SMALL-CORPUS path: it materializes the corpus on the
+    driver (~1 M × 256-dim float64 ≈ 2 GB bound) and requires an explicit
+    ``small_corpus=True`` opt-in. The scale path is
+    ``embedding_near_dup_pairs_lsh`` — banded hyperplane-LSH candidates +
+    exact re-rank, no driver materialization.
     """
     import numpy as np
     from pyspark.sql import types as T
+
+    if not small_corpus:
+        raise ValueError(
+            "embedding_near_dup_pairs materializes the corpus on the driver "
+            "(~2 GB bound at 1M x 256-dim). Pass small_corpus=True to opt "
+            "in, or use embedding_near_dup_pairs_lsh for the scale path."
+        )
 
     # Arrow path (toPandas), not collect(): Row objects cost several×
     # the raw vector bytes on the driver; Arrow keeps the transfer at
@@ -325,3 +336,106 @@ def embedding_near_dup_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_bands: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded hyperplane-LSH candidate
+    generation + exact cosine re-rank on candidates only.
+
+    The composed scale path promised by ``embedding_near_dup_pairs``:
+
+    1. Signature: sign bits of <vec, plane_p> for ``num_planes``
+       deterministic md5-derived planes — map-side Column expressions,
+       scan-speed, no Python.
+    2. Banding: the bits split into ``num_bands`` band keys; a pair is a
+       candidate if it shares ANY band key (same band/rows trade-off as
+       MinHash-LSH — more planes per band = fewer, higher-precision
+       candidates; more bands = higher recall).
+    3. Bucket-side pair expansion of IDs ONLY (the minhash_lsh_pairs
+       pattern: groupBy (band, key) → sorted id array → in-array i<j
+       combos) — dense vectors never sit in a collect_list, so bucket
+       memory is O(ids), and the signature subtree is evaluated once,
+       not twice as a self-join would.
+    4. Re-rank: candidate pairs (small by LSH design) join the corpus
+       twice on id to fetch vectors; exact JVM-fold cosine ≥ threshold.
+
+    No driver-side materialization anywhere — every stage is a scan, a
+    bounded shuffle on (band, key) / id, or map-side work. Recall < 1 by
+    design (pairs split across every band's hyperplane cuts are missed);
+    identical vectors are always found (equal signatures in all bands).
+    At 100 TB, size 2^(planes/band) ≫ expected bucket count to keep
+    buckets bounded; AQE handles residual skew on the id re-rank joins.
+    """
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine_sim double"
+            )
+        dim = len(first[0])
+    rows_per_band = num_planes // num_bands
+    planes = [_hyperplane(p, dim) for p in range(num_planes)]
+
+    def band_key(band: int) -> Column:
+        bits = []
+        for r in range(rows_per_band):
+            plane = planes[band * rows_per_band + r]
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bits.append(
+                F.when(_dot(F.col("v"), plane_col) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        return F.concat(*bits)
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    bands = base.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

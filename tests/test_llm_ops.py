@@ -20,6 +20,7 @@ from earthquake_data_pipeline_spark.operators.multimodal import (
 from earthquake_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     ivf_topk,
     lsh_bucket_topk,
 )
@@ -143,8 +144,69 @@ def test_embedding_near_dup_threshold(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
         "embedding", F.col("embedding").cast("array<float>")
     )
-    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, small_corpus=True
+        ).collect()
+    }
     assert pairs == {(0, 1)}
+
+
+def test_near_dup_dense_requires_opt_in(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    with pytest.raises(ValueError, match="small_corpus"):
+        embedding_near_dup_pairs(df, threshold=0.95)
+
+
+def test_near_dup_lsh_subset_of_dense_and_exact_dups_found(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, base[i]) for i in range(5)]  # exact duplicates
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    dense = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.8, small_corpus=True
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs_lsh(
+            df, threshold=0.8, num_planes=12, num_bands=3, dim=16
+        ).collect()
+    }
+    # every LSH pair is a true dense pair with the identical score
+    for pair, sim in lsh.items():
+        assert pair in dense and dense[pair] == sim
+    # identical vectors share every band key -> always recovered
+    for i in range(5):
+        assert (i, 100 + i) in lsh
+        assert lsh[(i, 100 + i)] == 1.0
+
+
+def test_near_dup_lsh_plan_is_jvm_only(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    plan = (
+        embedding_near_dup_pairs_lsh(df, threshold=0.5, dim=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the scale path must never leave the JVM or collect the corpus
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan
 
 
 def test_multimodal_pipeline(spark, docs):
