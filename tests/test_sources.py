@@ -136,3 +136,108 @@ def test_io_csv_roundtrip_and_empty_clone(spark, tmp_path):
     assert clone.count() == 0 and clone.schema == back.schema
     write_parquet(clone, str(tmp_path / "pq"), num_files=1)
     assert spark.read.parquet(str(tmp_path / "pq")).count() == 0
+
+
+# --- S8: shapefile -> WKT dim loader -------------------------------------
+
+def _write_fixture_shapefile(base, records):
+    """Write a minimal Polygon .shp/.dbf pair per the public ESRI spec.
+
+    ``records`` = list of (name, region, rings) where rings is a list of
+    [(x, y), ...] rings (outer CW, holes CCW), or rings=None for a null
+    shape.
+    """
+    import struct
+
+    shp_records = b""
+    for recno, (_, _, rings) in enumerate(records, start=1):
+        if rings is None:
+            content = struct.pack("<i", 0)
+        else:
+            pts = [p for ring in rings for p in ring]
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            parts, off = [], 0
+            for ring in rings:
+                parts.append(off)
+                off += len(ring)
+            content = struct.pack(
+                "<i4dii", 5, min(xs), min(ys), max(xs), max(ys),
+                len(rings), len(pts),
+            )
+            content += struct.pack(f"<{len(parts)}i", *parts)
+            content += struct.pack(f"<{2 * len(pts)}d", *[c for p in pts for c in p])
+        shp_records += struct.pack(">ii", recno, len(content) // 2) + content
+    total = 100 + len(shp_records)
+    header = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", total // 2)
+    header += struct.pack("<ii", 1000, 5) + struct.pack("<4d", 0, 0, 0, 0)
+    header += b"\x00" * 32  # z/m ranges
+    (base.parent / (base.name + ".shp")).write_bytes(header + shp_records)
+
+    fields = [(b"NAME", b"C", 20), (b"REGION", b"C", 16), (b"POP", b"N", 8)]
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    dbf = struct.pack(
+        "<B3BIHH", 3, 24, 1, 1, len(records), header_size, record_size
+    ) + b"\x00" * 20
+    for name, ftype, length in fields:
+        dbf += name.ljust(11, b"\x00") + ftype + b"\x00" * 4 + bytes([length]) + b"\x00" * 15
+    dbf += b"\x0d"
+    for i, (name, region, _) in enumerate(records):
+        row = name.encode().ljust(20)[:20] + region.encode().ljust(16)[:16]
+        row += str(100 + i).rjust(8).encode()
+        dbf += b" " + row
+    dbf += b"\x1a"
+    (base.parent / (base.name + ".dbf")).write_bytes(dbf)
+
+
+def test_shapefile_loader_roundtrip(tmp_path):
+    from earthquake_data_pipeline_spark.sources.shapefile import (
+        load_polygon_dim,
+        read_dbf,
+        read_shp_polygons,
+    )
+
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]
+    far = [(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0), (20.0, 20.0)]
+    base = tmp_path / "world"
+    _write_fixture_shapefile(
+        base,
+        [
+            ("Northland", "North", [outer, hole]),
+            ("Southland", "South", [far]),
+            ("Nowhere", "None", None),
+        ],
+    )
+    wkts = read_shp_polygons(base.with_suffix(".shp"))
+    assert len(wkts) == 3 and wkts[2] is None
+    assert wkts[0].startswith("POLYGON") and wkts[0].count("(") == 3  # 2 rings
+    attrs = read_dbf(base.with_suffix(".dbf"))
+    assert attrs[0]["NAME"] == "Northland" and attrs[0]["POP"] == 100
+    dim = load_polygon_dim(base.with_suffix(".shp"), "NAME", "REGION")
+    assert dim[0][:2] == ("Northland", "North") and dim[2][2] is None
+
+
+def test_shapefile_dim_feeds_spatial_join(spark, tmp_path):
+    from earthquake_data_pipeline_spark.operators.enrichment import spatial_join
+    from earthquake_data_pipeline_spark.sources.shapefile import load_polygon_dim
+
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    hole = [(2.0, 2.0), (8.0, 2.0), (8.0, 8.0), (2.0, 8.0), (2.0, 2.0)]
+    far = [(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0), (20.0, 20.0)]
+    base = tmp_path / "world"
+    _write_fixture_shapefile(
+        base,
+        [("Northland", "North", [outer, hole]), ("Southland", "South", [far])],
+    )
+    dim = load_polygon_dim(base.with_suffix(".shp"), "NAME", "REGION")
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 5.0, 5.0), (3, 25.0, 25.0), (4, 50.0, 50.0)],
+        ["id", "longitude", "latitude"],
+    )
+    got = {r.id: (r.country, r.region) for r in spatial_join(pts, dim).collect()}
+    assert got[1] == ("Northland", "North")
+    assert got[2] == (None, None)  # inside the hole
+    assert got[3] == ("Southland", "South")
+    assert got[4] == (None, None)  # no polygon
