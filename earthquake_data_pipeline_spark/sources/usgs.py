@@ -135,15 +135,95 @@ class SyntheticFetcher:
         return {"features": feats}
 
 
+class RetryingFetcher:
+    """Politeness + resilience wrapper around any fetcher.
+
+    The reference paces itself (5 s sleep between pages) and logs failed
+    windows rather than dying (extract_historical.py:113-120). In Spark
+    the windows fan out across partitions, so each task carries its own
+    pacing/retry state:
+
+    - **Pacing**: at least ``pace_s`` seconds between consecutive requests
+      from this fetcher instance (per-partition — the aggregate request
+      rate is bounded by pace_s × parallelism, so keep pace_s at the
+      reference's 5 s for real API backfills).
+    - **Retry**: transient failures retry up to ``max_retries`` times with
+      exponential backoff (``backoff_s``, doubling per attempt); the last
+      failure re-raises so the task (and its window) is retried by Spark's
+      own task-retry machinery rather than silently dropped.
+
+    ``sleep``/``monotonic`` are injectable for deterministic tests.
+    """
+
+    def __init__(
+        self,
+        inner,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        pace_s: float = 0.0,
+        sleep=None,
+        monotonic=None,
+    ):
+        import time
+
+        self.inner = inner
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.pace_s = pace_s
+        self._sleep = sleep if sleep is not None else time.sleep
+        self._monotonic = monotonic if monotonic is not None else time.monotonic
+        self._last_request = None
+        self.attempts = 0  # total request attempts, for tests/telemetry
+
+    def _call(self, fn, *args):
+        if self.pace_s > 0 and self._last_request is not None:
+            wait = self.pace_s - (self._monotonic() - self._last_request)
+            if wait > 0:
+                self._sleep(wait)
+        err = None
+        for attempt in range(self.max_retries + 1):
+            if attempt > 0:
+                self._sleep(self.backoff_s * 2 ** (attempt - 1))
+            self.attempts += 1
+            self._last_request = self._monotonic()
+            try:
+                return fn(*args)
+            except Exception as e:  # noqa: BLE001 — any transient I/O error
+                err = e
+        raise err
+
+    def count(self, start: date, end: date) -> int:
+        return self._call(self.inner.count, start, end)
+
+    def query(self, start: date, end: date) -> dict:
+        return self._call(self.inner.query, start, end)
+
+
 def make_fetcher(options: dict):
     mode = options.get("mode", "http")
     if mode == "http":
-        return HttpFetcher()
+        # real-API politeness defaults: the reference's 5 s page pacing +
+        # bounded retry; overridable via reader options
+        return RetryingFetcher(
+            HttpFetcher(),
+            max_retries=int(options.get("max_retries", "3")),
+            backoff_s=float(options.get("backoff_s", "1.0")),
+            pace_s=float(options.get("pace_s", "5.0")),
+        )
     if mode == "fixture":
-        return FixtureFetcher(options["fixture_path"])
-    if mode == "synthetic":
-        return SyntheticFetcher(int(options.get("rows_per_day", "2")))
-    raise ValueError(f"unknown usgs_fdsn mode: {mode!r}")
+        inner = FixtureFetcher(options["fixture_path"])
+    elif mode == "synthetic":
+        inner = SyntheticFetcher(int(options.get("rows_per_day", "2")))
+    else:
+        raise ValueError(f"unknown usgs_fdsn mode: {mode!r}")
+    if "max_retries" in options or "pace_s" in options:
+        return RetryingFetcher(
+            inner,
+            max_retries=int(options.get("max_retries", "3")),
+            backoff_s=float(options.get("backoff_s", "1.0")),
+            pace_s=float(options.get("pace_s", "0.0")),
+        )
+    return inner
 
 
 # --------------------------------------------------------------------------

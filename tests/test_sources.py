@@ -241,3 +241,93 @@ def test_shapefile_dim_feeds_spatial_join(spark, tmp_path):
     assert got[2] == (None, None)  # inside the hole
     assert got[3] == ("Southland", "South")
     assert got[4] == (None, None)  # no polygon
+
+
+# --- S1 hardening: retry / backoff / pacing ------------------------------
+
+class _FlakyFetcher:
+    """Fails the first ``fail_n`` calls of each method, then succeeds."""
+
+    def __init__(self, fail_n):
+        self.fail_n = fail_n
+        self.calls = 0
+
+    def count(self, start, end):
+        self.calls += 1
+        if self.calls <= self.fail_n:
+            raise ConnectionError("transient")
+        return 7
+
+    def query(self, start, end):
+        self.calls += 1
+        if self.calls <= self.fail_n:
+            raise ConnectionError("transient")
+        return {"features": []}
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 0.0
+        self.sleeps = []
+
+    def monotonic(self):
+        return self.t
+
+    def sleep(self, s):
+        self.sleeps.append(s)
+        self.t += s
+
+
+def test_retrying_fetcher_retries_with_backoff():
+    from earthquake_data_pipeline_spark.sources.usgs import RetryingFetcher
+
+    clock = _FakeClock()
+    inner = _FlakyFetcher(fail_n=2)
+    f = RetryingFetcher(
+        inner, max_retries=3, backoff_s=1.0,
+        sleep=clock.sleep, monotonic=clock.monotonic,
+    )
+    assert f.count(date(2024, 1, 1), date(2024, 1, 2)) == 7
+    assert inner.calls == 3  # 2 failures + 1 success
+    assert clock.sleeps == [1.0, 2.0]  # exponential backoff
+
+
+def test_retrying_fetcher_exhausts_and_reraises():
+    from earthquake_data_pipeline_spark.sources.usgs import RetryingFetcher
+
+    clock = _FakeClock()
+    f = RetryingFetcher(
+        _FlakyFetcher(fail_n=99), max_retries=2,
+        sleep=clock.sleep, monotonic=clock.monotonic,
+    )
+    with pytest.raises(ConnectionError):
+        f.query(date(2024, 1, 1), date(2024, 1, 2))
+    assert f.attempts == 3  # initial + 2 retries
+
+
+def test_retrying_fetcher_paces_consecutive_requests():
+    from earthquake_data_pipeline_spark.sources.usgs import RetryingFetcher
+
+    clock = _FakeClock()
+    f = RetryingFetcher(
+        _FlakyFetcher(fail_n=0), pace_s=5.0,
+        sleep=clock.sleep, monotonic=clock.monotonic,
+    )
+    f.count(date(2024, 1, 1), date(2024, 1, 2))
+    f.count(date(2024, 1, 2), date(2024, 1, 3))
+    # second request waited out the 5 s politeness interval
+    assert any(abs(s - 5.0) < 1e-9 for s in clock.sleeps)
+
+
+def test_make_fetcher_wraps_on_request(spark):
+    from earthquake_data_pipeline_spark.sources.usgs import (
+        RetryingFetcher,
+        SyntheticFetcher,
+        make_fetcher,
+    )
+
+    plain = make_fetcher({"mode": "synthetic"})
+    assert isinstance(plain, SyntheticFetcher)
+    wrapped = make_fetcher({"mode": "synthetic", "max_retries": "2"})
+    assert isinstance(wrapped, RetryingFetcher)
+    assert wrapped.count(date(2024, 1, 1), date(2024, 1, 3)) == 4
