@@ -885,6 +885,157 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = _minhash_sql()
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: per-language keep rates
+    decided by a pure md5 hash of doc_id — reproducible across cluster
+    shapes and reruns (df.sample() is not), zero shuffle."""
+    _utc(spark)
+    from .operators.sampling import stratified_sample_by_hash
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "lang"))
+    return stratified_sample_by_hash(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.25, "de": 0.5, "fr": 0.75, "es": 1.0, "zh": 1.0},
+        salt="mix1",
+    ).orderBy("doc_id")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substring(md5(doc_id::VARCHAR || 'mix1'), 1, 8))::BIGINT <
+      CASE lang WHEN 'en' THEN 1073741824
+                WHEN 'de' THEN 2147483648
+                WHEN 'fr' THEN 3221225472
+                WHEN 'es' THEN 4294967296
+                WHEN 'zh' THEN 4294967296
+                ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit counts. PII is seeded deterministically
+    into the corpus (documents.text has none), then redacted; the output
+    carries per-category counts and an md5 of the redacted text so the
+    oracle checks the full replacement byte-for-byte."""
+    _utc(spark)
+    from .operators.text import redact_pii
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" from 10.0.0.1")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return (
+        redact_pii(seeded)
+        .select(
+            "doc_id",
+            F.col("n_email").cast("bigint").alias("n_email"),
+            F.col("n_phone").cast("bigint").alias("n_phone"),
+            F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+            F.md5("redacted_text").alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_PII_REDACT = (
+    """
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '"""
+    + _PII_EMAIL
+    + """')) AS n_email,
+       len(regexp_extract_all(text, '"""
+    + _PII_PHONE
+    + """')) AS n_phone,
+       len(regexp_extract_all(text, '"""
+    + _PII_IPV4
+    + """')) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g'),
+           '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g'),
+           '"""
+    + _PII_IPV4
+    + """', '<IP>', 'g')) AS redacted_hash
+FROM seeded
+ORDER BY doc_id
+"""
+)
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup endgame: MinHash-LSH candidate pairs → connected
+    components (iterative min-label propagation) → one canonical doc per
+    duplicate group. Deterministic output (component id = min doc id), so
+    the oracle is the same pair SQL + a recursive CTE."""
+    _utc(spark)
+    from .operators.dedup import connected_components
+    from .operators.fuzzy_dedup import minhash_lsh_pairs
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    pairs = minhash_lsh_pairs(docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql()}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id,
+       min(r) AS component_id,
+       CAST(id = min(r) AS INTEGER) AS is_canonical
+FROM reach
+GROUP BY id
+ORDER BY doc_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints over distinct tokens (md5-derived bits,
     majority vote, ties → 1)."""
@@ -1367,6 +1518,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "exact_dedup": q_exact_dedup,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_components": q_dedup_components,
+    "hash_sample": q_hash_sample,
+    "pii_redact": q_pii_redact,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
@@ -1407,6 +1561,9 @@ ORACLE: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "pii_redact": SQL_PII_REDACT,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -65,3 +65,71 @@ def exact_dedup(
             F.count("*").alias("dup_count"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the fuzzy-dedup
+    endgame: near-dup PAIRS (MinHash-LSH / SimHash / embedding buckets)
+    become duplicate GROUPS, from which one canonical document per group
+    survives.
+
+    Min-label propagation: every vertex starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels until
+    a fixpoint (≤ graph-diameter rounds — near-dup components are
+    shallow, so convergence is fast). Each round is one equi-join + one
+    groupBy-min — the standard distributed shape (GraphX/GraphFrames run
+    the same plan); ``localCheckpoint`` truncates lineage so plans don't
+    grow with iterations. For adversarially deep graphs switch to
+    large-star/small-star (alternating rounds halve long paths), not
+    needed for dedup workloads.
+
+    Output: (doc_id, component_id = min id in component, is_canonical) —
+    fully deterministic, so it carries an exact recursive-CTE oracle.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id2"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "comp_new")
+            .join(labels, "id")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    )

@@ -164,3 +164,32 @@ def chunk_text(
         F.col("__chunk.chunk_idx").alias("chunk_idx"),
         F.col("__chunk.chunk_text").alias("chunk_text"),
     )
+
+
+# PII patterns kept in the RE2/Java-compatible common subset (no
+# lookaround, no backreferences) so Spark and the DuckDB oracle match
+# byte-for-byte.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / phone-shaped
+    numbers / IPv4 literals with typed placeholders, and count what was
+    redacted per category (the audit trail a curation pipeline keeps).
+
+    Order matters: ipv4 runs AFTER phone so `555-123-4567` is a phone,
+    and email runs first so `user@host.com` never half-matches. All
+    regexp_replace/regexp_count — codegen, scan-speed, zero shuffle.
+    """
+    out = df
+    text = F.col(text_col)
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(text, F.lit(pattern)))
+    redacted = text
+    for name, pattern, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pattern, token)
+    return out.withColumn("redacted_text", redacted)

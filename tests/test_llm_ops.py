@@ -323,3 +323,63 @@ def test_chunk_text_windows_and_short_docs(spark):
     assert by_doc[1][0][1].split()[-2:] == by_doc[1][1][1].split()[:2]
     # doc shorter than one window → exactly one (possibly short) chunk
     assert by_doc[2] == [(0, "just three tokens")]
+
+
+def test_connected_components_path_and_islands(spark):
+    from earthquake_data_pipeline_spark.operators.dedup import connected_components
+
+    # path 1-2-3-4 (diameter 3, needs >1 iteration) + island 10-11 + 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    got = {
+        r.doc_id: (r.component_id, r.is_canonical)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (1, 0),
+        10: (10, 1), 11: (10, 0),
+        20: (20, 1), 21: (20, 0),
+    }
+
+
+def test_hash_sampling_deterministic_and_stratified(spark):
+    from earthquake_data_pipeline_spark.operators.sampling import (
+        sample_by_hash,
+        stratified_sample_by_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)], ["id", "lang"]
+    )
+    s1 = {r.id for r in sample_by_hash(df, "id", 0.5, salt="s").collect()}
+    s2 = {r.id for r in sample_by_hash(df, "id", 0.5, salt="s").collect()}
+    assert s1 == s2  # deterministic
+    assert 100 < len(s1) < 300  # roughly half
+    # a smaller fraction with the same salt nests inside the larger one
+    s_small = {r.id for r in sample_by_hash(df, "id", 0.2, salt="s").collect()}
+    assert s_small <= s1
+    # stratified: zh kept fully, en dropped fully
+    strat = stratified_sample_by_hash(
+        df, "id", "lang", {"zh": 1.0, "en": 0.0}
+    ).collect()
+    assert {r.lang for r in strat} == {"zh"} and len(strat) == 200
+
+
+def test_redact_pii_counts_and_replacements(spark):
+    from earthquake_data_pipeline_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and alice@test.org today"),
+            (2, "call 555-123-4567 or ping 10.0.0.1 now"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 0, 0)
+    assert out[1].redacted_text == "mail <EMAIL> and <EMAIL> today"
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 1, 1)
+    assert out[2].redacted_text == "call <PHONE> or ping <IP> now"
+    assert out[3].redacted_text == "nothing sensitive here"
