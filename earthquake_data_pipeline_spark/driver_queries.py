@@ -885,6 +885,122 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = _minhash_sql()
 
 
+def q_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: find training docs sharing 3-gram
+    shingles with a held-out eval set (doc_id < 10) — the standard
+    benchmark-contamination sweep before training. One explode per side,
+    an equi-join on the shingle (shuffle-bounded by shingle hash — the
+    scale shape), distinct-counted per training doc."""
+    _utc(spark)
+    from .operators.fuzzy_dedup import shingles_of
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = docs.select(
+        "doc_id", F.explode(shingles_of("text", 3)).alias("shingle")
+    )
+    eval_sh = sh.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train_sh = sh.filter(F.col("doc_id") >= 10)
+    return (
+        train_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_EVAL_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+        generate_series(1, len(t) - 2),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [] END) AS shingle
+  FROM toks
+)
+SELECT tr.doc_id AS doc_id,
+       count(DISTINCT tr.shingle) AS n_shared_shingles,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+WHERE tr.doc_id >= 10 AND ev.doc_id < 10
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (top-3 terms per doc for doc_id < 20):
+    term frequency × corpus rarity, scored in pure integer arithmetic
+    (score = tf·1e6·N DIV df) so both engines agree to the bit — the
+    log-free formulation keeps ordering while staying oracle-exact.
+    Document frequency is one shuffle on the term; ranking is one window.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from .operators.text import tokens_of
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = docs.select("doc_id", F.explode(tokens_of("text")).alias("term"))
+    n_docs = docs.count()
+    df_counts = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf = (
+        toks.filter(F.col("doc_id") < 20)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(df_counts, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.expr(f"tf * 1000000 * {n_docs} DIV df").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE doc_id < 20 GROUP BY 1, 2
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * 1000000 * (SELECT n_docs FROM n) // dfreq.df AS score_micro
+  FROM tf JOIN dfreq USING (term)
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, term ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_micro, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified mixture sampling: per-language keep rates
     decided by a pure md5 hash of doc_id — reproducible across cluster
@@ -1519,6 +1635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh": q_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "eval_overlap": q_eval_overlap,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "hash_sample": q_hash_sample,
     "pii_redact": q_pii_redact,
     "simhash": q_simhash,
@@ -1562,6 +1680,8 @@ ORACLE: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_lsh": SQL_MINHASH_LSH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "eval_overlap": SQL_EVAL_OVERLAP,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "hash_sample": SQL_HASH_SAMPLE,
     "pii_redact": SQL_PII_REDACT,
     "simhash": SQL_SIMHASH,
