@@ -78,15 +78,15 @@ def connected_components(
     become duplicate GROUPS, from which one canonical document per group
     survives.
 
-    Min-label propagation: every vertex starts labeled with its own id;
-    each round takes the min of its label and its neighbors' labels until
-    a fixpoint (≤ graph-diameter rounds — near-dup components are
-    shallow, so convergence is fast). Each round is one equi-join + one
-    groupBy-min — the standard distributed shape (GraphX/GraphFrames run
-    the same plan); ``localCheckpoint`` truncates lineage so plans don't
-    grow with iterations. For adversarially deep graphs switch to
-    large-star/small-star (alternating rounds halve long paths), not
-    needed for dedup workloads.
+    Min-label propagation with path halving: every vertex starts labeled
+    with its own id; each round takes the min of its label and its
+    neighbors' labels (one equi-join + one groupBy-min — the standard
+    distributed shape; GraphX/GraphFrames run the same plan), then
+    pointer-jumps (label := label's label), which halves remaining label
+    paths so convergence is ~log2(diameter) rounds instead of diameter.
+    Labels only ever decrease, so the convergence check is a filter on
+    the stepped frame, not a compare join. ``localCheckpoint`` truncates
+    lineage so plans don't grow with iterations.
 
     Output: (doc_id, component_id = min id in component, is_canonical) —
     fully deterministic, so it carries an exact recursive-CTE oracle.
@@ -109,25 +109,34 @@ def connected_components(
             .groupBy(F.col("a").alias("id2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels["id"] == F.col("id2"), "left")
             .select(
                 "id",
+                F.col("comp").alias("comp_old"),
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "comp_new")
-            .join(labels, "id")
-            .filter(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("comp") < F.col("comp_old")).count()
         if changed == 0:
+            labels = stepped.select("id", "comp")
             break
+        # path halving: comp := comp's comp (cheap — stepped is already
+        # materialized by the count above, the self-join scans it twice)
+        lookup = stepped.select(
+            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+        )
+        labels = (
+            stepped.join(lookup, stepped["comp"] == F.col("jid"), "left")
+            .select(
+                "id",
+                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("component_id"),
