@@ -62,3 +62,31 @@ def test_merge_anti_join_stays_join_shaped(spark):
     plan = plan_of(spark, "merge_anti_join")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hash_sample_is_a_pure_pruned_scan(spark):
+    plan = plan_of(spark, "hash_sample")
+    # deterministic sampling is scan-speed: no exchange besides the
+    # presentation sort, no join, and the scan reads only (doc_id, lang)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "text" not in scan and "doc_id" in scan and "lang" in scan
+
+
+def test_eval_overlap_pushes_split_filters_and_broadcasts_eval(spark):
+    plan = plan_of(spark, "eval_overlap")
+    # train/eval id filters reach both parquet scans; the (small) eval
+    # side broadcasts, so the shingle join never sort-merges
+    assert "GreaterThanOrEqual(doc_id,10)" in plan
+    assert "LessThan(doc_id,10)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_near_dup_lsh_single_python_stage_per_side(spark):
+    plan = plan_of(spark, "embedding_near_dup_lsh")
+    # signature GEMM is the only Python stage; candidate expansion and
+    # re-rank stay JVM-side (no row-at-a-time Python anywhere)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
