@@ -885,6 +885,39 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = _minhash_sql()
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (width_bucket shape): o_totalprice binned at
+    50k, count + decimal-exact sum + span per bin. One map-side bin
+    derivation + one hash aggregate — profiling at scan speed."""
+    _utc(spark)
+    orders = _table(spark, sf_dir, "orders")
+    bin_col = F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    return (
+        orders.groupBy(bin_col.alias("price_bin"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("price_bin")
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS price_bin,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: find training docs sharing 3-gram
     shingles with a held-out eval set (doc_id < 10) — the standard
@@ -1635,6 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh": q_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "value_histogram": q_value_histogram,
     "eval_overlap": q_eval_overlap,
     "tfidf_top_terms": q_tfidf_top_terms,
     "hash_sample": q_hash_sample,
@@ -1680,6 +1714,7 @@ ORACLE: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_lsh": SQL_MINHASH_LSH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "eval_overlap": SQL_EVAL_OVERLAP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "hash_sample": SQL_HASH_SAMPLE,

@@ -1,0 +1,107 @@
+"""Hypothesis property tests for driver-side pure logic (no Spark jobs):
+window planning invariants, shapefile geometry round-trips, LSH plane
+determinism. These guard the logic the distributed operators assume."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from earthquake_data_pipeline_spark.functions.geo import parse_wkt_polygon
+from earthquake_data_pipeline_spark.operators.similarity import _hyperplane
+from earthquake_data_pipeline_spark.sources.shapefile import (
+    _rings_to_wkt,
+    _signed_area,
+)
+from earthquake_data_pipeline_spark.sources.usgs import (
+    PAGE_CAP,
+    SyntheticFetcher,
+    plan_windows,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows_per_day=st.integers(min_value=1, max_value=50_000),
+    span_days=st.integers(min_value=1, max_value=400),
+)
+def test_plan_windows_invariants(rows_per_day, span_days):
+    f = SyntheticFetcher(rows_per_day=rows_per_day)
+    start = date(2020, 1, 1)
+    end = start + timedelta(days=span_days)
+    windows = plan_windows(f, start, end)
+    # coverage: contiguous [start, end) with no gaps or overlaps
+    assert windows[0][0] == start and windows[-1][1] == end
+    for (_, e1), (s2, _) in zip(windows, windows[1:]):
+        assert e1 == s2
+    # the cap guarantee every partition relies on
+    for ws, we in windows:
+        assert ws < we
+        assert f.count(ws, we) <= PAGE_CAP or (we - ws).days == 1
+
+
+@st.composite
+def closed_ring(draw, clockwise: bool):
+    """A closed convex-ish ring around a random center (≥ 4 points)."""
+    cx = draw(st.floats(-170, 170))
+    cy = draw(st.floats(-80, 80))
+    rad = draw(st.floats(0.1, 9.0))
+    n = draw(st.integers(min_value=3, max_value=12))
+    # strictly increasing angles → simple polygon; CCW by construction
+    pts = [
+        (
+            round(cx + rad * np.cos(2 * np.pi * i / n), 6),
+            round(cy + rad * np.sin(2 * np.pi * i / n), 6),
+        )
+        for i in range(n)
+    ]
+    if clockwise:
+        pts = pts[::-1]
+    return pts + [pts[0]]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_shapefile_wkt_roundtrip(data):
+    outers = data.draw(st.integers(min_value=1, max_value=3))
+    rings = []
+    for _ in range(outers):
+        rings.append(data.draw(closed_ring(clockwise=True)))
+    wkt = _rings_to_wkt(rings)
+    assert wkt is not None
+    polys = parse_wkt_polygon(wkt)
+    assert len(polys) == outers
+    # coordinates survive exactly (repr round-trip)
+    flat_in = [p for r in rings for p in r]
+    flat_out = [tuple(p) for poly in polys for ring in poly for p in ring]
+    assert flat_out == flat_in
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_shapefile_winding_orders(data):
+    outer = data.draw(closed_ring(clockwise=True))
+    assert _signed_area(outer) < 0  # CW = shapefile outer
+    hole = data.draw(closed_ring(clockwise=False))
+    assert _signed_area(hole) > 0
+    wkt = _rings_to_wkt([outer, hole])
+    polys = parse_wkt_polygon(wkt)
+    # hole attaches to the outer's polygon group, not a new polygon
+    assert len(polys) == 1 and len(polys[0]) == 2
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    plane_idx=st.integers(min_value=0, max_value=64),
+    dim=st.integers(min_value=1, max_value=256),
+)
+def test_hyperplane_deterministic_and_bounded(plane_idx, dim):
+    a = _hyperplane(plane_idx, dim)
+    b = _hyperplane(plane_idx, dim)
+    assert a == b and len(a) == dim
+    assert all(-1.0 <= v < 1.0 for v in a)
+    # distinct planes differ (md5 keyed by plane index)
+    assert a != _hyperplane(plane_idx + 1, dim)
