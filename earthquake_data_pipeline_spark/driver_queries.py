@@ -1610,18 +1610,59 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/scale.py): the hot-key mitigation whose
+    output is bit-identical to the plain join — the salt is internal, so
+    the oracle is the UNSALTED SQL join, proving through the gate that
+    salting is semantics-free. Deterministic xxhash64 salt keeps retried
+    tasks identical; right side replicated salt_factor times."""
+    _utc(spark)
+    from .operators.scale import salted_join
+
+    li = _fanout(
+        _table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_orderkey", "l_extendedprice"
+        )
+    )
+    part = _table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, on=["l_partkey"], salt_factor=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT p_brand,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_usgs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end earthquake pipeline: paged-source ingest (synthetic mode,
     offline) → cleaning chain → stg (surrogate keys + window dedup) → fact
-    (severity/year/decade) → yearly analytics model. Deterministic output;
-    rows-only check (the source data is generated, not oracle-visible)."""
+    (severity/year/decade) → yearly rollup. FULL oracle: the synthetic
+    generator is pure md5 arithmetic, so DuckDB replays the whole pipeline
+    — generation included — in SQL. The terminal aggregate uses
+    decimal-exact sums (instead of the model's double avgs) so the value
+    hash is engine-neutral; the avg form lives in
+    plans.models.yearly_earthquake_stats (registry-tested)."""
     _utc(spark)
     from .operators.cleaning import clean_events
-    from .plans.models import (
-        fact_earthquake_data,
-        stg_earthquake,
-        yearly_earthquake_stats,
-    )
+    from .plans.models import fact_earthquake_data, stg_earthquake
     from .sources.usgs import UsgsDataSource
 
     spark.dataSource.register(UsgsDataSource)
@@ -1638,7 +1679,61 @@ def q_usgs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("country", F.lit(None).cast("string"))
         .withColumn("region", F.lit(None).cast("string"))
     )
-    return yearly_earthquake_stats(fact_earthquake_data(stg_earthquake(cleaned)))
+    fact = fact_earthquake_data(stg_earthquake(cleaned))
+    return (
+        fact.filter(F.col("magnitude") > 3)
+        .groupBy(F.col("event_year").alias("year"))
+        .agg(
+            F.count("*").alias("earthquake_count"),
+            F.sum(F.col("magnitude").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_magnitude"),
+            F.sum(F.col("depth").cast("decimal(14,1)"))
+            .cast("double")
+            .alias("sum_depth"),
+        )
+        .orderBy("year")
+    )
+
+
+# DuckDB replay of the synthetic source (sources/usgs.py SyntheticFetcher):
+# md5(day:i) digest bytes -> fields, exactly as the Python generator. The
+# cleaning-range filters pass every generated row by construction and the
+# (place, datetime) dedup keys are verified collision-free (300 distinct of
+# 300), so the surviving pipeline semantics are the mag>3 yearly rollup.
+# round() parity is safe: every generated value is a ratio with denominator
+# 255 whose distance from any representable decimal-tie is >= ~1e-5 — ten
+# orders above double error, so both engines round identically.
+SQL_USGS_PIPELINE = """
+WITH days AS (
+  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-02-29',
+                                INTERVAL 1 DAY))::DATE AS d
+), gen AS (
+  SELECT d, unnest(generate_series(0, 4)) AS i FROM days
+), h AS (
+  SELECT md5(strftime(d, '%Y-%m-%d') || ':' || i::VARCHAR) AS hx, d FROM gen
+), b AS (
+  SELECT d,
+         ('0x' || substr(hx, 1, 2))::INT AS h0,
+         ('0x' || substr(hx, 7, 2))::INT AS h3,
+         ('0x' || substr(hx, 17, 2))::INT AS h8
+  FROM h
+), raw AS (
+  SELECT (epoch(CAST(d AS TIMESTAMP)) * 1000)::BIGINT
+           + (h0 % 24) * 3600000 AS time_ms,
+         round(h3 / 255.0 * 9 - 1, 2) AS magnitude,
+         round(h8 / 255.0 * 700, 1) AS depth
+  FROM b
+)
+SELECT CAST(year(make_timestamp(time_ms * 1000)) AS INTEGER) AS year,
+       count(*) AS earthquake_count,
+       CAST(sum(CAST(magnitude AS DECIMAL(12,2))) AS DOUBLE) AS sum_magnitude,
+       CAST(sum(CAST(depth AS DECIMAL(14,1))) AS DOUBLE) AS sum_depth
+FROM raw
+WHERE magnitude > 3
+GROUP BY 1
+ORDER BY 1
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1684,6 +1779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "chunk_documents": q_chunk_documents,
     "multimodal_features": q_multimodal_features,
+    "salted_join": q_salted_join,
     "usgs_pipeline": q_usgs_pipeline,
 }
 
@@ -1730,6 +1826,8 @@ ORACLE: dict[str, str] = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "salted_join": SQL_SALTED_JOIN,
+    "usgs_pipeline": SQL_USGS_PIPELINE,
 }
 
 
