@@ -1250,6 +1250,56 @@ WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
 
 
+def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed fuzzy-dedup scale pipeline: MinHash-LSH candidate
+    pairs → exact n-gram-Jaccard refinement on candidates ONLY (never the
+    quadratic all-pairs join) → confirmed near-dups at a Jaccard
+    threshold. This is the documented production shape
+    (fuzzy_dedup.ngram_jaccard_pairs docstring); here it is proven
+    through the gate end to end."""
+    _utc(spark)
+    from .operators.fuzzy_dedup import minhash_lsh_pairs, shingles_of
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    cand = minhash_lsh_pairs(docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS)
+    sh = docs.select(F.col("doc_id"), shingles_of("text", 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_LSH_JACCARD_REFINE = f"""
+WITH pairs AS (
+{_minhash_sql()}
+), shing AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS_SQL}) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len({_TOKS_SQL}) - 2),
+             i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1] || ' ' || {_TOKS_SQL}[i+2]))
+              ELSE [] END AS sh
+  FROM documents
+)
+SELECT p.doc_a AS id_a, p.doc_b AS id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+FROM pairs p
+JOIN shing a ON a.doc_id = p.doc_a
+JOIN shing b ON b.doc_id = p.doc_b
+WHERE round(len(list_intersect(a.sh, b.sh))
+            / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) >= 0.2
+ORDER BY 1, 2
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 10): broadcast
     queries × corpus scan, JVM fold dot products, per-query row_number."""
@@ -1770,6 +1820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "lsh_jaccard_refine": q_lsh_jaccard_refine,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1817,6 +1868,7 @@ ORACLE: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lsh_jaccard_refine": SQL_LSH_JACCARD_REFINE,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,

@@ -90,3 +90,11 @@ def test_near_dup_lsh_single_python_stage_per_side(spark):
     # re-rank stay JVM-side (no row-at-a-time Python anywhere)
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_actually_salts(spark):
+    plan = plan_of(spark, "salted_join")
+    # the physical join keys include the salt column -> the hot key is
+    # spread across salt_factor reducers by construction
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
