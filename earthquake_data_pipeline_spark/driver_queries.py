@@ -968,11 +968,15 @@ ORDER BY 1
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF keyword extraction (top-3 terms per doc for doc_id < 20):
-    term frequency × corpus rarity, scored in pure integer arithmetic
-    (score = tf·1e6·N DIV df) so both engines agree to the bit — the
-    log-free formulation keeps ordering while staying oracle-exact.
-    Document frequency is one shuffle on the term; ranking is one window.
+    """Keyword extraction, TF-IDF style (top-3 terms per doc for
+    doc_id < 20): term frequency × corpus rarity, scored in pure integer
+    arithmetic (score = tf·1e6·N DIV df) so both engines agree to the
+    bit. NB: the log-free rarity weight N/df is a deliberate
+    substitution — it is rarity-monotone but NOT rank-equivalent to the
+    classical tf·log(N/df); chosen because log() cannot be hashed
+    bit-exactly across engines. Document frequency is one shuffle on the
+    term; the corpus size joins in as a broadcast 1-row aggregate (the
+    plan stays fully lazy); ranking is one window.
     """
     _utc(spark)
     from pyspark.sql import Window
@@ -981,7 +985,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = docs.select("doc_id", F.explode(tokens_of("text")).alias("term"))
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").alias("n_docs"))
     df_counts = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -990,12 +994,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    scored = tf.join(df_counts, "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.expr(f"tf * 1000000 * {n_docs} DIV df").alias("score_micro"),
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * 1000000 * n_docs DIV df").alias("score_micro"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_micro"), F.asc("term")
@@ -1124,27 +1132,33 @@ WITH seeded AS (
          || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.0.1' ELSE '' END AS text
   FROM documents
 )
+, s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g') AS t1
+  FROM seeded
+), s2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g') AS t2
+  FROM s1
+)
 SELECT doc_id,
        len(regexp_extract_all(text, '"""
     + _PII_EMAIL
     + """')) AS n_email,
-       len(regexp_extract_all(text, '"""
+       len(regexp_extract_all(t1, '"""
     + _PII_PHONE
     + """')) AS n_phone,
-       len(regexp_extract_all(text, '"""
+       len(regexp_extract_all(t2, '"""
     + _PII_IPV4
     + """')) AS n_ipv4,
-       md5(regexp_replace(regexp_replace(regexp_replace(text,
-           '"""
-    + _PII_EMAIL
-    + """', '<EMAIL>', 'g'),
-           '"""
-    + _PII_PHONE
-    + """', '<PHONE>', 'g'),
-           '"""
+       md5(regexp_replace(t2, '"""
     + _PII_IPV4
     + """', '<IP>', 'g')) AS redacted_hash
-FROM seeded
+FROM s2
 ORDER BY doc_id
 """
 )

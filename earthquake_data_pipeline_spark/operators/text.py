@@ -181,15 +181,16 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     numbers / IPv4 literals with typed placeholders, and count what was
     redacted per category (the audit trail a curation pipeline keeps).
 
-    Order matters: ipv4 runs AFTER phone so `555-123-4567` is a phone,
-    and email runs first so `user@host.com` never half-matches. All
+    Each category's count is taken on the text AFTER the previous
+    categories' replacements, so counts equal the replacements actually
+    made — a phone embedded in an address the email pass already consumed
+    (e.g. `555-123-4567@corp.com`) is not double-reported. Order matters:
+    email first so `user@host.com` never half-matches as a phone/IP. All
     regexp_replace/regexp_count — codegen, scan-speed, zero shuffle.
     """
     out = df
-    text = F.col(text_col)
+    stage = F.col(text_col)
     for name, pattern, token in PII_PATTERNS:
-        out = out.withColumn(f"n_{name}", F.regexp_count(text, F.lit(pattern)))
-    redacted = text
-    for name, pattern, token in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pattern, token)
-    return out.withColumn("redacted_text", redacted)
+        out = out.withColumn(f"n_{name}", F.regexp_count(stage, F.lit(pattern)))
+        stage = F.regexp_replace(stage, pattern, token)
+    return out.withColumn("redacted_text", stage)

@@ -44,24 +44,47 @@ def _ring_wkt(ring: list[tuple[float, float]]) -> str:
     return "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
 
 
+def _point_in_ring(x: float, y: float, ring: list[tuple[float, float]]) -> bool:
+    """Even-odd ray cast for one point (hole→outer assignment only)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        if (y0 > y) != (y1 > y):
+            if x < (x1 - x0) * (y - y0) / (y1 - y0) + x0:
+                inside = not inside
+    return inside
+
+
 def _rings_to_wkt(rings: list[list[tuple[float, float]]]) -> str | None:
     """Group rings into polygons by winding order and emit WKT.
 
-    Clockwise rings open a new polygon; counter-clockwise rings attach to
-    the most recent polygon as holes (the spec's storage convention). A
-    leading counter-clockwise ring — nonconforming but seen in the wild —
-    opens its own polygon so no geometry is dropped.
+    Clockwise rings each open a polygon; counter-clockwise rings are
+    holes assigned to the outer ring that CONTAINS them (point-in-ring
+    test on a hole vertex) — the spec mandates winding but not that a
+    hole follow its outer in storage order, so adjacency alone would
+    attach holes to the wrong polygon. A counter-clockwise ring contained
+    by no outer — nonconforming but seen in the wild — opens its own
+    polygon so no geometry is dropped.
     """
     if not rings:
         return None
-    groups: list[list[list[tuple[float, float]]]] = []
-    for ring in rings:
-        if len(ring) < 4:  # degenerate: WKT rings need >= 4 points (closed)
+    valid = [r for r in rings if len(r) >= 4]  # WKT rings are closed, >= 4 pts
+    groups: list[list[list[tuple[float, float]]]] = [
+        [r] for r in valid if _signed_area(r) < 0
+    ]
+    for ring in valid:
+        if _signed_area(ring) < 0:
             continue
-        if _signed_area(ring) < 0 or not groups:
-            groups.append([ring])
+        x, y = ring[0]
+        holder = next(
+            (g for g in groups if _point_in_ring(x, y, g[0])), None
+        )
+        if holder is not None:
+            holder.append(ring)
         else:
-            groups[-1].append(ring)
+            groups.append([ring])
     if not groups:
         return None
     if len(groups) == 1:

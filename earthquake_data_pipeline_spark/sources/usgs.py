@@ -152,8 +152,19 @@ class RetryingFetcher:
       failure re-raises so the task (and its window) is retried by Spark's
       own task-retry machinery rather than silently dropped.
 
+    Only TRANSIENT failures retry: a response carrying a 4xx status
+    (except 429) can never succeed on retry — it fails fast instead of
+    hammering a rate-limited API with doomed requests.
+
     ``sleep``/``monotonic`` are injectable for deterministic tests.
     """
+
+    @staticmethod
+    def _is_transient(err: Exception) -> bool:
+        code = getattr(getattr(err, "response", None), "status_code", None)
+        if code is not None and 400 <= code < 500 and code != 429:
+            return False  # client error: retrying cannot fix it
+        return True
 
     def __init__(
         self,
@@ -188,8 +199,10 @@ class RetryingFetcher:
             self._last_request = self._monotonic()
             try:
                 return fn(*args)
-            except Exception as e:  # noqa: BLE001 — any transient I/O error
+            except Exception as e:  # noqa: BLE001 — filtered below
                 err = e
+                if not self._is_transient(e):
+                    raise
         raise err
 
     def count(self, start: date, end: date) -> int:
@@ -216,7 +229,7 @@ def make_fetcher(options: dict):
         inner = SyntheticFetcher(int(options.get("rows_per_day", "2")))
     else:
         raise ValueError(f"unknown usgs_fdsn mode: {mode!r}")
-    if "max_retries" in options or "pace_s" in options:
+    if {"max_retries", "pace_s", "backoff_s"} & options.keys():
         return RetryingFetcher(
             inner,
             max_retries=int(options.get("max_retries", "3")),

@@ -383,3 +383,15 @@ def test_redact_pii_counts_and_replacements(spark):
     assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 1, 1)
     assert out[2].redacted_text == "call <PHONE> or ping <IP> now"
     assert out[3].redacted_text == "nothing sensitive here"
+
+
+def test_redact_pii_counts_match_actual_replacements(spark):
+    from earthquake_data_pipeline_spark.operators.text import redact_pii
+
+    # the email pass consumes the phone-shaped prefix: no phantom phone count
+    df = spark.createDataFrame(
+        [(1, "reach 555-123-4567@corp.com now")], ["doc_id", "text"]
+    )
+    r = redact_pii(df).collect()[0]
+    assert r.redacted_text == "reach <EMAIL> now"
+    assert (r.n_email, r.n_phone, r.n_ipv4) == (1, 0, 0)

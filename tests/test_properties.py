@@ -85,12 +85,23 @@ def test_shapefile_wkt_roundtrip(data):
 def test_shapefile_winding_orders(data):
     outer = data.draw(closed_ring(clockwise=True))
     assert _signed_area(outer) < 0  # CW = shapefile outer
-    hole = data.draw(closed_ring(clockwise=False))
+    # build a CCW hole strictly inside the outer (shrunk toward centroid)
+    cx = sum(p[0] for p in outer[:-1]) / (len(outer) - 1)
+    cy = sum(p[1] for p in outer[:-1]) / (len(outer) - 1)
+    hole = [
+        (cx + (x - cx) * 0.3, cy + (y - cy) * 0.3) for x, y in outer
+    ][::-1]
     assert _signed_area(hole) > 0
-    wkt = _rings_to_wkt([outer, hole])
+    # storage order with an unrelated outer BETWEEN them: containment,
+    # not adjacency, must decide the hole's parent
+    far = [(x + 1000.0, y + 1000.0) for x, y in outer]
+    wkt = _rings_to_wkt([outer, far, hole])
     polys = parse_wkt_polygon(wkt)
-    # hole attaches to the outer's polygon group, not a new polygon
-    assert len(polys) == 1 and len(polys[0]) == 2
+    assert len(polys) == 2
+    by_rings = sorted(polys, key=len, reverse=True)
+    assert len(by_rings[0]) == 2 and len(by_rings[1]) == 1
+    # the hole landed in the polygon whose outer contains it
+    assert tuple(by_rings[0][0][0]) == outer[0]
 
 
 @settings(max_examples=20, deadline=None)

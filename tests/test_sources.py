@@ -331,3 +331,41 @@ def test_make_fetcher_wraps_on_request(spark):
     wrapped = make_fetcher({"mode": "synthetic", "max_retries": "2"})
     assert isinstance(wrapped, RetryingFetcher)
     assert wrapped.count(date(2024, 1, 1), date(2024, 1, 3)) == 4
+
+
+def test_retrying_fetcher_fails_fast_on_client_error():
+    from earthquake_data_pipeline_spark.sources.usgs import RetryingFetcher
+
+    class _Resp:
+        status_code = 400
+
+    class _ClientErr(Exception):
+        def __init__(self):
+            super().__init__("bad request")
+            self.response = _Resp()
+
+    class _Bad:
+        def __init__(self):
+            self.calls = 0
+
+        def count(self, start, end):
+            self.calls += 1
+            raise _ClientErr()
+
+    clock = _FakeClock()
+    bad = _Bad()
+    f = RetryingFetcher(bad, max_retries=3, sleep=clock.sleep, monotonic=clock.monotonic)
+    with pytest.raises(_ClientErr):
+        f.count(date(2024, 1, 1), date(2024, 1, 2))
+    assert bad.calls == 1  # 4xx is permanent: no retries, no backoff
+    assert clock.sleeps == []
+
+
+def test_make_fetcher_wraps_on_backoff_only():
+    from earthquake_data_pipeline_spark.sources.usgs import (
+        RetryingFetcher,
+        make_fetcher,
+    )
+
+    wrapped = make_fetcher({"mode": "synthetic", "backoff_s": "2.0"})
+    assert isinstance(wrapped, RetryingFetcher) and wrapped.backoff_s == 2.0

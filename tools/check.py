@@ -103,7 +103,8 @@ def main() -> int:
         else:
             print(f"PASS {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failures)}/{n_run} passed")
     return 1 if failures else 0
 
 
