@@ -885,6 +885,46 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = _minhash_sql()
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rules family): top-token /
+    distinct-token / duplicate-bigram ratios per document — the filters
+    that catch boilerplate and degenerate text before training. Ratios
+    are integer÷integer + round(6): exact cross-engine parity."""
+    _utc(spark)
+    from .operators.text import repetition_signals
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+SQL_DOC_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+), per AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok,
+         count(*) AS n_distinct
+  FROM per GROUP BY 1
+), bi AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_toks,
+         CASE WHEN len({_TOKS_SQL}) >= 2 THEN len(list_distinct(list_transform(
+             generate_series(1, len({_TOKS_SQL}) - 1),
+             i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])))
+              ELSE 0 END AS n_distinct_bi
+  FROM documents
+)
+SELECT t.doc_id, t.n_tokens,
+       round(t.top_tok / t.n_tokens, 6) AS top_token_ratio,
+       round(t.n_distinct / t.n_tokens, 6) AS distinct_token_ratio,
+       CASE WHEN b.n_toks >= 2
+            THEN round(1 - b.n_distinct_bi / (b.n_toks - 1), 6)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM tok_stats t JOIN bi b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-width histogram (width_bucket shape): o_totalprice binned at
     50k, count + decimal-exact sum + span per bin. One map-side bin
@@ -1827,6 +1867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh": q_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "doc_repetition": q_doc_repetition,
     "value_histogram": q_value_histogram,
     "eval_overlap": q_eval_overlap,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1875,6 +1916,7 @@ ORACLE: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_lsh": SQL_MINHASH_LSH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "doc_repetition": SQL_DOC_REPETITION,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "eval_overlap": SQL_EVAL_OVERLAP,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

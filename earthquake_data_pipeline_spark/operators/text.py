@@ -194,3 +194,54 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(stage, F.lit(pattern)))
         stage = F.regexp_replace(stage, pattern, token)
     return out.withColumn("redacted_text", stage)
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): the
+    filters that catch boilerplate and degenerate generations before
+    training.
+
+    - ``top_token_ratio``      — most frequent token / total tokens
+    - ``distinct_token_ratio`` — distinct / total tokens
+    - ``dup_bigram_ratio``     — 1 − distinct bigrams / total bigrams
+
+    Per-token counts go through an explode + (doc, token) groupBy — the
+    shuffle-bounded scale shape, never an O(n²) per-document fold. All
+    ratios are integer÷integer in double + round(6): identical integers
+    on both engines ⇒ identical doubles ⇒ exact oracle parity.
+    """
+    from .fuzzy_dedup import shingles_of
+
+    ex = df.select(F.col(id_col), F.explode(tokens_of(text_col)).alias("tok"))
+    per = ex.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    tok_stats = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_tok"),
+        F.count("*").alias("n_distinct"),
+    )
+    bi = df.select(
+        F.col(id_col),
+        F.size(tokens_of(text_col)).alias("n_toks"),
+        F.size(shingles_of(text_col, 2)).alias("n_distinct_bi"),
+    )
+    return (
+        tok_stats.join(bi, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias(
+                "top_token_ratio"
+            ),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "distinct_token_ratio"
+            ),
+            F.when(
+                F.col("n_toks") >= 2,
+                F.round(
+                    1 - F.col("n_distinct_bi") / (F.col("n_toks") - 1), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_ratio"),
+        )
+    )

@@ -395,3 +395,24 @@ def test_redact_pii_counts_match_actual_replacements(spark):
     r = redact_pii(df).collect()[0]
     assert r.redacted_text == "reach <EMAIL> now"
     assert (r.n_email, r.n_phone, r.n_ipv4) == (1, 0, 0)
+
+
+def test_repetition_signals_values(spark):
+    from earthquake_data_pipeline_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated: max repetition
+            (2, "w x y z"),          # all distinct: no repetition
+            (3, "a b a b a b"),      # alternating: distinct bigrams = 2 of 5
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].top_token_ratio == 1.0
+    assert out[1].distinct_token_ratio == 0.25
+    assert out[1].dup_bigram_ratio == round(1 - 1 / 3, 6)
+    assert out[2].top_token_ratio == 0.25
+    assert out[2].distinct_token_ratio == 1.0
+    assert out[2].dup_bigram_ratio == 0.0
+    assert out[3].dup_bigram_ratio == 0.6  # 2 distinct of 5 bigrams
