@@ -2,12 +2,15 @@
 ``binary`` columns + typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched pandas stages over mapInPandas.
 
-The media codecs are NOT in this container, so the decode kernels are
-STUBBED: ``decode=fake`` produces deterministic pseudo-features from the
-bytes (so the full pipeline is testable end-to-end), ``decode=real``
-raises NotImplementedError at the exact point a PIL/ffmpeg call would go.
-Everything around the stub — schema, binary handling, Arrow batch shape,
-partitioning — is real Spark plumbing and is what these operators verify.
+Codec support is tiered. ``decode=fake`` produces deterministic
+pseudo-features from the bytes (full pipeline testable end-to-end with
+any payload). ``decode=real`` REALLY decodes the uncompressed public
+formats a pure-stdlib codec can handle — BMP (24/32 bpp BI_RGB) and WAV
+(PCM 8/16-bit) via operators/codecs.py: pixel/sample access, numpy
+feature descriptors, nearest-neighbor resize with BMP re-encode.
+Compressed formats (PNG/JPEG/MP4) still raise NotImplementedError at the
+exact point a PIL/ffmpeg call would go — that remains the integration
+seam in this container.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata (no side-channel file fetch per row); mapInPandas streams Arrow
@@ -67,12 +70,16 @@ def extract_features(
 
     decode='fake': deterministic pseudo-embedding from md5(payload) bytes —
     exercises the full binary→vector pipeline without codecs.
-    decode='real': the integration point for PIL/torchvision/ffmpeg.
+    decode='real': BMP/WAV decode to numpy descriptors via
+    operators/codecs.py; compressed formats raise at the PIL/ffmpeg
+    integration point.
     """
 
     def fn(batches):
         import numpy as np
         import pandas as pd
+
+        from . import codecs
 
         for pdf in batches:
             ids, lens, hashes, feats = [], [], [], []
@@ -88,9 +95,21 @@ def extract_features(
                 digest = hashlib.md5(raw)
                 hashes.append(digest.hexdigest())
                 if decode == "real":
+                    fmt = codecs.sniff_format(raw)
+                    if fmt == "bmp":
+                        feats.append(
+                            codecs.image_feature(codecs.decode_bmp(raw), feature_dim)
+                        )
+                        continue
+                    if fmt == "wav":
+                        feats.append(
+                            codecs.audio_feature(*codecs.decode_wav(raw), feature_dim)
+                        )
+                        continue
                     raise NotImplementedError(
-                        "media decode requires PIL/ffmpeg — not in this "
-                        "container; wire the codec call here"
+                        f"media decode for {fmt or 'unknown'} requires "
+                        "PIL/ffmpeg — not in this container; wire the codec "
+                        "call here"
                     )
                 # fake decode: md5-seeded bytes → unit-ish float vector
                 seed = digest.digest()
@@ -166,7 +185,9 @@ def resize_images(
     decode='fake' re-hashes the payload with the target geometry so the
     output bytes are deterministic and dimension-dependent (pipeline
     plumbing is real: binary in → binary out, metadata columns updated);
-    decode='real' is the PIL.Image.resize integration point.
+    decode='real' decodes BMP, nearest-neighbor-resizes in numpy, and
+    re-encodes BMP (codecs.py); other formats raise at the PIL
+    integration point.
     """
     out_schema = T.StructType(
         [
@@ -180,6 +201,8 @@ def resize_images(
     def fn(batches):
         import pandas as pd
 
+        from . import codecs
+
         for pdf in batches:
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -187,11 +210,18 @@ def resize_images(
                 if payload is None:
                     payloads.append(None)
                     continue
-                if decode == "real":
-                    raise NotImplementedError(
-                        "image resize requires PIL — wire Image.resize here"
-                    )
                 raw = bytes(payload)
+                if decode == "real":
+                    if codecs.sniff_format(raw) == "bmp":
+                        resized = codecs.resize_nearest(
+                            codecs.decode_bmp(raw), target_w, target_h
+                        )
+                        payloads.append(codecs.encode_bmp(resized))
+                        continue
+                    raise NotImplementedError(
+                        "image resize for non-BMP requires PIL — wire "
+                        "Image.resize here"
+                    )
                 tag = f":{target_w}x{target_h}".encode()
                 payloads.append(hashlib.md5(raw + tag).digest() + raw[:16])
             yield pd.DataFrame(

@@ -16,6 +16,7 @@ from earthquake_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     extract_features,
     frame_sample,
+    resize_images,
 )
 from earthquake_data_pipeline_spark.operators.similarity import (
     cosine_topk,
@@ -416,3 +417,85 @@ def test_repetition_signals_values(spark):
     assert out[2].distinct_token_ratio == 1.0
     assert out[2].dup_bigram_ratio == 0.0
     assert out[3].dup_bigram_ratio == 0.6  # 2 distinct of 5 bigrams
+
+
+def _bmp_bytes(w=8, h=6):
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import encode_bmp
+
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = np.arange(w, dtype=np.uint8) * 30        # R gradient
+    rgb[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * 40  # G gradient
+    return rgb, encode_bmp(rgb)
+
+
+def _wav_bytes(rate=8000, freq=440, ms=250):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * ms / 1000)) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_codec_bmp_roundtrip_and_resize():
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+        sniff_format,
+    )
+
+    rgb, raw = _bmp_bytes(5, 3)  # odd width exercises row padding
+    assert sniff_format(raw) == "bmp"
+    assert np.array_equal(decode_bmp(raw), rgb)
+    small = resize_nearest(rgb, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(small)), small)
+
+
+def test_codec_wav_decode():
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_wav,
+        sniff_format,
+    )
+
+    raw = _wav_bytes()
+    assert sniff_format(raw) == "wav"
+    rate, channels, samples = decode_wav(raw)
+    assert (rate, channels) == (8000, 1)
+    assert len(samples) == 2000 and abs(samples).max() <= 1.0
+
+
+def test_multimodal_real_decode_bmp_and_wav(spark):
+    rgb, bmp = _bmp_bytes()
+    wav = _wav_bytes()
+    rows = [(1, "image", bmp, None, None, None), (2, "audio", wav, None, None, None)]
+    from earthquake_data_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_features(media, decode="real").collect()}
+    assert feats[1].feature[0] == 8.0 and feats[1].feature[1] == 6.0  # w, h
+    assert feats[2].feature[0] == 8.0 and feats[2].feature[1] == 1.0  # kHz, ch
+    assert abs(feats[2].feature[3] - 0.43) < 0.05  # sine rms ~ 0.61*0.707
+    resized = {
+        r.media_id: r
+        for r in resize_images(
+            media.filter(F.col("media_id") == 1), 4, 4, decode="real"
+        ).collect()
+    }
+    from earthquake_data_pipeline_spark.operators.codecs import decode_bmp
+
+    out = decode_bmp(bytes(resized[1].payload))
+    assert out.shape == (4, 4, 3)
