@@ -27,6 +27,42 @@ from .qcommon import _fanout, _table, _utc
 # ---------------------------------------------------------------------------
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize:
+    per-(flag,status), per-flag, and per-status subtotals (but NOT the
+    grand total — a set rollup/cube can't express). One Expand + one
+    HashAggregate pair, same single-shuffle plan as rollup at any scale."""
+    _utc(spark)
+    li = _table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n_items,
+               round(sum(l_quantity), 6) AS sum_qty
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_items,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+ORDER BY gid, returnflag, linestatus
+"""
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): hierarchy totals in one pass.
 
@@ -908,6 +944,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "grouping_sets": q_grouping_sets,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
     "pivot_status": q_pivot_status,
@@ -932,6 +969,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_EXT: dict[str, str] = {
+    "grouping_sets": SQL_GROUPING_SETS,
     "rollup_agg": SQL_ROLLUP_AGG,
     "cube_agg": SQL_CUBE_AGG,
     "pivot_status": SQL_PIVOT_STATUS,
