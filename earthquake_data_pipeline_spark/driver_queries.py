@@ -461,23 +461,38 @@ ORDER BY frequency DESC, l_returnflag, l_linestatus, ship_decade
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (the canonical OLAP agg): 2 group keys × 8 aggregates
-    over the biggest fact table — partial+final HashAggregate, one shuffle."""
+    over the biggest fact table — partial+final HashAggregate, one shuffle.
+
+    All money sums run in decimal: the 2-dp inputs are exact as
+    decimal(15,2), the discount/tax factors as decimal(4,2), and their
+    products are exact at scale 4/6 — so every aggregate is bit-identical
+    to the oracle regardless of summation order (a double sum at 1e9
+    magnitude diverges past 6 dp at sf0.1+). Averages derive from the
+    exact sums; round6x makes the final rounding tie-proof."""
     _utc(spark)
+    from .qcommon import round6x
+
     li = _table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty_d = F.col("l_quantity").cast("decimal(15,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(15,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    one_m_disc = (1 - F.col("l_discount")).cast("decimal(4,2)")
+    one_p_tax = (1 + F.col("l_tax")).cast("decimal(4,2)")
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(charge), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(price_d * one_m_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price_d * one_m_disc * one_p_tax)
+            .cast("double")
+            .alias("sum_charge"),
+            round6x(F.sum(qty_d).cast("double") / n).alias("avg_qty"),
+            round6x(F.sum(price_d).cast("double") / n).alias("avg_price"),
+            round6x(F.sum(disc_d).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -485,13 +500,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))
+                * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+                       / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_qty,
+       CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+                       / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_price,
+       CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                       / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -759,11 +780,11 @@ WITH base AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
-       round(n_stop / n_tok, 6) AS stopword_ratio,
-       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-       round((n_stop / n_tok) * 0.4
+       CAST(round(CAST(n_stop / n_tok AS DECIMAL(18,12)), 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(CAST(n_punct / greatest(n_chars, 1) AS DECIMAL(18,12)), 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(CAST((n_stop / n_tok) * 0.4
              + least(((n_chars - (n_tok - 1)) / n_tok) / 10.0, 1.0) * 0.3
-             + (1.0 - n_punct / greatest(n_chars, 1)) * 0.3, 6) AS quality_score
+             + (1.0 - n_punct / greatest(n_chars, 1)) * 0.3 AS DECIMAL(18,12)), 6) AS DOUBLE) AS quality_score
 FROM m
 """
 
@@ -915,10 +936,10 @@ WITH toks AS (
   FROM documents
 )
 SELECT t.doc_id, t.n_tokens,
-       round(t.top_tok / t.n_tokens, 6) AS top_token_ratio,
-       round(t.n_distinct / t.n_tokens, 6) AS distinct_token_ratio,
+       CAST(round(CAST(t.top_tok / t.n_tokens AS DECIMAL(18,12)), 6) AS DOUBLE) AS top_token_ratio,
+       CAST(round(CAST(t.n_distinct / t.n_tokens AS DECIMAL(18,12)), 6) AS DOUBLE) AS distinct_token_ratio,
        CASE WHEN b.n_toks >= 2
-            THEN round(1 - b.n_distinct_bi / (b.n_toks - 1), 6)
+            THEN CAST(round(CAST(1 - b.n_distinct_bi / (b.n_toks - 1) AS DECIMAL(18,12)), 6) AS DOUBLE)
             ELSE 0.0 END AS dup_bigram_ratio
 FROM tok_stats t JOIN bi b USING (doc_id)
 ORDER BY doc_id
@@ -1297,8 +1318,8 @@ WITH sh AS (
   FROM documents WHERE doc_id < 40
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.sh, b.sh))
-             / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+       CAST(round(CAST(len(list_intersect(a.sh, b.sh))
+             / greatest(len(list_distinct(a.sh || b.sh)), 1) AS DECIMAL(18,12)), 6) AS DOUBLE) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh)) > 0
 """
@@ -1343,13 +1364,13 @@ WITH pairs AS (
   FROM documents
 )
 SELECT p.doc_a AS id_a, p.doc_b AS id_b,
-       round(len(list_intersect(a.sh, b.sh))
-             / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+       CAST(round(CAST(len(list_intersect(a.sh, b.sh))
+             / greatest(len(list_distinct(a.sh || b.sh)), 1) AS DECIMAL(18,12)), 6) AS DOUBLE) AS jaccard
 FROM pairs p
 JOIN shing a ON a.doc_id = p.doc_a
 JOIN shing b ON b.doc_id = p.doc_b
-WHERE round(len(list_intersect(a.sh, b.sh))
-            / greatest(len(list_distinct(a.sh || b.sh)), 1), 6) >= 0.2
+WHERE CAST(round(CAST(len(list_intersect(a.sh, b.sh))
+            / greatest(len(list_distinct(a.sh || b.sh)), 1) AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.2
 ORDER BY 1, 2
 """
 
@@ -1609,12 +1630,22 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     curated = kept.join(survivors, ["doc_fingerprint", "doc_id"])
+    from .qcommon import round6x
+
+    # avgs from exact accumulations: integer sum for tokens, decimal(18,6)
+    # sum for the (6-dp) scores — a double avg() is summation-order-
+    # sensitive and diverges from the oracle at the last ulp at sf>=0.1
     return (
         curated.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            round6x(
+                F.sum("n_tokens").cast("double") / F.count("*")
+            ).alias("avg_tokens"),
+            round6x(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -1624,13 +1655,13 @@ SQL_CORPUS_CURATION = rf"""
 WITH scored AS (
   SELECT doc_id, source,
          len({_TOKS_SQL}) AS n_tok,
-         round((len(list_filter({_TOKS_SQL}, t -> list_contains(
+         CAST(round(CAST((len(list_filter({_TOKS_SQL}, t -> list_contains(
                    ['the','a','an','of','and','to','in','is'], t)))
                 / len({_TOKS_SQL})) * 0.4
                + least(((length(text) - (len({_TOKS_SQL}) - 1))
                         / len({_TOKS_SQL})) / 10.0, 1.0) * 0.3
                + (1.0 - len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
-                        / greatest(length(text), 1)) * 0.3, 6) AS q,
+                        / greatest(length(text), 1)) * 0.3 AS DECIMAL(18,12)), 6) AS DOUBLE) AS q,
          md5(array_to_string({_TOKS_SQL}, ' ')) AS fp
   FROM documents
 ), kept AS (
@@ -1640,8 +1671,8 @@ WITH scored AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       round(avg(n_tok), 6) AS avg_tokens,
-       round(avg(q), 6) AS avg_quality
+       CAST(round(CAST(CAST(sum(n_tok) AS DOUBLE) / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_tokens,
+       CAST(round(CAST(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_quality
 FROM kept JOIN surv USING (fp, doc_id)
 GROUP BY 1
 ORDER BY 1

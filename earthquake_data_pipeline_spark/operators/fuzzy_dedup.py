@@ -164,12 +164,16 @@ def ngram_jaccard_pairs(
     rs = right.select(
         F.col(id_col).alias("id_b"), shingles_of(text_col, shingle_n).alias("sh_b")
     )
+    from ..qcommon import round6x
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter / F.greatest(union, F.lit(1))
     return (
         ls.join(rs, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        # round6x: x/128-style ratios tie at the 7th digit, where plain
+        # double rounding diverges between engines
+        .select("id_a", "id_b", round6x(jac).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -68,12 +68,17 @@ def quality_score(
         + F.least(mean_word_len / 10.0, F.lit(1.0)) * 0.3
         + (1.0 - punct_ratio) * 0.3
     )
+    from ..qcommon import round6x
+
     return df.select(
         "*",
         n_tok.cast("bigint").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        # round6x, not round(x, 6): small-int ratios sit on 7-dp ties
+        # (x/128, composite scores with /3200 denominators) where plain
+        # double rounding diverges between engines
+        round6x(stop_ratio).alias("stopword_ratio"),
+        round6x(punct_ratio).alias("punct_ratio"),
+        round6x(score).alias("quality_score"),
     )
 
 
@@ -207,9 +212,10 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     Per-token counts go through an explode + (doc, token) groupBy — the
     shuffle-bounded scale shape, never an O(n²) per-document fold. All
-    ratios are integer÷integer in double + round(6): identical integers
-    on both engines ⇒ identical doubles ⇒ exact oracle parity.
+    ratios are integer÷integer in double (identical on both engines) +
+    round6x (tie-proof engine-neutral rounding) for exact oracle parity.
     """
+    from ..qcommon import round6x
     from .fuzzy_dedup import shingles_of
 
     ex = df.select(F.col(id_col), F.explode(tokens_of(text_col)).alias("tok"))
@@ -229,17 +235,15 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         .select(
             id_col,
             "n_tokens",
-            F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias(
+            round6x(F.col("top_tok") / F.col("n_tokens")).alias(
                 "top_token_ratio"
             ),
-            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            round6x(F.col("n_distinct") / F.col("n_tokens")).alias(
                 "distinct_token_ratio"
             ),
             F.when(
                 F.col("n_toks") >= 2,
-                F.round(
-                    1 - F.col("n_distinct_bi") / (F.col("n_toks") - 1), 6
-                ),
+                round6x(1 - F.col("n_distinct_bi") / (F.col("n_toks") - 1)),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_bigram_ratio"),

@@ -42,3 +42,23 @@ def _fanout(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def round6x(col):
+    """Engine-neutral 6-dp rounding for a double that is BIT-IDENTICAL in
+    both engines (per-row expressions, int/int divisions — NOT raw float
+    sums, which need decimal accumulation first).
+
+    Plain round(double, 6) diverges between engines when the value sits
+    on a 7+-dp tie (Spark rounds the shortest decimal representation,
+    DuckDB the scaled binary value) — and small-integer ratios hit such
+    ties SYSTEMATICALLY (x/128 always ends in ...5 at its 7th digit).
+    Routing through decimal makes it deterministic: the double→
+    decimal(18,12) cast is tie-free in practice (a ratio's binary
+    expansion does not terminate on a 1e-12 grid), and rounding an exact
+    decimal is HALF_UP in Spark and half-away-from-zero in DuckDB —
+    identical for non-negative values.
+
+    The DuckDB twin is: CAST(round(CAST(x AS DECIMAL(18,12)), 6) AS DOUBLE).
+    """
+    return F.round(col.cast("decimal(18,12)"), 6).cast("double")
