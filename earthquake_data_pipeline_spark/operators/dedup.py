@@ -91,11 +91,15 @@ def connected_components(
     Output: (doc_id, component_id = min id in component, is_canonical) —
     fully deterministic, so it carries an exact recursive-CTE oracle.
     """
-    sym = edges.select(
+    # checkpoint the edge list BEFORE symmetrizing: union references the
+    # subtree twice, and Catalyst re-evaluates it (an LSH pair-generation
+    # input would run twice); the checkpoint makes the second reference a
+    # cheap re-scan
+    base = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
-    sym = sym.union(
-        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    sym = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("id"))
