@@ -1337,7 +1337,11 @@ def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     cand = minhash_lsh_pairs(docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS)
-    sh = docs.select(F.col("doc_id"), shingles_of("text", 3).alias("sh"))
+    # checkpoint: the a/b sides below reference this subtree twice and
+    # Catalyst would re-run the shingling for each
+    sh = docs.select(
+        F.col("doc_id"), shingles_of("text", 3).alias("sh")
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
