@@ -1439,18 +1439,18 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs_lsh
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
-    # 24 planes / 4 bands = 6 sign bits -> 64 buckets per band: the
-    # candidate set scales as n^2/64 per band (bounded re-rank; at larger
-    # corpora raise planes-per-band to keep buckets small), while recall
-    # for high-similarity pairs stays high; the exact dense operator is
-    # the ground truth
+    # 28 planes / 4 bands = 7 sign bits -> 128 buckets per band: the
+    # candidate set scales as n^2/128 per band (bounded re-rank; at larger
+    # corpora raise planes-per-band further to keep buckets small), while
+    # recall for high-similarity pairs stays high; the exact dense
+    # operator is the ground truth
     return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.4, num_planes=24, num_bands=4, dim=64
+        emb, threshold=0.4, num_planes=28, num_bands=4, dim=64
     )
 
 
 def _near_dup_lsh_oracle_sql(
-    threshold: float = 0.4, num_planes: int = 24, num_bands: int = 4, dim: int = 64
+    threshold: float = 0.4, num_planes: int = 28, num_bands: int = 4, dim: int = 64
 ) -> str:
     """DuckDB oracle for q_embedding_near_dup_lsh: identical plane
     literals, per-band sign-bit keys, UNION ALL banding, distinct
@@ -1627,9 +1627,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
     scored = fingerprint(quality_score(docs))
+    # checkpoint: kept feeds BOTH the survivor groupBy and the join back,
+    # and Catalyst would re-run the scoring+fingerprint chain for each
     kept = scored.filter(
         (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5)
-    )
+    ).localCheckpoint(eager=False)
     survivors = kept.groupBy("doc_fingerprint").agg(
         F.min("doc_id").alias("doc_id")
     )
