@@ -906,6 +906,118 @@ FROM bands a JOIN bands b
 SQL_MINHASH_LSH = _minhash_sql()
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics (WHEN MATCHED UPDATE / NOT MATCHED INSERT /
+    else keep) as one full-outer join — the general upsert the
+    reference's insert-only MERGE specializes (S13). Updated prices are
+    derived in exact decimal (price × 1.10 at scale 4) so every value is
+    bit-identical to the oracle's."""
+    _utc(spark)
+    from .operators.merge import upsert_merge
+
+    orders = _table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") < 3000).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        orders.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 5000))
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice").cast("decimal(15,2)")
+                * F.lit("1.10").cast("decimal(3,2)")
+            )
+            .cast("double")
+            .alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    return upsert_merge(base, updates, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+SQL_UPSERT_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey < 3000
+), upd AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2))
+              * CAST(1.10 AS DECIMAL(3,2)) AS DOUBLE) AS o_totalprice,
+         'U' AS o_orderstatus
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000
+)
+SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+            ELSE b.o_totalprice END AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+            ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+            THEN 'update'
+            WHEN u.o_orderkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM base b FULL JOIN upd u USING (o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus curation: extract the host from URLs embedded in text
+    (regexp capture group — identical RE2/Java semantics) and group into
+    per-domain stats with a canonical doc per domain — the URL-based
+    dedup/mixing step of a crawl pipeline. URLs are seeded
+    deterministically (the corpus has none)."""
+    _utc(spark)
+    docs = _fanout(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, ".com")
+        .when(F.col("doc_id") % 3 == 1, ".org")
+        .otherwise(".net")
+    )
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://"),
+            F.col("source"),
+            tld,
+            F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ."),
+        ).alias("text"),
+    )
+    domain = F.regexp_extract(F.col("text"), r"https?://([^/\s]+)", 1)
+    return (
+        seeded.select("doc_id", domain.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .orderBy("domain")
+    )
+
+
+SQL_URL_DOMAINS = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' via https://' || source
+              || CASE WHEN doc_id % 3 = 0 THEN '.com'
+                      WHEN doc_id % 3 = 1 THEN '.org'
+                      ELSE '.net' END
+              || '/doc/' || doc_id::VARCHAR || ' .' AS text
+  FROM documents
+)
+SELECT regexp_extract(text, 'https?://([^/\s]+)', 1) AS domain,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM seeded
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (Gopher-rules family): top-token /
     distinct-token / duplicate-bigram ratios per document — the filters
@@ -1904,6 +2016,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "minhash_lsh": q_minhash_lsh,
     "dedup_components": q_dedup_components,
+    "upsert_merge": q_upsert_merge,
+    "url_domains": q_url_domains,
     "doc_repetition": q_doc_repetition,
     "value_histogram": q_value_histogram,
     "eval_overlap": q_eval_overlap,
@@ -1953,6 +2067,8 @@ ORACLE: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_lsh": SQL_MINHASH_LSH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "upsert_merge": SQL_UPSERT_MERGE,
+    "url_domains": SQL_URL_DOMAINS,
     "doc_repetition": SQL_DOC_REPETITION,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "eval_overlap": SQL_EVAL_OVERLAP,

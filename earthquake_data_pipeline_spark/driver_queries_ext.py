@@ -27,6 +27,49 @@ from .qcommon import _fanout, _table, _utc
 # ---------------------------------------------------------------------------
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the rows-frame suite): per-user count
+    and decimal-exact sum of events in the trailing 1-hour window of each
+    event — frame membership decided by VALUE distance on epoch seconds,
+    not row offsets, so ties and gaps behave correctly. One hash exchange
+    + one sort, all functions on the shared frame."""
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            epoch.alias("epoch_s"),
+            F.count("*").over(w).alias("n_events_1h"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_value_1h"),
+        )
+        .orderBy("user_id", "epoch_s", "event_id")
+    )
+
+
+SQL_RANGE_FRAME = """
+SELECT user_id, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       count(*) OVER w AS n_events_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_1h
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, epoch_s, event_id
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the general form rollup/cube specialize:
     per-(flag,status), per-flag, and per-status subtotals (but NOT the
@@ -944,6 +987,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -969,6 +1013,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_EXT: dict[str, str] = {
+    "range_frame": SQL_RANGE_FRAME,
     "grouping_sets": SQL_GROUPING_SETS,
     "rollup_agg": SQL_ROLLUP_AGG,
     "cube_agg": SQL_CUBE_AGG,

@@ -78,3 +78,52 @@ def incremental_upsert(
     batch = high_water_mark_filter(new, existing, ts_col) if use_hwm else new
     batch = dedup_row_number(batch, keys, tiebreak=[ts_col])
     return anti_join_merge(batch, existing, keys)
+
+
+def upsert_merge(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Full MERGE semantics as a batch plan: WHEN MATCHED THEN UPDATE,
+    WHEN NOT MATCHED THEN INSERT, existing-only rows kept — the general
+    upsert the reference's insert-if-absent MERGE (S13) specializes.
+
+    One full-outer equi-join on the keys; non-key columns resolve
+    update-wins via coalesce; an ``action`` column records what happened
+    per row (the audit a warehouse MERGE reports). With a table format
+    (Delta/Iceberg) this becomes MERGE INTO; the join formulation is the
+    engine-only equivalent and shuffles once on the key.
+    """
+    key_list = list(keys)
+    value_cols = [c for c in existing.columns if c not in key_list]
+    # presence markers, not value-column null checks: a legitimately NULL
+    # value column must not make a matched row look unmatched
+    ex = existing.select(
+        *key_list,
+        F.lit(1).alias("__ex_present"),
+        *[F.col(c).alias(f"__ex_{c}") for c in value_cols],
+    )
+    up = updates.select(
+        *key_list,
+        F.lit(1).alias("__up_present"),
+        *[F.col(c).alias(f"__up_{c}") for c in value_cols],
+    )
+    joined = ex.join(up, key_list, "full")
+    matched_up = F.col("__up_present").isNotNull()
+    matched_ex = F.col("__ex_present").isNotNull()
+    action = (
+        F.when(matched_up & matched_ex, "update")
+        .when(matched_up, "insert")
+        .otherwise("keep")
+    )
+    return joined.select(
+        *key_list,
+        *[
+            F.when(matched_up, F.col(f"__up_{c}"))
+            .otherwise(F.col(f"__ex_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+        action.alias("action"),
+    )

@@ -72,3 +72,19 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     out = {r.kept_id: r.dup_count for r in exact_dedup(df, ["text"], "id").collect()}
     assert out == {1: 2, 3: 1}
+
+
+def test_upsert_merge_actions_and_null_values(spark):
+    from earthquake_data_pipeline_spark.operators.merge import upsert_merge
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["k", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, None)], ["k", "v"]
+    )
+    out = {r.k: (r.v, r.action) for r in upsert_merge(existing, updates, ["k"]).collect()}
+    assert out[1] == ("a", "keep")
+    assert out[2] == ("B", "update")   # matched despite NULL existing value
+    assert out[3] == ("c", "keep")
+    assert out[4] == (None, "insert")  # NULL update value still inserts
