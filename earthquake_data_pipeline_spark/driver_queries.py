@@ -485,8 +485,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty_d).cast("double").alias("sum_qty"),
             F.sum(price_d).cast("double").alias("sum_base_price"),
-            F.sum(price_d * one_m_disc).cast("double").alias("sum_disc_price"),
+            # scale-2 re-round before the double cast: a scale-6 sum at
+            # 1e10 magnitude has a >2^53 significand, where decimal->double
+            # conversion can differ by 1 ulp between engines; at scale 2
+            # the significand stays exactly convertible to ~9e13. NB the
+            # DuckDB twin is round(sum, 2) — its decimal->decimal CAST
+            # truncates, while Spark's cast and its round() are half-up
+            F.sum(price_d * one_m_disc)
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("sum_disc_price"),
             F.sum(price_d * one_m_disc * one_p_tax)
+            .cast("decimal(38,2)")
             .cast("double")
             .alias("sum_charge"),
             round6x(F.sum(qty_d).cast("double") / n).alias("avg_qty"),
@@ -502,11 +512,13 @@ SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
-                * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                * CAST(1 - l_discount AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))
                 * CAST(1 - l_discount AS DECIMAL(4,2))
-                * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+                * CAST(1 + l_tax AS DECIMAL(4,2))), 2)
+            AS DOUBLE) AS sum_charge,
        CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
                        / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_qty,
        CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
@@ -1040,7 +1052,7 @@ WITH toks AS (
          count(*) AS n_distinct
   FROM per GROUP BY 1
 ), bi AS (
-  SELECT doc_id, len({_TOKS_SQL}) AS n_toks,
+  SELECT doc_id,
          CASE WHEN len({_TOKS_SQL}) >= 2 THEN len(list_distinct(list_transform(
              generate_series(1, len({_TOKS_SQL}) - 1),
              i -> {_TOKS_SQL}[i] || ' ' || {_TOKS_SQL}[i+1])))
@@ -1050,8 +1062,8 @@ WITH toks AS (
 SELECT t.doc_id, t.n_tokens,
        CAST(round(CAST(t.top_tok / t.n_tokens AS DECIMAL(18,12)), 6) AS DOUBLE) AS top_token_ratio,
        CAST(round(CAST(t.n_distinct / t.n_tokens AS DECIMAL(18,12)), 6) AS DOUBLE) AS distinct_token_ratio,
-       CASE WHEN b.n_toks >= 2
-            THEN CAST(round(CAST(1 - b.n_distinct_bi / (b.n_toks - 1) AS DECIMAL(18,12)), 6) AS DOUBLE)
+       CASE WHEN t.n_tokens >= 2
+            THEN CAST(round(CAST(1 - b.n_distinct_bi / (t.n_tokens - 1) AS DECIMAL(18,12)), 6) AS DOUBLE)
             ELSE 0.0 END AS dup_bigram_ratio
 FROM tok_stats t JOIN bi b USING (doc_id)
 ORDER BY doc_id
@@ -1456,9 +1468,11 @@ def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    from .qcommon import round6x
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    jac = round6x(inter / F.greatest(union, F.lit(1)))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -94,6 +94,11 @@ def upsert_merge(
     per row (the audit a warehouse MERGE reports). With a table format
     (Delta/Iceberg) this becomes MERGE INTO; the join formulation is the
     engine-only equivalent and shuffles once on the key.
+
+    Keys must be unique on each side — SQL MERGE raises on multiple
+    source matches; this join formulation would instead fan rows out.
+    Deduplicate first (``dedup_row_number``) when uniqueness is not
+    guaranteed.
     """
     key_list = list(keys)
     value_cols = [c for c in existing.columns if c not in key_list]

@@ -225,9 +225,11 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.max("c").alias("top_tok"),
         F.count("*").alias("n_distinct"),
     )
+    # total tokens = sum of per-token counts (tok_stats.n_tokens), so the
+    # bigram branch only needs the distinct-bigram size — no third
+    # tokenization pass
     bi = df.select(
         F.col(id_col),
-        F.size(tokens_of(text_col)).alias("n_toks"),
         F.size(shingles_of(text_col, 2)).alias("n_distinct_bi"),
     )
     return (
@@ -242,8 +244,8 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
                 "distinct_token_ratio"
             ),
             F.when(
-                F.col("n_toks") >= 2,
-                round6x(1 - F.col("n_distinct_bi") / (F.col("n_toks") - 1)),
+                F.col("n_tokens") >= 2,
+                round6x(1 - F.col("n_distinct_bi") / (F.col("n_tokens") - 1)),
             )
             .otherwise(F.lit(0.0))
             .alias("dup_bigram_ratio"),
