@@ -46,6 +46,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
         "sf": sf,
     }))
 
