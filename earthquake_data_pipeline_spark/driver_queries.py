@@ -256,7 +256,8 @@ WITH agg AS (
   FROM events
   GROUP BY event_type
 )
-SELECT event_type, total_events, high_value_events,
+SELECT event_type, total_events,
+       CAST(high_value_events AS BIGINT) AS high_value_events,
        CAST((high_value_events * 200000000 + total_events)
             // (2 * total_events) AS DOUBLE) / 1000000.0 AS percent_high_value
 FROM agg

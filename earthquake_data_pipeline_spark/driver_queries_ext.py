@@ -332,7 +332,7 @@ WITH flagged AS (
              AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value

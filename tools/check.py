@@ -32,13 +32,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_repr(df: pd.DataFrame) -> list[tuple]:
-    out = []
+    # Type-sensitive, like the driver's hasher (round-2 lesson: values were
+    # bit-identical but DuckDB HUGEINT landed as float64 while Spark emitted
+    # int64, and Python's int == float masked it locally for two rounds).
+    # Compare per-column pandas dtype alongside the values.
+    dtypes = tuple(str(t) for t in df.dtypes)
+    out = [dtypes]
     for row in df.itertuples(index=False):
         vals = []
         for v in row:
             if isinstance(v, float):
-                # EXACT bits, like the driver's hasher (round-1 lesson: a
-                # 9-dp-rounded local gate passed queries the driver failed).
+                # EXACT bits (round-1 lesson: a 9-dp-rounded local gate
+                # passed queries the driver failed).
                 # NaN != NaN would flag aligned nulls as a mismatch.
                 vals.append(None if v != v else v)
             else:
