@@ -969,21 +969,248 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB scale path when exactness can
     be traded: HyperLogLog++ distinct counts (fixed-size sketch vs a
     distinct-set shuffle) and approximate percentiles (Greenwald-Khanna,
-    bounded memory vs a full sort). Rows-only check: sketch outputs are
-    engine-specific by nature, so no SQL oracle — the exact twins
-    (distinct_agg, percentile_stats) are the ground truth."""
+    bounded memory vs a full sort).
+
+    Sketch OUTPUTS are engine-specific, so the oracle checks the sketch
+    GUARANTEES instead, all in exact integer arithmetic so the booleans
+    are deterministic:
+      * ``customers_within_10pct`` — HLL++ (rsd=0.02) estimate within
+        10% relative error of the exact distinct count (5x the rsd).
+      * ``median_rank_within_1pct`` — percentile_approx (accuracy=1000,
+        i.e. <=0.1% rank error) returns an actual data element whose
+        exact rank is within 1% of n/2 (10x the guarantee), checked via
+        count(x < v) / count(x <= v) bracketing.
+    The exact distinct count is also emitted and hash-checked against
+    DuckDB directly. The exact twins (distinct_agg, percentile_stats)
+    remain the value-level ground truth."""
     _utc(spark)
     # _fanout: the sketch build is the map-side cost; a single-file local
     # scan would otherwise build both sketches on one core
     orders = _fanout(_table(spark, sf_dir, "orders"))
-    return (
-        orders.groupBy("o_orderpriority")
+    sketch = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count("*").alias("n_rows"),
+    )
+    # Exact rank of the sketch's median candidate: one more pass over
+    # orders with the 5-row sketch table broadcast — no second shuffle of
+    # the fact table by a new key, and nothing driver-side.
+    ranks = (
+        orders.join(
+            F.broadcast(sketch.select("o_orderpriority", "approx_median")),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median_price"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("approx_median"), 1).otherwise(0)
+            ).alias("rank_lt"),
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("approx_median"), 1).otherwise(0)
+            ).alias("rank_le"),
+        )
+    )
+    return (
+        sketch.join(ranks, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers")) * 10
+                <= F.col("exact_customers")
+            ).alias("customers_within_10pct"),
+            # median rank bracket: rank_lt <= n/2 + tol AND rank_le >= n/2 - tol,
+            # tol = n/100 + 1, all scaled by 100 to stay integral
+            (
+                (F.col("rank_lt") * 100 <= F.col("n_rows") * 50 + F.col("n_rows") + 100)
+                & (F.col("rank_le") * 100 >= F.col("n_rows") * 50 - F.col("n_rows") - 100)
+            ).alias("median_rank_within_1pct"),
         )
         .orderBy("o_orderpriority")
     )
+
+
+SQL_APPROX_STATS = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS customers_within_10pct,
+       TRUE AS median_rank_within_1pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-proof of the REAL media codec path (operators/codecs.py +
+    operators/multimodal.resize_images): synthesize BMP pixels and WAV
+    PCM16 samples from pure integer formulas, then run
+    encode→decode→resize(8×8 nearest-neighbor)→re-encode→re-decode for
+    images and encode→operator-decode for audio, emitting exact integer
+    pixel/sample sums. Because the synthesis formulas and the
+    nearest-neighbor index arithmetic (``src = dst*size//8``) are integer
+    math, DuckDB replays the whole roundtrip in SQL — the hash compares
+    actual decoded bytes, not plumbing.
+
+    Scale shape: three chained Arrow-batched mapInPandas stages, no
+    shuffle until the final 100-row broadcast join; payload bytes stay
+    inside their partition end-to-end (the 100 TB property: media rides
+    the row, no per-row side fetch)."""
+    _utc(spark)
+    from pyspark.sql import types as T
+
+    from .operators.multimodal import resize_images
+
+    docs = _fanout(
+        _table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
+    )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def gen_bmp(batches):
+        import numpy as np
+        import pandas as pd
+
+        from earthquake_data_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 9, 12 + did % 7
+                y = np.arange(h).reshape(-1, 1)
+                x = np.arange(w).reshape(1, -1)
+                r = (did * 7 + y * 3 + x * 5) % 256
+                g = (did * 11 + y * 5 + x * 7) % 256
+                b = (did * 13 + y * 7 + x * 11) % 256
+                rgb = np.stack(
+                    [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)),
+                     np.broadcast_to(b, (h, w))], axis=2
+                ).astype(np.uint8)
+                ids.append(did)
+                payloads.append(codecs.encode_bmp(rgb))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    img_stats_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("resized_len", T.LongType(), False),
+            T.StructField("sum_r", T.LongType(), False),
+            T.StructField("sum_g", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+        ]
+    )
+
+    def img_stats_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from earthquake_data_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            rows = {"doc_id": [], "resized_len": [], "sum_r": [], "sum_g": [], "sum_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = codecs.decode_bmp(bytes(payload))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows["doc_id"].append(int(mid))
+                rows["resized_len"].append(len(bytes(payload)))
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    wav_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("wav_frames", T.LongType(), False),
+            T.StructField("sum_wav", T.LongType(), False),
+        ]
+    )
+
+    def wav_fn(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        from earthquake_data_pipeline_spark.operators import codecs
+
+        for pdf in batches:
+            rows = {"doc_id": [], "wav_frames": [], "sum_wav": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 256 + did % 50
+                samples = ((did * 31 + np.arange(n) * 17) % 4096 - 2048).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(samples.tobytes())
+                _rate, _ch, dec = codecs.decode_wav(buf.getvalue())
+                # PCM16 / 32768.0 is exact in float32, so this recovers the
+                # original integers bit-exactly
+                ints = np.rint(dec[:, 0].astype(np.float64) * 32768.0).astype(np.int64)
+                rows["doc_id"].append(did)
+                rows["wav_frames"].append(len(ints))
+                rows["sum_wav"].append(int(ints.sum()))
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(gen_bmp, media_schema)
+    resized = resize_images(media, target_w=8, target_h=8, decode="real")
+    img_stats = resized.mapInPandas(img_stats_fn, img_stats_schema)
+    wav_stats = docs.mapInPandas(wav_fn, wav_schema)
+    return (
+        img_stats.join(F.broadcast(wav_stats), "doc_id")
+        .select("doc_id", "resized_len", "sum_r", "sum_g", "sum_b", "wav_frames", "sum_wav")
+        .orderBy("doc_id")
+    )
+
+
+SQL_CODEC_ROUNDTRIP = """
+WITH docs AS (
+  SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h,
+         256 + doc_id % 50 AS n_frames
+  FROM documents WHERE doc_id < 100
+),
+img AS (
+  -- nearest-neighbor source index: src = dst*size//8 (matches
+  -- codecs.resize_nearest), channel formulas match gen_bmp
+  SELECT d.doc_id,
+         sum((d.doc_id*7  + ((y.g*d.h)//8)*3 + ((x.g*d.w)//8)*5)  % 256) AS sum_r,
+         sum((d.doc_id*11 + ((y.g*d.h)//8)*5 + ((x.g*d.w)//8)*7)  % 256) AS sum_g,
+         sum((d.doc_id*13 + ((y.g*d.h)//8)*7 + ((x.g*d.w)//8)*11) % 256) AS sum_b
+  FROM docs d
+  CROSS JOIN generate_series(0, 7) AS y(g)
+  CROSS JOIN generate_series(0, 7) AS x(g)
+  GROUP BY d.doc_id
+),
+wav AS (
+  SELECT d.doc_id, d.n_frames,
+         sum((d.doc_id*31 + i.g*17) % 4096 - 2048) AS sum_wav
+  FROM docs d
+  CROSS JOIN generate_series(0, 304) AS i(g)
+  WHERE i.g < d.n_frames
+  GROUP BY d.doc_id, d.n_frames
+)
+SELECT img.doc_id,
+       -- 8x8 24bpp BMP: 54-byte header + 8 rows of 24 padded bytes
+       CAST(54 + 24*8 AS BIGINT) AS resized_len,
+       CAST(img.sum_r AS BIGINT) AS sum_r,
+       CAST(img.sum_g AS BIGINT) AS sum_g,
+       CAST(img.sum_b AS BIGINT) AS sum_b,
+       CAST(wav.n_frames AS BIGINT) AS wav_frames,
+       CAST(wav.sum_wav AS BIGINT) AS sum_wav
+FROM img JOIN wav ON img.doc_id = wav.doc_id
+ORDER BY img.doc_id
+"""
 
 
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1009,7 +1236,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "datetime_suite": q_datetime_suite,
     "array_suite": q_array_suite,
     "correlated_subquery": q_correlated_subquery,
-    "approx_stats": q_approx_stats,  # rows-only: sketches have no SQL oracle
+    "approx_stats": q_approx_stats,
+    "codec_roundtrip": q_codec_roundtrip,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1035,4 +1263,6 @@ ORACLE_EXT: dict[str, str] = {
     "datetime_suite": SQL_DATETIME_SUITE,
     "array_suite": SQL_ARRAY_SUITE,
     "correlated_subquery": SQL_CORRELATED_SUBQUERY,
+    "approx_stats": SQL_APPROX_STATS,
+    "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
 }

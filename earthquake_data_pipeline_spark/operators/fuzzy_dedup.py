@@ -7,9 +7,10 @@ Design for 100 TB:
   shuffles on (band, band_key) — tiny keys, heavily reduced data (one row
   per doc per band, not per shingle).
 - All hashing is md5-derived (engine-neutral, deterministic), so every
-  operator here carries an exact DuckDB oracle. No Python UDFs anywhere —
-  shingling/minhashing run as Catalyst higher-order array functions inside
-  codegen.
+  operator here carries an exact DuckDB oracle. No row-at-a-time Python
+  UDFs — shingling/minhashing run as Catalyst higher-order array functions
+  inside codegen; simhash's bit-count matrix runs as one Arrow-batched
+  numpy stage (hashlib.md5 == JVM md5, oracle unaffected).
 - Pair explosion is bounded by LSH design (band/row trade-off), not by a
   quadratic cross join — the scale path. A brute-force n-gram Jaccard join
   is provided for verification on bounded subsets.
@@ -186,23 +187,53 @@ def simhash(
 ) -> DataFrame:
     """SimHash fingerprint over distinct whitespace tokens.
 
-    Token value = first 8 md5 hex chars as a 32-bit int (conv(...,16,10) —
-    JVM-side); fingerprint bit j = majority of token bit j (ties → 1).
-    Near-duplicates then reduce to fingerprint equality or small Hamming
-    distance — a groupBy, not a pairwise join, at scale.
+    Token value = first 8 md5 hex chars as a 32-bit int; fingerprint bit
+    j = majority of token bit j (ties → 1). Near-duplicates then reduce
+    to fingerprint equality or small Hamming distance — a groupBy, not a
+    pairwise join, at scale.
+
+    Plan shape: tokenization stays JVM-side (split + array_distinct in
+    codegen, so the token set is bit-identical to the SQL oracle's), then
+    one Arrow-batched mapInPandas computes the md5 bit-count matrix per
+    document in numpy. ZERO shuffle — the round-2 form (explode +
+    groupBy with 32 per-bit sum aggregates) paid a full hash exchange of
+    every (id, token-hash) row and 32 aggregate expressions; this is
+    map-only at scan speed, the same hot-loop-to-numpy move the LSH plane
+    signatures took (hashlib.md5 == JVM md5 over utf-8 bytes, so the
+    oracle is unchanged and still exact).
     """
+    from pyspark.sql import types as T
+
     toks = F.array_distinct(tokens_of(text_col))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    val = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    with_val = exploded.select(id_col, val.alias("v"))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    agg = with_val.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"s{j}") * 2 >= F.col("n"), F.lit(1)).otherwise(F.lit(0))
-        term = bit.cast("long") * F.lit(2**j).cast("long")
-        fp = term if fp is None else fp + term
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    tdf = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") > 0)
+    out_schema = T.StructType(
+        [tdf.schema[id_col], T.StructField("simhash", T.LongType(), True)]
+    )
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, tarr in zip(pdf[id_col], pdf["toks"]):
+                n = 0 if tarr is None else len(tarr)
+                if n == 0:
+                    continue
+                vals = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                        for t in tarr
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                counts = ((vals[:, None] >> shifts) & 1).sum(axis=0)
+                fps.append(int(((counts * 2 >= n).astype(np.int64) << shifts).sum()))
+                ids.append(rid)
+            yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+    return tdf.mapInPandas(fn, out_schema)
