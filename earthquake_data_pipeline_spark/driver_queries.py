@@ -474,8 +474,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .qcommon import round6x
 
     li = _table(spark, sf_dir, "lineitem")
-    qty_d = F.col("l_quantity").cast("decimal(15,2)")
-    price_d = F.col("l_extendedprice").cast("decimal(15,2)")
+    # Precision ≤ 8 keeps sum() on the DecimalAggregates long path
+    # (UnscaledValue accumulators inside codegen instead of Decimal
+    # objects): l_quantity ≤ 50 by TPC-H construction → decimal(6,2);
+    # l_extendedprice = quantity × retailprice < 10^6 → decimal(8,2).
+    # The product sums below still need Decimal accumulators (scale-4/6
+    # exactness), but the two plain column sums dominate row width.
+    qty_d = F.col("l_quantity").cast("decimal(6,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(8,2)")
     disc_d = F.col("l_discount").cast("decimal(4,2)")
     one_m_disc = (1 - F.col("l_discount")).cast("decimal(4,2)")
     one_p_tax = (1 + F.col("l_tax")).cast("decimal(4,2)")
