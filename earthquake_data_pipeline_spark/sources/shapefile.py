@@ -64,9 +64,13 @@ def _rings_to_wkt(rings: list[list[tuple[float, float]]]) -> str | None:
     holes assigned to the outer ring that CONTAINS them (point-in-ring
     test on a hole vertex) — the spec mandates winding but not that a
     hole follow its outer in storage order, so adjacency alone would
-    attach holes to the wrong polygon. A counter-clockwise ring contained
-    by no outer — nonconforming but seen in the wild — opens its own
-    polygon so no geometry is dropped.
+    attach holes to the wrong polygon. With NESTED outers
+    (island-in-lake-in-island) several outers contain the hole vertex —
+    the hole belongs to the smallest-area (innermost) one; taking any
+    other would emit wrong WKT for external consumers even though the
+    even-odd XOR downstream is unaffected. A counter-clockwise ring
+    contained by no outer — nonconforming but seen in the wild — opens
+    its own polygon so no geometry is dropped.
     """
     if not rings:
         return None
@@ -78,11 +82,9 @@ def _rings_to_wkt(rings: list[list[tuple[float, float]]]) -> str | None:
         if _signed_area(ring) < 0:
             continue
         x, y = ring[0]
-        holder = next(
-            (g for g in groups if _point_in_ring(x, y, g[0])), None
-        )
-        if holder is not None:
-            holder.append(ring)
+        holders = [g for g in groups if _point_in_ring(x, y, g[0])]
+        if holders:
+            min(holders, key=lambda g: abs(_signed_area(g[0]))).append(ring)
         else:
             groups.append([ring])
     if not groups:
@@ -135,13 +137,15 @@ def read_shp_polygons(shp_path: str | Path) -> list[str | None]:
     return out
 
 
-def read_dbf(dbf_path: str | Path, encoding: str = "latin-1") -> list[dict]:
+def read_dbf(dbf_path: str | Path, encoding: str = "latin-1") -> list[dict | None]:
     """Read dBASE III attribute records → list of {field: value} dicts.
 
     Field types: C (text, stripped), N/F (int/float or None when blank),
     L (bool or None), anything else passed through as stripped text.
-    Soft-deleted records (flag ``*``) are skipped, as every dbf reader
-    does.
+    Soft-deleted records (flag ``*``) emit a ``None`` PLACEHOLDER rather
+    than being dropped: .shp files keep every shape record, so skipping
+    here would desync the positional shp/dbf pairing for every record
+    after the first deletion. Callers filter the (None, wkt) pairs out.
     """
     data = Path(dbf_path).read_bytes()
     n_records, header_size, record_size = struct.unpack("<IHH", data[4:12])
@@ -157,7 +161,10 @@ def read_dbf(dbf_path: str | Path, encoding: str = "latin-1") -> list[dict]:
     out: list[dict] = []
     for i in range(n_records):
         rec = data[header_size + i * record_size :][:record_size]
-        if len(rec) < record_size or rec[0:1] == b"*":
+        if len(rec) < record_size:
+            continue  # truncated tail — surfaces as a count mismatch upstream
+        if rec[0:1] == b"*":
+            out.append(None)  # soft-deleted: hold the position, drop later
             continue
         row: dict = {}
         off = 1
@@ -205,4 +212,5 @@ def load_polygon_dim(
             wkt,
         )
         for row, wkt in zip(attrs, wkts)
+        if row is not None  # soft-deleted dbf record: drop the pair
     ]

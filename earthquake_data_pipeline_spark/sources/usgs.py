@@ -152,9 +152,11 @@ class RetryingFetcher:
       failure re-raises so the task (and its window) is retried by Spark's
       own task-retry machinery rather than silently dropped.
 
-    Only TRANSIENT failures retry: a response carrying a 4xx status
-    (except 429) can never succeed on retry — it fails fast instead of
-    hammering a rate-limited API with doomed requests.
+    Only TRANSIENT failures retry — an allowlist of network/timeout error
+    types plus 5xx/429 HTTP statuses. Everything else (4xx client errors,
+    and programming errors like TypeError/KeyError/JSON decode bugs)
+    re-raises immediately: retrying cannot fix those, and burying a bug
+    under ``max_retries`` rounds of backoff only hides it.
 
     ``sleep``/``monotonic`` are injectable for deterministic tests.
     """
@@ -162,9 +164,18 @@ class RetryingFetcher:
     @staticmethod
     def _is_transient(err: Exception) -> bool:
         code = getattr(getattr(err, "response", None), "status_code", None)
-        if code is not None and 400 <= code < 500 and code != 429:
-            return False  # client error: retrying cannot fix it
-        return True
+        if code is not None:
+            # any response-carrying error: retry only 5xx and 429
+            return code >= 500 or code == 429
+        if isinstance(err, (ConnectionError, TimeoutError, OSError)):
+            return True  # stdlib network/socket failures (URLError is OSError)
+        try:  # requests is gated — only the http fetcher imports it
+            import requests.exceptions as rex
+        except ImportError:
+            return False
+        return isinstance(
+            err, (rex.ConnectionError, rex.Timeout, rex.ChunkedEncodingError)
+        )
 
     def __init__(
         self,

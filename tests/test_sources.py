@@ -369,3 +369,103 @@ def test_make_fetcher_wraps_on_backoff_only():
 
     wrapped = make_fetcher({"mode": "synthetic", "backoff_s": "2.0"})
     assert isinstance(wrapped, RetryingFetcher) and wrapped.backoff_s == 2.0
+
+
+def test_retrying_fetcher_reraises_programming_errors():
+    """Only allowlisted transient types retry — a TypeError/KeyError/JSON
+    bug surfaces immediately instead of burning max_retries of backoff."""
+    from earthquake_data_pipeline_spark.sources.usgs import RetryingFetcher
+
+    class _Buggy:
+        def __init__(self):
+            self.calls = 0
+
+        def count(self, start, end):
+            self.calls += 1
+            raise TypeError("programming error, not a network failure")
+
+    clock = _FakeClock()
+    buggy = _Buggy()
+    f = RetryingFetcher(buggy, max_retries=3, sleep=clock.sleep, monotonic=clock.monotonic)
+    with pytest.raises(TypeError):
+        f.count(date(2024, 1, 1), date(2024, 1, 2))
+    assert buggy.calls == 1 and clock.sleeps == []
+
+
+def test_retrying_fetcher_retries_server_errors():
+    from earthquake_data_pipeline_spark.sources.usgs import RetryingFetcher
+
+    class _Resp:
+        status_code = 503
+
+    class _ServerErr(Exception):
+        def __init__(self):
+            super().__init__("service unavailable")
+            self.response = _Resp()
+
+    class _Flaky503:
+        def __init__(self):
+            self.calls = 0
+
+        def count(self, start, end):
+            self.calls += 1
+            if self.calls == 1:
+                raise _ServerErr()
+            return 42
+
+    clock = _FakeClock()
+    f = RetryingFetcher(_Flaky503(), max_retries=2, sleep=clock.sleep, monotonic=clock.monotonic)
+    assert f.count(date(2024, 1, 1), date(2024, 1, 2)) == 42
+
+
+def test_rings_to_wkt_nested_hole_goes_to_innermost_outer():
+    """Island-in-lake-in-island: the pond hole's vertex is inside BOTH the
+    big outer and the island outer — it must attach to the smallest-area
+    containing outer, not whichever was seen first."""
+    from earthquake_data_pipeline_spark.sources.shapefile import _rings_to_wkt
+
+    big = [(0.0, 0.0), (0.0, 20.0), (20.0, 20.0), (20.0, 0.0), (0.0, 0.0)]
+    lake = [(2.0, 2.0), (18.0, 2.0), (18.0, 18.0), (2.0, 18.0), (2.0, 2.0)]
+    island = [(4.0, 4.0), (4.0, 16.0), (16.0, 16.0), (16.0, 4.0), (4.0, 4.0)]
+    pond = [(6.0, 6.0), (14.0, 6.0), (14.0, 14.0), (6.0, 14.0), (6.0, 6.0)]
+    # adversarial storage order: pond appears before the lake hole
+    wkt = _rings_to_wkt([big, island, pond, lake])
+    assert wkt.startswith("MULTIPOLYGON (")
+    bodies = wkt[len("MULTIPOLYGON ("):-1].split(")), ((")
+    assert len(bodies) == 2
+    assert "2.0 2.0" in bodies[0] and "6.0 6.0" not in bodies[0]  # big + lake
+    assert "6.0 6.0" in bodies[1] and "4.0 4.0" in bodies[1]      # island + pond
+
+
+def test_dbf_deleted_record_keeps_shp_alignment(tmp_path):
+    """A soft-deleted dbf record must hold its position (None placeholder)
+    so later records still pair with their .shp shapes."""
+    import struct as _struct
+
+    from earthquake_data_pipeline_spark.sources.shapefile import (
+        load_polygon_dim,
+        read_dbf,
+    )
+
+    outer = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+    far = [(20.0, 20.0), (20.0, 30.0), (30.0, 30.0), (30.0, 20.0), (20.0, 20.0)]
+    mid = [(40.0, 40.0), (40.0, 50.0), (50.0, 50.0), (50.0, 40.0), (40.0, 40.0)]
+    base = tmp_path / "world"
+    _write_fixture_shapefile(
+        base,
+        [("Aland", "A", [outer]), ("Bland", "B", [mid]), ("Cland", "C", [far])],
+    )
+    # soft-delete record 1 (Bland) by flipping its deletion flag to '*'
+    dbf = base.with_suffix(".dbf")
+    data = bytearray(dbf.read_bytes())
+    header_size, record_size = _struct.unpack("<HH", data[8:12])
+    data[header_size + record_size] = ord("*")
+    dbf.write_bytes(bytes(data))
+
+    attrs = read_dbf(dbf)
+    assert len(attrs) == 3 and attrs[1] is None
+    assert attrs[0]["NAME"] == "Aland" and attrs[2]["NAME"] == "Cland"
+    dim = load_polygon_dim(base.with_suffix(".shp"), "NAME", "REGION")
+    # Bland dropped, but Cland still pairs with ITS OWN polygon
+    assert [d[0] for d in dim] == ["Aland", "Cland"]
+    assert "20.0 20.0" in dim[1][2]
