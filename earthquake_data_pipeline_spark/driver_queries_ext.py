@@ -1042,21 +1042,39 @@ ORDER BY o_orderpriority
 """
 
 
+def _synth_rgb(did: int):
+    """Deterministic (h, w, 3) pixel block for doc ``did`` — pure integer
+    formulas so a SQL engine can replay every pixel."""
+    import numpy as np
+
+    w, h = 16 + did % 9, 12 + did % 7
+    y = np.arange(h).reshape(-1, 1)
+    x = np.arange(w).reshape(1, -1)
+    r = (did * 7 + y * 3 + x * 5) % 256
+    g = (did * 11 + y * 5 + x * 7) % 256
+    b = (did * 13 + y * 7 + x * 11) % 256
+    return np.stack(
+        [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)),
+         np.broadcast_to(b, (h, w))], axis=2
+    ).astype(np.uint8)
+
+
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-proof of the REAL media codec path (operators/codecs.py +
-    operators/multimodal.resize_images): synthesize BMP pixels and WAV
-    PCM16 samples from pure integer formulas, then run
+    operators/multimodal.resize_images): synthesize BMP + PNG pixels and
+    WAV PCM16 samples from pure integer formulas, then run
     encode→decode→resize(8×8 nearest-neighbor)→re-encode→re-decode for
-    images and encode→operator-decode for audio, emitting exact integer
-    pixel/sample sums. Because the synthesis formulas and the
+    both image formats (PNG exercises stdlib-zlib DEFLATE + scanline
+    filtering) and encode→operator-decode for audio, emitting exact
+    integer pixel/sample sums. Because the synthesis formulas and the
     nearest-neighbor index arithmetic (``src = dst*size//8``) are integer
     math, DuckDB replays the whole roundtrip in SQL — the hash compares
     actual decoded bytes, not plumbing.
 
-    Scale shape: three chained Arrow-batched mapInPandas stages, no
-    shuffle until the final 100-row broadcast join; payload bytes stay
-    inside their partition end-to-end (the 100 TB property: media rides
-    the row, no per-row side fetch)."""
+    Scale shape: chained Arrow-batched mapInPandas stages, no shuffle
+    until the final 100-row broadcast joins; payload bytes stay inside
+    their partition end-to-end (the 100 TB property: media rides the
+    row, no per-row side fetch)."""
     _utc(spark)
     from pyspark.sql import types as T
 
@@ -1073,29 +1091,23 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def gen_bmp(batches):
-        import numpy as np
-        import pandas as pd
+    def make_gen(encoder_name):
+        def gen(batches):
+            import pandas as pd
 
-        from earthquake_data_pipeline_spark.operators import codecs
+            from earthquake_data_pipeline_spark.driver_queries_ext import _synth_rgb
+            from earthquake_data_pipeline_spark.operators import codecs
 
-        for pdf in batches:
-            ids, payloads = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 16 + did % 9, 12 + did % 7
-                y = np.arange(h).reshape(-1, 1)
-                x = np.arange(w).reshape(1, -1)
-                r = (did * 7 + y * 3 + x * 5) % 256
-                g = (did * 11 + y * 5 + x * 7) % 256
-                b = (did * 13 + y * 7 + x * 11) % 256
-                rgb = np.stack(
-                    [np.broadcast_to(r, (h, w)), np.broadcast_to(g, (h, w)),
-                     np.broadcast_to(b, (h, w))], axis=2
-                ).astype(np.uint8)
-                ids.append(did)
-                payloads.append(codecs.encode_bmp(rgb))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            encode = getattr(codecs, encoder_name)
+            for pdf in batches:
+                ids, payloads = [], []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    ids.append(did)
+                    payloads.append(encode(_synth_rgb(did)))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        return gen
 
     img_stats_schema = T.StructType(
         [
@@ -1116,10 +1128,12 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "resized_len": [], "sum_r": [], "sum_g": [], "sum_b": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = codecs.decode_bmp(bytes(payload))
+                raw = bytes(payload)
+                fmt = codecs.sniff_format(raw)
+                img = codecs.decode_bmp(raw) if fmt == "bmp" else codecs.decode_png(raw)
                 s = img.astype(np.int64).sum(axis=(0, 1))
                 rows["doc_id"].append(int(mid))
-                rows["resized_len"].append(len(bytes(payload)))
+                rows["resized_len"].append(len(raw))
                 rows["sum_r"].append(int(s[0]))
                 rows["sum_g"].append(int(s[1]))
                 rows["sum_b"].append(int(s[2]))
@@ -1163,13 +1177,25 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["sum_wav"].append(int(ints.sum()))
             yield pd.DataFrame(rows)
 
-    media = docs.mapInPandas(gen_bmp, media_schema)
-    resized = resize_images(media, target_w=8, target_h=8, decode="real")
-    img_stats = resized.mapInPandas(img_stats_fn, img_stats_schema)
+    bmp_media = docs.mapInPandas(make_gen("encode_bmp"), media_schema)
+    bmp_resized = resize_images(bmp_media, target_w=8, target_h=8, decode="real")
+    img_stats = bmp_resized.mapInPandas(img_stats_fn, img_stats_schema)
+    # same pixels through the PNG branch (zlib inflate + filter reversal);
+    # resized sums must equal the BMP path's, proven as one total column
+    png_media = docs.mapInPandas(make_gen("encode_png"), media_schema)
+    png_resized = resize_images(png_media, target_w=8, target_h=8, decode="real")
+    png_stats = png_resized.mapInPandas(img_stats_fn, img_stats_schema).select(
+        "doc_id",
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("png_sum_rgb"),
+    )
     wav_stats = docs.mapInPandas(wav_fn, wav_schema)
     return (
         img_stats.join(F.broadcast(wav_stats), "doc_id")
-        .select("doc_id", "resized_len", "sum_r", "sum_g", "sum_b", "wav_frames", "sum_wav")
+        .join(F.broadcast(png_stats), "doc_id")
+        .select(
+            "doc_id", "resized_len", "sum_r", "sum_g", "sum_b",
+            "png_sum_rgb", "wav_frames", "sum_wav",
+        )
         .orderBy("doc_id")
     )
 
@@ -1206,6 +1232,7 @@ SELECT img.doc_id,
        CAST(img.sum_r AS BIGINT) AS sum_r,
        CAST(img.sum_g AS BIGINT) AS sum_g,
        CAST(img.sum_b AS BIGINT) AS sum_b,
+       CAST(img.sum_r + img.sum_g + img.sum_b AS BIGINT) AS png_sum_rgb,
        CAST(wav.n_frames AS BIGINT) AS wav_frames,
        CAST(wav.sum_wav AS BIGINT) AS sum_wav
 FROM img JOIN wav ON img.doc_id = wav.doc_id

@@ -4,13 +4,14 @@ resize / frame-sample as Arrow-batched pandas stages over mapInPandas.
 
 Codec support is tiered. ``decode=fake`` produces deterministic
 pseudo-features from the bytes (full pipeline testable end-to-end with
-any payload). ``decode=real`` REALLY decodes the uncompressed public
-formats a pure-stdlib codec can handle — BMP (24/32 bpp BI_RGB) and WAV
-(PCM 8/16-bit) via operators/codecs.py: pixel/sample access, numpy
-feature descriptors, nearest-neighbor resize with BMP re-encode.
-Compressed formats (PNG/JPEG/MP4) still raise NotImplementedError at the
-exact point a PIL/ffmpeg call would go — that remains the integration
-seam in this container.
+any payload). ``decode=real`` REALLY decodes the public formats a
+pure-stdlib codec can handle — BMP (24/32 bpp BI_RGB), PNG (8-bit
+gray/RGB/RGBA non-interlaced, stdlib-zlib DEFLATE + all five scanline
+filters), and WAV (PCM 8/16-bit) via operators/codecs.py: pixel/sample
+access, numpy feature descriptors, nearest-neighbor resize with
+same-format re-encode. Formats needing an entropy/DCT stack (JPEG/MP4)
+still raise NotImplementedError at the exact point a PIL/ffmpeg call
+would go — that remains the integration seam in this container.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata (no side-channel file fetch per row); mapInPandas streams Arrow
@@ -99,6 +100,11 @@ def extract_features(
                     if fmt == "bmp":
                         feats.append(
                             codecs.image_feature(codecs.decode_bmp(raw), feature_dim)
+                        )
+                        continue
+                    if fmt == "png":
+                        feats.append(
+                            codecs.image_feature(codecs.decode_png(raw), feature_dim)
                         )
                         continue
                     if fmt == "wav":
@@ -212,14 +218,23 @@ def resize_images(
                     continue
                 raw = bytes(payload)
                 if decode == "real":
-                    if codecs.sniff_format(raw) == "bmp":
-                        resized = codecs.resize_nearest(
-                            codecs.decode_bmp(raw), target_w, target_h
+                    fmt = codecs.sniff_format(raw)
+                    if fmt in ("bmp", "png"):
+                        decoded = (
+                            codecs.decode_bmp(raw)
+                            if fmt == "bmp"
+                            else codecs.decode_png(raw)
                         )
-                        payloads.append(codecs.encode_bmp(resized))
+                        resized = codecs.resize_nearest(decoded, target_w, target_h)
+                        # re-encode in the source format
+                        payloads.append(
+                            codecs.encode_bmp(resized)
+                            if fmt == "bmp"
+                            else codecs.encode_png(resized)
+                        )
                         continue
                     raise NotImplementedError(
-                        "image resize for non-BMP requires PIL — wire "
+                        "image resize for non-BMP/PNG requires PIL — wire "
                         "Image.resize here"
                     )
                 tag = f":{target_w}x{target_h}".encode()

@@ -499,3 +499,96 @@ def test_multimodal_real_decode_bmp_and_wav(spark):
 
     out = decode_bmp(bytes(resized[1].payload))
     assert out.shape == (4, 4, 3)
+
+
+def test_codec_png_roundtrip_all_filters():
+    """encode(filter f) → decode must recover pixels for every scanline
+    filter the decoder claims to reverse (None/Sub/Up/Average/Paeth)."""
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)  # odd dims
+    for f in range(5):
+        raw = encode_png(rgb, filter_type=f)
+        assert sniff_format(raw) == "png"
+        assert np.array_equal(decode_png(raw), rgb), f"filter {f} broke roundtrip"
+
+
+def test_codec_png_gray_and_alpha_forms():
+    """Hand-built gray (type 0) and RGBA (type 6) PNGs decode to RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def build(color_type, channels, pixels):
+        h, w = pixels.shape[:2]
+        lines = bytearray()
+        for y in range(h):
+            lines.append(0)
+            lines += pixels[y].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    out = decode_png(build(0, 1, gray))
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray[:, :, 0])
+    assert np.array_equal(out[:, :, 1], gray[:, :, 0])
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 0], rgba[..., 3] = 200, 255
+    out = decode_png(build(6, 4, rgba))
+    assert out.shape == (2, 2, 3) and out[0, 0, 0] == 200 and out[0, 0, 2] == 0
+
+
+def test_codec_png_rejects_bad_input():
+    import pytest as _pytest
+
+    from earthquake_data_pipeline_spark.operators.codecs import decode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM123456")
+
+
+def test_multimodal_real_decode_and_resize_png(spark):
+    """The real-decode path handles PNG end-to-end: features from decoded
+    pixels, resize re-encodes PNG, and the resized payload re-decodes."""
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+    from earthquake_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    rgb, _ = _bmp_bytes(6, 4)
+    png = encode_png(rgb)
+    media = spark.createDataFrame([(1, "image", png, None, None, None)], MEDIA_SCHEMA)
+    feats = extract_features(media, decode="real").collect()[0]
+    assert feats.feature[0] == 6.0 and feats.feature[1] == 4.0  # w, h from pixels
+    out = resize_images(media, 3, 2, decode="real").collect()[0]
+    decoded = decode_png(bytes(out.payload))
+    assert decoded.shape == (2, 3, 3)
+    assert np.array_equal(decoded, resize_nearest(rgb, 3, 2))
