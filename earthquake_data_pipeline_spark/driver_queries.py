@@ -2134,7 +2134,7 @@ _GATE_FIRST = [
     "string_suite", "datetime_suite", "array_suite", "correlated_subquery",
     "approx_stats",
     # (b) new this round
-    "codec_roundtrip",
+    "codec_roundtrip", "pack_sequences",
     # (c) changed this round
     "conditional_ratio", "simhash",
 ]

@@ -1240,6 +1240,54 @@ ORDER BY img.doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing (operators/packing.py): greedy
+    in-order token-budget bin packing, parallel by deterministic md5
+    shard. The packing fold is sequential by nature, so the scale unit is
+    the shard (groupBy(shard).applyInPandas — one Arrow pass per shard);
+    the oracle replays the same greedy fold with a recursive CTE. Output
+    is one row per doc: its bin and the bin's running fill."""
+    _utc(spark)
+    from .operators.packing import pack_documents, with_shard
+    from .operators.text import tokens_of
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = docs.withColumn("n_tokens", F.size(tokens_of("text")).cast("long"))
+    sharded = with_shard(docs, "doc_id", 8)
+    return pack_documents(sharded, budget=256).orderBy("shard", "doc_id")
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE base AS (
+  SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS INT)
+             AS shard,
+         doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+), ordered AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+), packed AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.bin_fill + o.n_tokens <= 256
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.bin_fill + o.n_tokens <= 256
+              THEN p.bin_fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_id, bin_fill
+FROM packed
+ORDER BY shard, doc_id
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1265,6 +1313,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_subquery": q_correlated_subquery,
     "approx_stats": q_approx_stats,
     "codec_roundtrip": q_codec_roundtrip,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1292,4 +1341,5 @@ ORACLE_EXT: dict[str, str] = {
     "correlated_subquery": SQL_CORRELATED_SUBQUERY,
     "approx_stats": SQL_APPROX_STATS,
     "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -1,0 +1,90 @@
+"""Sequence packing + shard export (operators/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.operators.packing import (
+    export_shards,
+    pack_documents,
+    with_shard,
+)
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # one shard, token counts chosen to force: [100, 100] [150] [80, 90] [300]
+    rows = [
+        (0, 1, 100),
+        (0, 2, 100),
+        (0, 3, 150),  # 100+100+150 > 256 → new bin
+        (0, 4, 80),   # 150+80 <= 256 stays? no: 230 <= 256 → same bin as 3
+        (0, 5, 90),   # 230+90 > 256 → new bin
+        (0, 6, 300),  # oversized: own bin
+    ]
+    return spark.createDataFrame(rows, ["shard", "doc_id", "n_tokens"])
+
+
+def test_pack_documents_greedy_semantics(spark, toy):
+    out = {
+        r.doc_id: (r.bin_id, r.bin_fill)
+        for r in pack_documents(toy, budget=256).collect()
+    }
+    assert out[1] == (0, 100)
+    assert out[2] == (0, 200)
+    assert out[3] == (1, 150)
+    assert out[4] == (1, 230)
+    assert out[5] == (2, 90)
+    assert out[6] == (3, 300)  # larger than budget → bin of its own
+
+
+def test_pack_documents_is_deterministic_and_sharded(spark):
+    rows = [(i % 4, i, 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tokens"])
+    a = sorted(map(tuple, pack_documents(df, budget=64).collect()))
+    b = sorted(map(tuple, pack_documents(df, budget=64).collect()))
+    assert a == b and len(a) == 200
+    # bins are dense and 0-based within every shard
+    import collections
+
+    by_shard = collections.defaultdict(set)
+    for shard, _doc, _n, bin_id, _fill in a:
+        by_shard[shard].add(bin_id)
+    for bins in by_shard.values():
+        assert bins == set(range(len(bins)))
+
+
+def test_with_shard_matches_duckdb_bucketing(spark):
+    import duckdb
+
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.shard for r in with_shard(df, "doc_id", 8).collect()}
+    want = dict(
+        duckdb.sql(
+            "SELECT i, CAST(('0x' || substring(md5(i::VARCHAR), 1, 8))::BIGINT % 8"
+            " AS INT) FROM range(100) t(i)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_export_shards_writes_dirs_and_manifest(spark, tmp_path):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.concat(F.lit("row-"), F.col("doc_id"))
+    )
+    path = str(tmp_path / "export")
+    manifest = export_shards(df, path, id_col="doc_id", n_shards=4).collect()
+    assert [r.shard for r in manifest] == [0, 1, 2, 3]
+    assert sum(r.n_rows for r in manifest) == 500
+    # the files on disk agree with the manifest, shard by shard
+    back = spark.read.parquet(path)
+    on_disk = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert on_disk == {r.shard: r.n_rows for r in manifest}
+    # deterministic assignment: re-deriving shards from ids matches the layout
+    rederived = {
+        r.shard: r.n
+        for r in with_shard(back.drop("shard"), "doc_id", 4)
+        .groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rederived == on_disk
