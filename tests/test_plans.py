@@ -98,3 +98,31 @@ def test_salted_join_actually_salts(spark):
     # spread across salt_factor reducers by construction
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_is_map_only(spark):
+    plan = plan_of(spark, "simhash")
+    # the round-3 rewrite: JVM tokenization + one Arrow bit-count stage,
+    # NO shuffle — the r2 form paid an exchange of every (id, token) row
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    plan = plan_of(spark, "pack_sequences")
+    # greedy packing is sequential per shard: exactly one hash exchange
+    # (on the shard key) feeds the grouped-map stage; no other shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pricing_summary_partial_agg_and_long_path(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # map-side combine must survive the decimal rewrite
+    assert "partial_sum" in plan
+    # plain column sums ride the DecimalAggregates long path
+    # (UnscaledValue accumulators), not Decimal objects
+    assert "UnscaledValue(cast(l_quantity" in plan
+    assert "UnscaledValue(cast(l_extendedprice" in plan
