@@ -1080,8 +1080,15 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.multimodal import resize_images
 
-    docs = _fanout(
-        _table(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 100)
+    # 8 partitions, not _fanout's full defaultParallelism: only 100 rows
+    # flow here, and every extra partition multiplies Python-worker spins
+    # across the chained codec stages (32-way × 6 stages dominated the
+    # wall clock; the codec work itself is ~ms per doc)
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+        .repartition(8)
     )
 
     media_schema = T.StructType(
