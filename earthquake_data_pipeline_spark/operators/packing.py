@@ -43,6 +43,27 @@ def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     return df.withColumn("shard", (bucket % n_shards).cast("int"))
 
 
+def greedy_pack(token_counts, budget: int):
+    """The pure greedy first-fit-in-order fold: token counts (in packing
+    order) → [(bin_id, running_fill_after_placement)]. Factored out of the
+    grouped-map stage so its invariants are property-testable without a
+    Spark job."""
+    out = []
+    bin_id, fill = 0, 0
+    first = True
+    for n in token_counts:
+        n = int(n)
+        if first:
+            first, fill = False, n
+        elif fill + n <= budget:
+            fill += n
+        else:
+            bin_id += 1
+            fill = n
+        out.append((bin_id, fill))
+    return out
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,
@@ -74,20 +95,9 @@ def pack_documents(
         import pandas as pd
 
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        bins, fills = [], []
-        bin_id, fill = 0, 0
-        first = True
-        for n in pdf[tokens_col]:
-            n = int(n)
-            if first:
-                first, fill = False, n
-            elif fill + n <= budget:
-                fill += n
-            else:
-                bin_id += 1
-                fill = n
-            bins.append(bin_id)
-            fills.append(fill)
+        packed = greedy_pack(pdf[tokens_col], budget)
+        bins = [b for b, _ in packed]
+        fills = [f for _, f in packed]
         return pd.DataFrame(
             {
                 shard_col: pdf[shard_col].values,

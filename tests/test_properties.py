@@ -116,3 +116,55 @@ def test_hyperplane_deterministic_and_bounded(plane_idx, dim):
     assert all(-1.0 <= v < 1.0 for v in a)
     # distinct planes differ (md5 keyed by plane index)
     assert a != _hyperplane(plane_idx + 1, dim)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=80),
+    budget=st.integers(min_value=1, max_value=300),
+)
+def test_greedy_pack_invariants(ns, budget):
+    from earthquake_data_pipeline_spark.operators.packing import greedy_pack
+
+    packed = greedy_pack(ns, budget)
+    assert len(packed) == len(ns)
+    bins = [b for b, _ in packed]
+    # bins are dense, 0-based, nondecreasing (in-order packing)
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # per-bin totals: within budget unless the bin is a single oversized doc
+    import collections
+
+    totals = collections.defaultdict(list)
+    for (b, _), n in zip(packed, ns):
+        totals[b].append(n)
+    for docs in totals.values():
+        assert sum(docs) <= budget or len(docs) == 1
+    # running fill is the cumulative sum within each bin
+    seen = collections.defaultdict(int)
+    for (b, fill), n in zip(packed, ns):
+        seen[b] += n
+        assert fill == seen[b]
+    # greedy is maximal: a doc never opens a new bin it could have avoided
+    for ((b1, f1), (b2, _)), n in zip(zip(packed, packed[1:]), ns[1:]):
+        if b2 == b1 + 1:
+            assert f1 + n > budget
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    filter_type=st.integers(min_value=0, max_value=4),
+)
+def test_png_codec_roundtrip_property(data, w, h, filter_type):
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb, filter_type=filter_type)), rgb)
