@@ -58,6 +58,32 @@ def write_month_partitioned(
     out.write.mode(mode).partitionBy("event_month").parquet(path)
 
 
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Format-parameterized sink over Spark's built-in writers (parquet /
+    orc / json-lines / csv) — one policy point for the format decision so
+    pipelines swap columnar formats without touching call sites. ORC and
+    JSONL carry schemas end-to-end like parquet; CSV callers should pair
+    with ``read_csv``'s explicit schema."""
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Format-parameterized scan. Pass ``schema`` for the self-describing
+    formats too when the pipeline owns the contract — skipping inference
+    saves a file-listing pass for JSONL and pins types across writers."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def register_external(
     spark: SparkSession, name: str, path: str, fmt: str = "parquet"
 ) -> DataFrame:

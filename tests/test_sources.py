@@ -469,3 +469,20 @@ def test_dbf_deleted_record_keeps_shp_alignment(tmp_path):
     # Bland dropped, but Cland still pairs with ITS OWN polygon
     assert [d[0] for d in dim] == ["Aland", "Cland"]
     assert "20.0 20.0" in dim[1][2]
+
+
+def test_write_read_table_orc_and_jsonl_roundtrip(spark, tmp_path):
+    """Format-parameterized sink/scan: ORC and JSON-lines roundtrip with
+    schema fidelity (ORC self-describes; JSONL re-applies the schema)."""
+    from earthquake_data_pipeline_spark.sources.io import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, -2.25)],
+        "id long, name string, score double",
+    )
+    for fmt in ("orc", "json"):
+        path = str(tmp_path / fmt)
+        write_table(df, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=df.schema)
+        assert back.schema == df.schema
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
