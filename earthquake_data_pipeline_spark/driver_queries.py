@@ -2114,9 +2114,12 @@ ORACLE: dict[str, str] = {
 
 
 from .driver_queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+from .driver_queries_stream import ORACLE_STREAM, QUERIES_STREAM  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE.update(ORACLE_EXT)
+QUERIES.update(QUERIES_STREAM)
+ORACLE.update(ORACLE_STREAM)
 
 # Gate-window rotation: the driver verifies exactly the FIRST 50 entries of
 # queries() each round. Round 2 banked green CORRECTNESS rows for the 50
@@ -2135,6 +2138,7 @@ _GATE_FIRST = [
     "approx_stats",
     # (b) new this round
     "codec_roundtrip", "pack_sequences",
+    "stream_window_counts", "stream_running_totals", "stream_dedup_days",
     # (c) changed this round
     "conditional_ratio", "simhash",
 ]

@@ -1,0 +1,231 @@
+"""Driver-facing Structured Streaming queries (SURVEY.md §2.9 gate proof).
+
+The streaming operators in ``streaming/incremental.py`` have been
+unit-tested since round 1 but never driver-proven: the DuckDB oracle gate
+compares batch DataFrames, and a streaming query's output normally depends
+on micro-batch boundaries (watermark drops, append timing). These three
+queries close that gap by running REAL streaming plans — file-source
+``readStream``, ``Trigger.AvailableNow``, memory sink — whose final output
+is mathematically independent of how the data is split into micro-batches,
+so a plain batch SQL oracle applies:
+
+- ``stream_window_counts``  — tumbling-window agg in COMPLETE mode. The
+  complete-mode state holds every window, so the last emitted result set
+  equals the batch group-by no matter the batch boundaries.
+- ``stream_running_totals`` — custom stateful operator via
+  ``applyInPandasWithState`` in UPDATE mode. Per-key counts are strictly
+  monotonic across emissions, so max-by-count per key recovers the final
+  state; totals are integer cents, so the sum is batch-split-invariant
+  (no float reassociation).
+- ``stream_dedup_days``     — streaming ``dropDuplicates`` in APPEND mode
+  projected to the dedup key alone, so the emitted set is exactly the
+  batch DISTINCT regardless of which arrival "won" each key.
+
+Reference parity: the reference's incremental loads are batch-shaped
+(dbt high-water mark + MERGE — ``dbt/models/*incremental*`` per SURVEY
+§2.9); these are the streaming faces of I1–I3 made gate-checkable.
+
+Scale notes: the file source lists and partitions files exactly like the
+batch reader; stateful shuffles are keyed by the group hash across
+executors. The memory sink is the TEST harness (driver-resident results
+of already-aggregated, small cardinality); production sinks are
+``foreach_batch_merge`` / parquet append in ``streaming/incremental.py``.
+State partition count is pinned small here because the gate's key
+cardinality is tiny (~50 users); a real deployment sizes
+``spark.sql.shuffle.partitions`` to the key space instead.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .qcommon import _utc
+
+_SINK_IDS = itertools.count()
+
+
+def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of qcommon._table('events'): same nanos→micros
+    conversion, via the file stream source (directory + glob, because the
+    file source requires a directory basePath)."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _run_to_memory(df: DataFrame, mode: str, prefix: str, partitions: int = 8):
+    """Start df as a streaming query into a memory sink, drain it with
+    AvailableNow, and return the sink table name.
+
+    Pins the state-store partition count for the query's lifetime: the
+    gate data has tiny key cardinality and each state partition costs a
+    Python-worker/state-store spin per micro-batch (round-3 lesson from
+    codec_roundtrip: worker spins dominate tiny inputs).
+    """
+    spark = df.sparkSession
+    name = f"{prefix}_{next(_SINK_IDS)}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return name
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows × event_type: count + exact money sum,
+    computed by a streaming complete-mode aggregation (I2's streaming
+    face, ``streaming/incremental.py::windowed_event_counts``).
+
+    Complete mode keeps all windows in state, so the final table equals
+    the batch group-by for ANY micro-batch split. The window start is
+    emitted as epoch seconds (BIGINT) to stay timezone-proof, and the
+    money sum goes through decimal so both engines add exactly.
+    """
+    ev = _read_stream_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_sum"),
+        )
+    )
+    name = _run_to_memory(agg, "complete", "swc")
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("win.start")).alias("window_start_s"),
+        "event_type",
+        "n_events",
+        F.col("dec_sum").cast("double").alias("sum_value"),
+    )
+
+
+SQL_STREAM_WINDOW_COUNTS = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, total) via ``applyInPandasWithState`` —
+    the arbitrary-state API (``streaming/incremental.py::
+    running_user_totals``), driven end-to-end and reduced to its final
+    state.
+
+    Update mode emits one row per touched key per micro-batch; the
+    per-key count is strictly increasing across emissions, so
+    max-by-count recovers the final state under any batch split. Values
+    are summed as integer cents (exact decimal → long), so the total has
+    no float-order dependence.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _read_stream_events(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["cents"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    upd = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _run_to_memory(upd, "update", "srt")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_cents").alias("total_cents"),
+        )
+    )
+
+
+SQL_STREAM_RUNNING_TOTALS = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY 1
+"""
+
+
+def q_stream_dedup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` on (event_type, day): the emitted set
+    is the batch DISTINCT because only the dedup key is projected —
+    whichever physical row reaches the state store first, the output row
+    is identical.
+
+    This is the unbounded-state test face; the production face is
+    ``streaming/incremental.py::streaming_dedup``, whose watermark bounds
+    state at the declared lateness horizon. ``div`` truncation == floor
+    here because the epochs are positive.
+    """
+    ded = (
+        _read_stream_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("(ts div 1000000000) div 86400 * 86400").alias("day_s"),
+        )
+        .dropDuplicates(["event_type", "day_s"])
+    )
+    name = _run_to_memory(ded, "append", "sdd")
+    return spark.table(name).select("event_type", "day_s")
+
+
+SQL_STREAM_DEDUP_DAYS = """
+SELECT DISTINCT event_type,
+       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_s
+FROM events
+"""
+
+
+QUERIES_STREAM = {
+    "stream_window_counts": q_stream_window_counts,
+    "stream_running_totals": q_stream_running_totals,
+    "stream_dedup_days": q_stream_dedup_days,
+}
+
+ORACLE_STREAM = {
+    "stream_window_counts": SQL_STREAM_WINDOW_COUNTS,
+    "stream_running_totals": SQL_STREAM_RUNNING_TOTALS,
+    "stream_dedup_days": SQL_STREAM_DEDUP_DAYS,
+}
