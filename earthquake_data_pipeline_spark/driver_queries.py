@@ -2139,6 +2139,7 @@ _GATE_FIRST = [
     # (b) new this round
     "codec_roundtrip", "pack_sequences",
     "stream_window_counts", "stream_running_totals", "stream_dedup_days",
+    "kmeans_clusters", "semdedup_prune",
     # (c) changed this round
     "conditional_ratio", "simhash",
 ]

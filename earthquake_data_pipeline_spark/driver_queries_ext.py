@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc
+from .qcommon import _fanout, _table, _utc, round6x
 
 # ---------------------------------------------------------------------------
 # Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
@@ -1295,6 +1295,208 @@ ORDER BY shard, doc_id
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=8) over the embeddings — the
+    clustering stage of cluster-based curation (SemDeDup-style: cluster,
+    then dedup/diversity-sample within clusters).
+
+    Assignment is map-only (centroids broadcast as literals, distance
+    folded in codegen, argmin = lexicographic array_min over
+    (rounded_dist, cid) structs); each update shuffles only k×d partial
+    sums. Deterministic end to end: init = vec_id < k, distances
+    decimal-rounded before the argmin, means accumulated in
+    DECIMAL(28,12) — so the SQL oracle replays the exact iteration.
+    Output: final per-cluster centroid components + cluster sizes.
+    """
+    _utc(spark)
+    from .operators.clustering import _update_centroids, assign_clusters
+
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    k = 8
+    init = pts.filter(F.col("id") < k).collect()  # k×d doubles — bounded
+    centroids = {int(r["id"]): list(r["v"]) for r in init}
+
+    u1 = _update_centroids(assign_clusters(pts, centroids)).collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in u1:
+        by_cid.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = r["c"]
+    centroids = {
+        cid: [comps[p] for p in sorted(comps)]
+        for cid, comps in sorted(by_cid.items())
+    }
+
+    u2 = _update_centroids(assign_clusters(pts, centroids))
+    return u2.select(
+        "cluster_id",
+        "pos",
+        round6x(F.col("c")).alias("centroid_val"),
+        "n_points",
+    ).orderBy("cluster_id", "pos")
+
+
+SQL_KMEANS_CLUSTERS = """
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT id AS cid, v AS cv FROM e WHERE id < 8
+), d1 AS (
+  SELECT e.id, e.v, c0.cid,
+         row_number() OVER (
+           PARTITION BY e.id
+           ORDER BY CAST(round(CAST(list_distance(e.v, c0.cv) AS DECIMAL(18,12)), 6) AS DOUBLE),
+                    c0.cid
+         ) AS rn
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT id, v, cid AS cluster_id FROM d1 WHERE rn = 1
+), u1 AS (
+  SELECT cluster_id, pos,
+         CAST(sum(CAST(comp AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+  FROM (SELECT cluster_id, unnest(v) AS comp,
+               generate_subscripts(v, 1) AS pos
+        FROM a1)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cluster_id AS cid, list(c ORDER BY pos) AS cv FROM u1 GROUP BY 1
+), d2 AS (
+  SELECT e.id, e.v, c1.cid,
+         row_number() OVER (
+           PARTITION BY e.id
+           ORDER BY CAST(round(CAST(list_distance(e.v, c1.cv) AS DECIMAL(18,12)), 6) AS DOUBLE),
+                    c1.cid
+         ) AS rn
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT id, v, cid AS cluster_id FROM d2 WHERE rn = 1
+)
+SELECT cluster_id, CAST(pos AS BIGINT) AS pos,
+       CAST(round(CAST(
+         CAST(sum(CAST(comp AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+       AS DECIMAL(18,12)), 6) AS DOUBLE) AS centroid_val,
+       count(*) AS n_points
+FROM (SELECT cluster_id, unnest(v) AS comp,
+             generate_subscripts(v, 1) AS pos
+      FROM a2)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning: k-means cluster the corpus, then
+    find near-duplicate pairs ONLY within clusters and greedily prune the
+    higher id of each pair. The whole point of clustering a training
+    corpus: the quadratic pair search runs per cluster (bounded), never
+    globally — at 100 TB the all-pairs cost is Σ C(n_c, 2), controlled by
+    k, while the clustering itself stays scan-bound (see
+    operators/clustering.py).
+
+    One Lloyd update then final assignment (pipeline shape matters here,
+    not cluster quality — kmeans_clusters proves the iteration itself).
+    Output: per cluster, member count and pruned-duplicate count.
+    """
+    _utc(spark)
+    from .operators.clustering import _update_centroids, assign_clusters
+    from .operators.similarity import cosine
+
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    k = 8
+    init = pts.filter(F.col("id") < k).collect()
+    centroids = {int(r["id"]): list(r["v"]) for r in init}
+    u1 = _update_centroids(assign_clusters(pts, centroids)).collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in u1:
+        by_cid.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = r["c"]
+    centroids = {
+        cid: [comps[p] for p in sorted(comps)]
+        for cid, comps in sorted(by_cid.items())
+    }
+
+    # checkpoint: the assignment subtree is referenced three times below
+    # (left side, right side, size count) — without this Catalyst
+    # re-evaluates the centroid-distance fold per reference
+    a = assign_clusters(pts, centroids).localCheckpoint(eager=False)
+
+    left = a.select("cluster_id", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    right = a.select("cluster_id", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = left.join(right, ["cluster_id"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (round6x(cosine(F.col("va"), F.col("vb"))) >= 0.4)
+    )
+    pruned = pairs.groupBy("cluster_id").agg(
+        F.count_distinct("id_b").alias("n_pruned")
+    )
+    sizes = a.groupBy("cluster_id").agg(F.count("*").alias("n_points"))
+    return (
+        sizes.join(pruned, ["cluster_id"], "left")
+        .select(
+            "cluster_id",
+            "n_points",
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+SQL_SEMDEDUP_PRUNE = """
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT id AS cid, v AS cv FROM e WHERE id < 8
+), d1 AS (
+  SELECT e.id, e.v, c0.cid,
+         row_number() OVER (
+           PARTITION BY e.id
+           ORDER BY CAST(round(CAST(list_distance(e.v, c0.cv) AS DECIMAL(18,12)), 6) AS DOUBLE),
+                    c0.cid
+         ) AS rn
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT id, v, cid AS cluster_id FROM d1 WHERE rn = 1
+), u1 AS (
+  SELECT cluster_id, pos,
+         CAST(sum(CAST(comp AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+  FROM (SELECT cluster_id, unnest(v) AS comp,
+               generate_subscripts(v, 1) AS pos
+        FROM a1)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT cluster_id AS cid, list(c ORDER BY pos) AS cv FROM u1 GROUP BY 1
+), d2 AS (
+  SELECT e.id, e.v, c1.cid,
+         row_number() OVER (
+           PARTITION BY e.id
+           ORDER BY CAST(round(CAST(list_distance(e.v, c1.cv) AS DECIMAL(18,12)), 6) AS DOUBLE),
+                    c1.cid
+         ) AS rn
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT id, v, cid AS cluster_id FROM d2 WHERE rn = 1
+), p AS (
+  SELECT a.cluster_id, b.id AS id_b
+  FROM a2 a JOIN a2 b
+    ON a.cluster_id = b.cluster_id AND a.id < b.id
+  WHERE CAST(round(CAST(list_cosine_similarity(a.v, b.v) AS DECIMAL(18,12)), 6) AS DOUBLE) >= 0.4
+), pr AS (
+  SELECT cluster_id, count(DISTINCT id_b) AS n_pruned FROM p GROUP BY 1
+), n AS (
+  SELECT cluster_id, count(*) AS n_points FROM a2 GROUP BY 1
+)
+SELECT n.cluster_id, n.n_points,
+       CAST(COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_pruned
+FROM n LEFT JOIN pr USING (cluster_id)
+ORDER BY 1
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1321,6 +1523,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_stats": q_approx_stats,
     "codec_roundtrip": q_codec_roundtrip,
     "pack_sequences": q_pack_sequences,
+    "kmeans_clusters": q_kmeans_clusters,
+    "semdedup_prune": q_semdedup_prune,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1349,4 +1553,6 @@ ORACLE_EXT: dict[str, str] = {
     "approx_stats": SQL_APPROX_STATS,
     "codec_roundtrip": SQL_CODEC_ROUNDTRIP,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "semdedup_prune": SQL_SEMDEDUP_PRUNE,
 }
