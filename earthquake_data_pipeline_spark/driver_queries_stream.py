@@ -50,7 +50,14 @@ _SINK_IDS = itertools.count()
 def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of qcommon._table('events'): same nanos→micros
     conversion, via the file stream source (directory + glob, because the
-    file source requires a directory basePath)."""
+    file source requires a directory basePath).
+
+    nanosAsLong must be TRUE while the stream's schema is inferred AND
+    while its micro-batches execute, so it is set here and restored by
+    ``_run_to_memory`` after the stream drains (the stream plans capture
+    the conf at analysis; batch reads elsewhere in the same session get
+    the session default back).
+    """
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -86,6 +93,11 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str, partitions: int = 8):
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        # _read_stream_events set nanosAsLong for the stream's lifetime
+        # (the conf must hold through micro-batch execution, so it cannot
+        # be restored there). Unset it here so it never leaks into later
+        # batch queries — qcommon._table re-sets it per events read.
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     return name
 
 
