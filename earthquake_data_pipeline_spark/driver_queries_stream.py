@@ -42,30 +42,26 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .qcommon import _utc
+from .qcommon import _utc, normalize_events_ts
 
 _SINK_IDS = itertools.count()
 
 
 def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming face of qcommon._table('events'): same nanos→micros
-    conversion, via the file stream source (directory + glob, because the
-    file source requires a directory basePath).
-
-    nanosAsLong must be TRUE while the stream's schema is inferred AND
-    while its micro-batches execute, so it is set here and restored by
-    ``_run_to_memory`` after the stream drains (the stream plans capture
-    the conf at analysis; batch reads elsewhere in the same session get
-    the session default back).
+    """Streaming face of qcommon._table('events'): same ts normalization
+    (see ``qcommon.normalize_events_ts``), via the file stream source
+    (directory + glob, because the file source requires a directory
+    basePath). The batch reader probes the schema; the stream applies the
+    identical normalization, so ``ts`` is a UTC TimestampType either way.
     """
     _utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return normalize_events_ts(raw)
 
 
 def _run_to_memory(df: DataFrame, mode: str, prefix: str, partitions: int = 8):
@@ -93,11 +89,6 @@ def _run_to_memory(df: DataFrame, mode: str, prefix: str, partitions: int = 8):
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-        # _read_stream_events set nanosAsLong for the stream's lifetime
-        # (the conf must hold through micro-batch execution, so it cannot
-        # be restored there). Unset it here so it never leaks into later
-        # batch queries — qcommon._table re-sets it per events read.
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     return name
 
 
@@ -111,9 +102,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as epoch seconds (BIGINT) to stay timezone-proof, and the
     money sum goes through decimal so both engines add exactly.
     """
-    ev = _read_stream_events(spark, sf_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _read_stream_events(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
@@ -215,7 +204,7 @@ def q_stream_dedup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_stream_events(spark, sf_dir)
         .select(
             "event_type",
-            F.expr("(ts div 1000000000) div 86400 * 86400").alias("day_s"),
+            F.expr("unix_timestamp(ts) div 86400 * 86400").alias("day_s"),
         )
         .dropDuplicates(["event_type", "day_s"])
     )

@@ -8,17 +8,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType (UTC instant),
+    whatever physical layout the parquet uses.
+
+    The generated testdata has shipped two layouts across rounds:
+    int64 epoch-nanos (read as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and parquet
+    ``timestamp[us]`` with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    Both carry the same UTC wall-clock; the session timezone is pinned to
+    UTC (``_utc``) before the NTZ→timestamp cast so the instant is
+    identical either way, and identical to DuckDB's naive TIMESTAMP.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        # epoch nanos → floor to micros, exactly DuckDB's truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read the raw int64 nanos and convert (floor to
-        # micros — exactly DuckDB's nanos→micros truncation).
+    if name != "events":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The NTZ→timestamp cast in normalize_events_ts reads the session tz
+    # at plan time; pin UTC first so the instant is timezone-proof.
+    _utc(spark)
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.schema["ts"]  # force schema resolution
+    except Exception:
+        # Legacy layout: parquet TIMESTAMP(NANOS), which the vectorized
+        # reader rejects outright. Re-read the raw int64 nanos. The conf
+        # must hold through scan time, so it stays set for the session —
+        # it only affects NANOS columns, which no other table has.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return normalize_events_ts(raw)
 
 
 def _utc(spark: SparkSession) -> None:
