@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 from ..qcommon import round6x
 
 
+# Above this k×d product, literal-array assignment is the wrong plan: the
+# logical plan embeds k·d literals (multi-MB at SemDeDup-realistic scale)
+# and the per-row fold is an O(k·d) interpreted expression. The GEMM path
+# broadcasts the centroid matrix once instead (same trap the LSH plane
+# signatures escaped — similarity.py's broadcast-matrix pattern).
+GEMM_THRESHOLD = 4096
+
+
 def _sq_dist(vec_col, centroid: list[float]):
     arr = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
@@ -45,11 +53,27 @@ def _sq_dist(vec_col, centroid: list[float]):
 
 
 def assign_clusters(
-    df: DataFrame, centroids: dict[int, list[float]], vec_col: str = "v"
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "v",
+    gemm_threshold: int = GEMM_THRESHOLD,
 ) -> DataFrame:
     """Map-only deterministic assignment: argmin over centroids of the
-    6dp-rounded euclidean distance, ties broken by centroid id (struct
-    array_min is lexicographic on (dist, cid))."""
+    6dp-rounded euclidean distance, ties broken by centroid id.
+
+    Two physical strategies behind one contract:
+    - small k×d (≤ ``gemm_threshold``): centroids as literal arrays,
+      distance folded in whole-stage codegen, argmin via lexicographic
+      ``array_min`` over (dist, cid) structs — zero Python, and the form
+      a SQL oracle replays term by term;
+    - large k×d: broadcast numpy centroid matrix + one Arrow-batched
+      GEMM per partition (``assign_clusters_gemm``) — the plan carries a
+      broadcast handle, not O(k·d) literals.
+    """
+    k = len(centroids)
+    d = len(next(iter(centroids.values()))) if k else 0
+    if k * d > gemm_threshold:
+        return assign_clusters_gemm(df, centroids, vec_col)
     structs = [
         F.struct(
             round6x(F.sqrt(_sq_dist(F.col(vec_col), c))).alias("d"),
@@ -60,6 +84,52 @@ def assign_clusters(
     return df.withColumn(
         "cluster_id", F.array_min(F.array(*structs)).getField("cid").cast("long")
     )
+
+
+def assign_clusters_gemm(
+    df: DataFrame, centroids: dict[int, list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Broadcast-matrix assignment — same contract as the literal path
+    (6 dp HALF_UP-rounded euclidean argmin, lowest cid on ties) without
+    O(k·d) literals in the plan.
+
+    ``||x-c||² = ||x||² - 2x·c + ||c||²`` as one GEMM per Arrow batch;
+    the rounding is ``floor(d·1e6 + 0.5)`` — HALF_UP on non-negative
+    values, matching the literal path's decimal rounding. The two paths
+    can differ only when a distance sits within float ulps of a 1e-6
+    rounding boundary AND that flips the argmin (tie-adjacent by < 1e-6)
+    — the same measure-zero caveat round6x already documents.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cids = sorted(centroids)
+    C = np.array([centroids[c] for c in cids], dtype=np.float64)
+    cid_arr = np.array(cids, dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((C, cid_arr))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster_id", T.LongType(), False)]
+    )
+
+    def fn(batches):
+        import pandas as pd  # noqa: F401 — Arrow batch type
+
+        Cm, ids = bc.value
+        c_sq = (Cm * Cm).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x_sq = (X * X).sum(axis=1)
+            d2 = np.maximum(x_sq[:, None] - 2.0 * (X @ Cm.T) + c_sq[None, :], 0.0)
+            scaled = np.floor(np.sqrt(d2) * 1e6 + 0.5)  # HALF_UP at 6 dp
+            # argmin returns the FIRST min; cids are sorted ascending, so
+            # ties resolve to the lowest cid — the struct-min tiebreak
+            pdf = pdf.copy()
+            pdf["cluster_id"] = ids[scaled.argmin(axis=1)]
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
 
 
 def _update_centroids(assigned: DataFrame, vec_col: str = "v") -> DataFrame:
@@ -85,16 +155,26 @@ def lloyd_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 8,
-    iters: int = 2,
+    iters: int | None = None,
+    max_iters: int = 20,
+    tol: float = 1e-6,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
-    """Run ``iters`` Lloyd iterations; initial centroids are the k rows
-    with the lowest ids (deterministic, oracle-expressible init — seeded
-    sampling would tie the result to an RNG implementation).
+    """Run Lloyd iterations until the max centroid L2 shift drops to
+    ``tol`` or ``max_iters`` is hit; pass ``iters`` to run EXACTLY that
+    many instead (the oracle-replayable fixed-step mode the gate query
+    uses). Initial centroids are the k rows with the lowest ids
+    (deterministic, oracle-expressible init — seeded sampling would tie
+    the result to an RNG implementation).
+
+    The convergence check is driver-side on the already-collected k×d
+    centroid rows — no extra distributed work per iteration.
 
     Returns (assignments with final cluster_id, final centroid dict).
     A cluster that captures no points simply drops out of the centroid
     dict (standard Lloyd's degeneracy handling; deterministic, and the
     SQL oracle reproduces it because its update join drops the cid too).
+    A dropped cluster counts as a shift of +inf for the tolerance check
+    (the partition changed structurally, so iterate again).
     """
     pts = df.select(
         F.col(id_col).alias("id"),
@@ -102,14 +182,62 @@ def lloyd_kmeans(
     )
     init = pts.orderBy("id").limit(k).collect()
     centroids = {int(r["id"]): list(r["v"]) for r in init}
-    for _ in range(iters):
+    n_steps = iters if iters is not None else max_iters
+    for _ in range(n_steps):
         assigned = assign_clusters(pts, centroids)
         rows = _update_centroids(assigned).collect()  # k × d rows — bounded
         by_cid: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cid.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = r["c"]
-        centroids = {
+        new = {
             cid: [comps[p] for p in sorted(comps)]
             for cid, comps in sorted(by_cid.items())
         }
+        converged = iters is None and set(new) == set(centroids) and all(
+            sum((a - b) ** 2 for a, b in zip(new[cid], centroids[cid])) <= tol * tol
+            for cid in new
+        )
+        centroids = new
+        if converged:
+            break
     return assign_clusters(pts, centroids), centroids
+
+
+def split_oversized_clusters(
+    assigned: DataFrame,
+    cap: int,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Bound every cluster at ~``cap`` members by deterministically
+    splitting oversized ones into ``ceil(n/cap)`` sub-clusters
+    (``sub = id % n_subs``); adds a ``sub`` column (0 for clusters already
+    under the cap).
+
+    Why: within-cluster pair search is C(n_c, 2). Real embedding corpora
+    reliably produce one dense mega-mode cluster, and at 100 TB that one
+    key is a quadratic blow-up — a textbook skew scale-killer. With the
+    cap, the worst cluster costs ceil(n/cap) · C(cap, 2) ≈ n·cap/2 pairs:
+    LINEAR in n for fixed cap.
+
+    Trade: pairs straddling sub-clusters are not searched (~(1 − 1/n_subs)
+    of a mega-cluster's pairs). That is the standard SemDeDup-style
+    recall trade; when recall inside huge clusters matters, band-LSH the
+    oversized clusters instead (similarity.py::embedding_near_dup_lsh
+    applies hyperplane bands — run it per oversized cluster).
+
+    Deterministic and SQL-replayable by design: the sub key is plain
+    modulo arithmetic on the id, not a hash, so a DuckDB oracle can
+    replay the split exactly. The sizes side of the join is one row per
+    cluster — broadcast, no extra shuffle of the points.
+    """
+    sizes = assigned.groupBy(cluster_col).agg(F.count("*").alias("_n"))
+    n_subs = F.ceil(F.col("_n") / F.lit(int(cap))).cast("long")
+    return (
+        assigned.join(
+            F.broadcast(sizes.select(cluster_col, n_subs.alias("_n_subs"))),
+            cluster_col,
+        )
+        .withColumn("sub", (F.col(id_col) % F.col("_n_subs")).cast("long"))
+        .drop("_n_subs")
+    )

@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from earthquake_data_pipeline_spark.operators.clustering import (
     assign_clusters,
+    assign_clusters_gemm,
     lloyd_kmeans,
+    split_oversized_clusters,
 )
 
 
@@ -62,3 +64,79 @@ def test_empty_cluster_drops_out(spark):
     assigned, centroids = lloyd_kmeans(df, k=3, iters=2)
     assert len(centroids) == 2
     assert assigned.count() == 3
+
+
+def _rand_pts(spark, n=120, d=16, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    return df
+
+
+def test_gemm_assignment_matches_literal_path(spark):
+    import random
+
+    rng = random.Random(13)
+    pts = _rand_pts(spark, n=120, d=16)
+    centroids = {
+        cid: [rng.uniform(-1, 1) for _ in range(16)] for cid in range(6)
+    }
+    lit = assign_clusters(pts, centroids, gemm_threshold=10**9)
+    gemm = assign_clusters_gemm(pts, centroids)
+    a = {r["id"]: r["cluster_id"] for r in lit.collect()}
+    b = {r["id"]: r["cluster_id"] for r in gemm.collect()}
+    assert a == b
+
+
+def test_gemm_path_keeps_literals_out_of_plan(spark):
+    # above the threshold the plan must carry a broadcast handle, not
+    # O(k·d) literal arrays: probe for a sentinel centroid component
+    pts = _rand_pts(spark, n=10, d=64)
+    sentinel = 0.123456789012345
+    centroids = {cid: [sentinel] * 64 for cid in range(100)}  # k·d = 6400
+    df = assign_clusters(pts, centroids)  # dispatches to GEMM
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    assert str(sentinel) not in plan
+    # below the threshold the literal (oracle-replayable) path remains
+    small = assign_clusters(pts, {0: [sentinel] * 64})
+    small_plan = small._jdf.queryExecution().analyzed().toString()
+    assert str(sentinel) in small_plan
+
+
+def test_kmeans_tolerance_convergence_stops_early(spark):
+    # two separable blobs converge in ~2 updates; with max_iters=10 the
+    # tolerance check must stop the loop as soon as centroids are stable
+    # — same result as a long fixed-iteration run
+    df = _toy(spark)
+    _, c_tol = lloyd_kmeans(df, k=2, max_iters=10, tol=1e-9)
+    _, c_fix = lloyd_kmeans(df, k=2, iters=10)
+    assert set(c_tol) == set(c_fix)
+    for cid in c_tol:
+        for a, b in zip(c_tol[cid], c_fix[cid]):
+            assert abs(a - b) < 1e-12
+
+
+def test_split_oversized_clusters_bounds_pairs(spark):
+    # one deliberately skewed cluster (90 of 100 points) must be split
+    # into ceil(90/16)=6 sub-clusters; pair counts per (cluster, sub) key
+    # drop from C(90,2)=4005 to at most C(ceil(90/6),2)=C(15,2)=105-ish
+    rows = [(i, 0 if i < 90 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, cluster_id long")
+    out = split_oversized_clusters(df, cap=16)
+    sizes = {
+        (r["cluster_id"], r["sub"]): r["n"]
+        for r in out.groupBy("cluster_id", "sub").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    # skewed cluster split into exactly ceil(90/16) = 6 subs, balanced
+    assert {s for (c, s) in sizes if c == 0} == set(range(6))
+    assert all(n <= 16 for (c, _), n in sizes.items() if c == 0)
+    # small cluster untouched (single sub 0)
+    assert {s for (c, s) in sizes if c == 1} == {0}
+    # split is deterministic id-modulo: replayable
+    row = out.filter(F.col("id") == 77).collect()[0]
+    assert row["sub"] == 77 % 6
