@@ -28,8 +28,17 @@ def main() -> None:
 
     spark = get_spark(app_name="edps-bench", cpus=cpus, shuffle_partitions=cpus)
 
+    # --reverse: run the suite back-to-front. Comparing forward vs
+    # reverse per-query times is a cheap detector for cross-query session
+    # contamination (a leaked conf, a cache, a lingering state store):
+    # any query whose time is strongly order-sensitive inherits state
+    # from its neighbors.
+    items = list(QUERIES.items())
+    if "--reverse" in sys.argv[1:]:
+        items.reverse()
+
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name, fn in items:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm (JIT/IO cache)
         # best-of-2: single timed runs swing ±20% from GC/scheduler noise
