@@ -1192,6 +1192,40 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["sum_wav"].append(int(ints.sum()))
             yield pd.DataFrame(rows)
 
+    jpeg_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("jpeg_sum", T.LongType(), False),
+        ]
+    )
+
+    def jpeg_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        from earthquake_data_pipeline_spark.operators import codecs
+
+        # Block-constant grayscale at quality=100 (all-ones quant table):
+        # every 8×8 tile has one DC coefficient that survives rounding, so
+        # the Huffman bitstream + zigzag + IDCT pipeline roundtrips the
+        # tile constants EXACTLY — which is what lets plain SQL replay the
+        # decoded pixel sum of a real entropy-coded JPEG.
+        for pdf in batches:
+            rows = {"doc_id": [], "jpeg_sum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                th, tw = 2 + did % 3, 2 + did % 4
+                ti = np.arange(th).reshape(-1, 1)
+                tj = np.arange(tw).reshape(1, -1)
+                tiles = ((did * 17 + ti * 29 + tj * 31) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=100))
+                rows["doc_id"].append(did)
+                rows["jpeg_sum"].append(int(dec.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    jpeg_stats = docs.mapInPandas(jpeg_fn, jpeg_schema)
+
     bmp_media = docs.mapInPandas(make_gen("encode_bmp"), media_schema)
     bmp_resized = resize_images(bmp_media, target_w=8, target_h=8, decode="real")
     img_stats = bmp_resized.mapInPandas(img_stats_fn, img_stats_schema)
@@ -1207,9 +1241,10 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img_stats.join(F.broadcast(wav_stats), "doc_id")
         .join(F.broadcast(png_stats), "doc_id")
+        .join(F.broadcast(jpeg_stats), "doc_id")
         .select(
             "doc_id", "resized_len", "sum_r", "sum_g", "sum_b",
-            "png_sum_rgb", "wav_frames", "sum_wav",
+            "png_sum_rgb", "jpeg_sum", "wav_frames", "sum_wav",
         )
         .orderBy("doc_id")
     )
@@ -1233,6 +1268,18 @@ img AS (
   CROSS JOIN generate_series(0, 7) AS x(g)
   GROUP BY d.doc_id
 ),
+jpg AS (
+  -- block-constant gray JPEG at q=100 roundtrips exactly: decoded sum =
+  -- 3 channels × 64 px/tile × Σ tile constants
+  SELECT d.doc_id,
+         3 * 64 * sum((d.doc_id*17 + ty.g*29 + tx.g*31) % 256) AS jpeg_sum
+  FROM (SELECT doc_id, 2 + doc_id % 3 AS th, 2 + doc_id % 4 AS tw
+        FROM documents WHERE doc_id < 100) d
+  CROSS JOIN generate_series(0, 4) AS ty(g)
+  CROSS JOIN generate_series(0, 5) AS tx(g)
+  WHERE ty.g < d.th AND tx.g < d.tw
+  GROUP BY d.doc_id
+),
 wav AS (
   SELECT d.doc_id, d.n_frames,
          sum((d.doc_id*31 + i.g*17) % 4096 - 2048) AS sum_wav
@@ -1248,9 +1295,11 @@ SELECT img.doc_id,
        CAST(img.sum_g AS BIGINT) AS sum_g,
        CAST(img.sum_b AS BIGINT) AS sum_b,
        CAST(img.sum_r + img.sum_g + img.sum_b AS BIGINT) AS png_sum_rgb,
+       CAST(jpg.jpeg_sum AS BIGINT) AS jpeg_sum,
        CAST(wav.n_frames AS BIGINT) AS wav_frames,
        CAST(wav.sum_wav AS BIGINT) AS sum_wav
 FROM img JOIN wav ON img.doc_id = wav.doc_id
+JOIN jpg ON img.doc_id = jpg.doc_id
 ORDER BY img.doc_id
 """
 

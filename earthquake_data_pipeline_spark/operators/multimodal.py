@@ -7,11 +7,14 @@ pseudo-features from the bytes (full pipeline testable end-to-end with
 any payload). ``decode=real`` REALLY decodes the public formats a
 pure-stdlib codec can handle — BMP (24/32 bpp BI_RGB), PNG (8-bit
 gray/RGB/RGBA non-interlaced, stdlib-zlib DEFLATE + all five scanline
-filters), and WAV (PCM 8/16-bit) via operators/codecs.py: pixel/sample
-access, numpy feature descriptors, nearest-neighbor resize with
-same-format re-encode. Formats needing an entropy/DCT stack (JPEG/MP4)
-still raise NotImplementedError at the exact point a PIL/ffmpeg call
-would go — that remains the integration seam in this container.
+filters), baseline JPEG (T.81 baseline sequential Huffman+DCT, any
+sampling on decode), and WAV (PCM 8/16-bit) via operators/codecs.py:
+pixel/sample access, numpy feature descriptors, nearest-neighbor resize
+with same-format re-encode (JPEG re-encode is 4:4:4 q=85 — lossy by
+format nature). Formats needing a full container stack (MP4) or
+non-baseline JPEG (progressive/arithmetic) still raise
+NotImplementedError at the exact point a PIL/ffmpeg call would go —
+that remains the integration seam in this container.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata (no side-channel file fetch per row); mapInPandas streams Arrow
@@ -105,6 +108,11 @@ def extract_features(
                     if fmt == "png":
                         feats.append(
                             codecs.image_feature(codecs.decode_png(raw), feature_dim)
+                        )
+                        continue
+                    if fmt == "jpeg":
+                        feats.append(
+                            codecs.image_feature(codecs.decode_jpeg(raw), feature_dim)
                         )
                         continue
                     if fmt == "wav":
@@ -219,23 +227,25 @@ def resize_images(
                 raw = bytes(payload)
                 if decode == "real":
                     fmt = codecs.sniff_format(raw)
-                    if fmt in ("bmp", "png"):
-                        decoded = (
-                            codecs.decode_bmp(raw)
-                            if fmt == "bmp"
-                            else codecs.decode_png(raw)
-                        )
+                    if fmt in ("bmp", "png", "jpeg"):
+                        decoded = {
+                            "bmp": codecs.decode_bmp,
+                            "png": codecs.decode_png,
+                            "jpeg": codecs.decode_jpeg,
+                        }[fmt](raw)
                         resized = codecs.resize_nearest(decoded, target_w, target_h)
                         # re-encode in the source format
                         payloads.append(
                             codecs.encode_bmp(resized)
                             if fmt == "bmp"
                             else codecs.encode_png(resized)
+                            if fmt == "png"
+                            else codecs.encode_jpeg(resized)
                         )
                         continue
                     raise NotImplementedError(
-                        "image resize for non-BMP/PNG requires PIL — wire "
-                        "Image.resize here"
+                        "image resize for non-BMP/PNG/JPEG requires PIL — "
+                        "wire Image.resize here"
                     )
                 tag = f":{target_w}x{target_h}".encode()
                 payloads.append(hashlib.md5(raw + tag).digest() + raw[:16])

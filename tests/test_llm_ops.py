@@ -559,6 +559,149 @@ def test_codec_png_gray_and_alpha_forms():
     assert out.shape == (2, 2, 3) and out[0, 0, 0] == 200 and out[0, 0, 2] == 0
 
 
+def test_codec_jpeg_block_constant_exact():
+    """Block-constant gray at quality=100 (all-ones quant) roundtrips
+    BIT-EXACTLY: each 8×8 tile is a lone DC coefficient that survives
+    rounding — the property the codec_roundtrip oracle replays in SQL."""
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        sniff_format,
+    )
+
+    tiles = ((np.arange(20).reshape(4, 5) * 37 + 11) % 256).astype(np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    raw = encode_jpeg(img, quality=100)
+    assert sniff_format(raw) == "jpeg"
+    dec = decode_jpeg(raw)
+    assert dec.shape == (32, 40, 3)
+    assert np.array_equal(dec, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_codec_jpeg_q100_near_lossless_and_odd_dims():
+    """Arbitrary gray content at q=100: DCT round-trip error ≤ ~2 LSB;
+    non-multiple-of-8 dims exercise edge-replication padding + crop."""
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    g = ((np.add.outer(np.arange(11) * 3, np.arange(7) * 5)) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=100))
+    assert dec.shape == (11, 7, 3)
+    assert np.abs(dec.astype(int) - g[:, :, None].astype(int)).max() <= 2
+
+
+def test_codec_jpeg_color_roundtrip_close():
+    """Smooth RGB content through the 3-component 4:4:4 path: YCbCr
+    transform + DCT quantization at q=95 stays within a few LSB."""
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = np.zeros((16, 24, 3), dtype=np.uint8)
+    rgb[:, :, 0] = np.linspace(20, 220, 24).astype(np.uint8)[None, :]
+    rgb[:, :, 1] = np.linspace(200, 40, 16).astype(np.uint8)[:, None]
+    rgb[:, :, 2] = 90
+    dec = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_codec_jpeg_decodes_420_subsampling():
+    """The decoder is sampling-general: a hand-built 4:2:0 file (2×2 Y
+    sampling, DC-only blocks — the layout our 4:4:4 encoder never emits)
+    decodes to the expected constant."""
+    import struct
+
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        _AC_LUM_BITS,
+        _AC_LUM_VALS,
+        _DC_LUM_BITS,
+        _DC_LUM_VALS,
+        _BitWriter,
+        _huff_encode_table,
+        decode_jpeg,
+    )
+
+    dc = _huff_encode_table(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac = _huff_encode_table(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+
+    def write_dc_only(diff):
+        s = abs(diff).bit_length()
+        code, ln = dc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        code, ln = ac[0x00]  # EOB right away: AC all zero
+        bw.write(code, ln)
+
+    # one MCU (16×16): 4 Y blocks then Cb, Cr. Y constant 180 → DC
+    # diff 8*(180-128)=416 on the first block, 0 after; chroma neutral.
+    write_dc_only(416)
+    for _ in range(3):
+        write_dc_only(0)
+    write_dc_only(0)  # Cb: DC 0 → value 128 after level shift
+    write_dc_only(0)  # Cr
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 16, 16, 3)
+    sof += struct.pack(">BBB", 1, 0x22, 0)  # Y: 2×2 sampling
+    sof += struct.pack(">BBB", 2, 0x11, 0)  # Cb
+    sof += struct.pack(">BBB", 3, 0x11, 0)  # Cr
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, vals in (
+        (0, _DC_LUM_BITS, _DC_LUM_VALS),
+        (1, _AC_LUM_BITS, _AC_LUM_VALS),
+    ):
+        payload = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out + b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(out))
+    assert dec.shape == (16, 16, 3)
+    assert np.array_equal(dec, np.full((16, 16, 3), 180, np.uint8))
+
+
+def test_codec_jpeg_rejects_unsupported_forms():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM123456")
+    # flip SOF0 to SOF2 (progressive) in a real stream
+    raw = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    raw[raw.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError, match="not supported"):
+        decode_jpeg(bytes(raw))
+    # nonzero restart interval
+    raw = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sos_at = raw.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(raw[:sos_at] + dri + raw[sos_at:]))
+
+
 def test_codec_png_rejects_bad_input():
     import pytest as _pytest
 
@@ -592,3 +735,36 @@ def test_multimodal_real_decode_and_resize_png(spark):
     decoded = decode_png(bytes(out.payload))
     assert decoded.shape == (2, 3, 3)
     assert np.array_equal(decoded, resize_nearest(rgb, 3, 2))
+
+
+def test_multimodal_real_decode_and_resize_jpeg(spark):
+    """The real-decode path handles JPEG end-to-end: features come from
+    decoded pixels, resize re-encodes JPEG, the resized payload
+    re-decodes (lossy by format — shape + approximate pixels)."""
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        sniff_format,
+    )
+    from earthquake_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    tiles = np.array([[40, 90], [140, 200]], dtype=np.uint8)
+    gray = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)  # 16×16
+    jpg = encode_jpeg(gray, quality=100)
+    media = spark.createDataFrame([(1, "image", jpg, None, None, None)], MEDIA_SCHEMA)
+    feats = extract_features(media, decode="real").collect()[0]
+    assert feats.feature[0] == 16.0 and feats.feature[1] == 16.0
+    assert abs(feats.feature[2] - gray.mean()) < 1e-3  # mean R == gray mean
+    out = resize_images(media, 8, 8, decode="real").collect()[0]
+    assert sniff_format(bytes(out.payload)) == "jpeg"
+    decoded = decode_jpeg(bytes(out.payload))
+    assert decoded.shape == (8, 8, 3)
+    # 8×8 nearest of the 16×16 tile image is block-constant 4×4 tiles;
+    # re-encode at q=85 is lossy — assert within JPEG tolerance
+    expect = np.repeat(np.repeat(tiles, 4, axis=0), 4, axis=1)
+    assert np.abs(decoded.astype(int) - expect[:, :, None].astype(int)).max() <= 12
