@@ -2129,19 +2129,33 @@ ORACLE.update(ORACLE_STREAM)
 # or oracle changed this round — so cumulatively all 72 entries have a
 # driver-proven row across CORRECTNESS_r02 ∪ r03.
 _GATE_FIRST = [
-    # (a) driver-unseen since the r2 catalog growth
-    "rollup_agg", "cube_agg", "pivot_status", "window_running",
-    "sessionization", "distinct_agg", "percentile_stats", "asof_join",
-    "set_ops", "json_extract", "range_join", "unpivot_measures",
-    "null_census", "corr_stats", "gap_fill", "ranking_suite",
-    "string_suite", "datetime_suite", "array_suite", "correlated_subquery",
-    "approx_stats",
-    # (b) new this round
-    "codec_roundtrip", "pack_sequences",
-    "stream_window_counts", "stream_running_totals", "stream_dedup_days",
-    "kmeans_clusters", "semdedup_prune",
-    # (c) changed this round
-    "conditional_ratio", "simhash",
+    # Round-5 head (the driver proves exactly the first 50):
+    # (a) the 18 queries red in r04 — all broke on the events.ts parquet
+    #     layout change, fixed via qcommon.normalize_events_ts; must
+    #     re-prove
+    "sessionization", "asof_join", "json_extract", "range_join",
+    "null_census", "gap_fill", "stream_window_counts", "stream_dedup_days",
+    "conditional_ratio", "clean_events", "in_list_case_sort",
+    "scalar_derivations", "merge_anti_join", "high_water_mark",
+    "union_dedup", "top2_per_user", "spatial_join", "enrich_coalesce",
+    # (b) changed this round: approx_stats (join dropped), semdedup_prune
+    #     (cluster-size cap), codec_roundtrip (JPEG branch),
+    #     stream_running_totals (stream reader normalization).
+    #     kmeans_clusters also touched assign_clusters, but its gate plan
+    #     is bit-identical below the GEMM threshold (property-tested) and
+    #     keeps its r04 row — the one cut needed to fit 50.
+    "approx_stats", "semdedup_prune", "codec_roundtrip",
+    "stream_running_totals",
+    # (c) the 28 r02-banked queries whose newest green row is two rounds
+    #     old (VERDICT r3 item 1: rotate them back in)
+    "ann_ivf", "ann_lsh", "chunk_documents", "corpus_curation",
+    "cosine_topk", "dedup_components", "doc_repetition",
+    "embedding_near_dup", "embedding_near_dup_lsh", "eval_overlap",
+    "exact_dedup", "grouping_sets", "hash_sample", "label_centroids",
+    "lang_id", "lsh_jaccard_refine", "minhash_lsh", "multimodal_features",
+    "ngram_jaccard", "pii_redact", "range_frame", "salted_join",
+    "text_quality", "tfidf_top_terms", "upsert_merge", "url_domains",
+    "usgs_pipeline", "value_histogram",
 ]
 
 
