@@ -1584,6 +1584,102 @@ ORDER BY 1
 """
 
 
+def q_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-container probe over the REAL ISO BMFF layer
+    (operators/mp4.py): synthesize a deterministic MP4 per document
+    (sample sizes/content from integer formulas), then parse the box
+    tree and resolve the full sample table — emitting track metadata,
+    per-file sample-size and byte-offset sums, and a content probe (the
+    first byte of every access unit extracted from mdat by range). The
+    SQL oracle replays every number from the formulas: a wrong stsc/stco
+    walk, a mis-sized box, or an off-by-one in the offset math all break
+    the hash.
+
+    Scale shape: one Arrow-batched mapInPandas stage, payloads ride
+    their partition end-to-end (same 100 TB property as the image
+    codecs); the container parse is O(bytes) with no codec work.
+    """
+    _utc(spark)
+    from pyspark.sql import types as T
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+        .repartition(8)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("sum_sizes", T.LongType(), False),
+            T.StructField("sum_offsets", T.LongType(), False),
+            T.StructField("sum_first_byte", T.LongType(), False),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        from earthquake_data_pipeline_spark.operators import mp4 as mp4lib
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_samples", "duration_ms",
+                "sum_sizes", "sum_offsets", "sum_first_byte",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 5
+                samples = [
+                    bytes([(did + i) % 256]) * (10 + (did * 7 + i * 13) % 50)
+                    for i in range(n)
+                ]
+                raw = mp4lib.build_mp4(samples, timescale=1000, sample_delta=40)
+                tr = mp4lib.parse_mp4(raw)
+                units = mp4lib.extract_samples(raw, tr)
+                rows["doc_id"].append(did)
+                rows["n_samples"].append(tr.n_samples)
+                rows["duration_ms"].append(tr.duration * 1000 // tr.timescale)
+                rows["sum_sizes"].append(sum(tr.sample_sizes))
+                rows["sum_offsets"].append(sum(tr.sample_offsets))
+                rows["sum_first_byte"].append(sum(u[0] for u in units))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(fn, schema).orderBy("doc_id")
+
+
+SQL_MP4_PROBE = """
+WITH d AS (
+  SELECT doc_id, 3 + doc_id % 5 AS n FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT d.doc_id, i.g AS i, d.n,
+         10 + (d.doc_id*7 + i.g*13) % 50 AS sz,
+         (d.doc_id + i.g) % 256 AS first_byte
+  FROM d CROSS JOIN generate_series(0, 6) AS i(g)
+  WHERE i.g < d.n
+), o AS (
+  -- absolute sample offset: mdat payload starts at byte 36
+  -- (28-byte ftyp + 8-byte mdat header), then cumulative sizes
+  SELECT doc_id, n, sz, first_byte,
+         36 + COALESCE(sum(sz) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 40 AS BIGINT) AS duration_ms,
+       CAST(sum(sz) AS BIGINT) AS sum_sizes,
+       CAST(sum(off) AS BIGINT) AS sum_offsets,
+       CAST(sum(first_byte) AS BIGINT) AS sum_first_byte
+FROM o
+GROUP BY doc_id, n
+ORDER BY doc_id
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1612,6 +1708,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_prune": q_semdedup_prune,
+    "mp4_probe": q_mp4_probe,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1642,4 +1739,5 @@ ORACLE_EXT: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
+    "mp4_probe": SQL_MP4_PROBE,
 }

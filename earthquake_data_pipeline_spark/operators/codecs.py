@@ -39,6 +39,8 @@ def sniff_format(raw: bytes) -> str | None:
         return "png"
     if raw[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(raw) >= 12 and raw[4:8] == b"ftyp":
+        return "mp4"
     return None
 
 

@@ -151,6 +151,15 @@ def frame_sample(
 ) -> DataFrame:
     """Frame sampling for video payloads: one row per sampled timestamp.
 
+    With decode='real', MP4 payloads go through the REAL container layer
+    (operators/mp4.py — ISO BMFF box walk + stts/stsz/stsc/stco sample
+    resolution): each sampled timestamp emits the encoded access unit
+    whose media time is the latest ≤ the timestamp, pulled from mdat by
+    byte range. Decoding those access units to pixels (H.264 entropy +
+    prediction) is the remaining seam — a pixel pipeline wires
+    ffmpeg/PyAV where the sample bytes surface. Non-MP4 containers
+    raise.
+
     With decode='fake', frames are deterministic slices of the payload hash
     (the plumbing — explode to frame rows, per-frame binary — is real).
     """
@@ -165,6 +174,8 @@ def frame_sample(
     def fn(batches):
         import pandas as pd
 
+        from . import mp4 as mp4lib
+
         for pdf in batches:
             ids, ts, frames = [], [], []
             for mid, payload, dur in zip(
@@ -173,7 +184,26 @@ def frame_sample(
                 if payload is None:
                     continue
                 if decode == "real":
-                    raise NotImplementedError("video decode not available here")
+                    raw = bytes(payload)
+                    if not mp4lib.sniff_mp4(raw):
+                        raise NotImplementedError(
+                            "real frame sampling needs an ISO BMFF (MP4) "
+                            "container — other containers are the ffmpeg "
+                            "seam"
+                        )
+                    track = mp4lib.parse_mp4(raw)
+                    times = track.sample_times_ms()
+                    total = (times[-1] + every_ms) if times else 0
+                    si = 0
+                    for t in range(0, total, every_ms):
+                        while si + 1 < len(times) and times[si + 1] <= t:
+                            si += 1
+                        ids.append(mid)
+                        ts.append(t)
+                        frames.append(
+                            mp4lib.extract_samples(raw, track, [si])[0]
+                        )
+                    continue
                 raw = bytes(payload)
                 total = int(dur) if dur is not None and not pd.isna(dur) else 3000
                 for t in range(0, total, every_ms):

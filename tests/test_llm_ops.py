@@ -702,6 +702,105 @@ def test_codec_jpeg_rejects_unsupported_forms():
         decode_jpeg(bytes(raw[:sos_at] + dri + raw[sos_at:]))
 
 
+def test_mp4_container_roundtrip():
+    """build_mp4 → parse_mp4 → extract_samples recovers every sample
+    byte-exactly, with correct metadata and timestamps."""
+    from earthquake_data_pipeline_spark.operators import mp4
+
+    samples = [bytes([i] * (5 + 3 * i)) for i in range(8)]
+    raw = mp4.build_mp4(samples, timescale=600, sample_delta=24, width=320, height=240)
+    assert mp4.sniff_mp4(raw)
+    tr = mp4.parse_mp4(raw)
+    assert (tr.handler, tr.codec) == (b"vide", "mp4v")
+    assert (tr.width, tr.height, tr.timescale) == (320, 240, 600)
+    assert tr.n_samples == 8
+    assert tr.sample_times_ms() == [i * 40 for i in range(8)]
+    assert mp4.extract_samples(raw, tr) == samples
+
+
+def test_mp4_multi_chunk_sample_resolution():
+    """stsc runs over several chunks resolve to correct absolute offsets
+    (the general chunk→sample mapping, not the single-chunk fast case)."""
+    import struct
+
+    from earthquake_data_pipeline_spark.operators import mp4
+    from earthquake_data_pipeline_spark.operators.mp4 import _box, _full
+
+    samples = [b"A" * 4, b"BB" * 3, b"C" * 5, b"DD" * 4, b"E" * 7]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    # two chunks: first holds 2 samples, second holds 3, with junk between
+    chunk1, chunk2 = b"".join(samples[:2]), b"".join(samples[2:])
+    mdat_payload = chunk1 + b"\xee\xee\xee" + chunk2
+    mdat = _box(b"mdat", mdat_payload)
+    c1_off = len(ftyp) + 8
+    c2_off = c1_off + len(chunk1) + 3
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + struct.pack(">I", 86) + b"mp4v" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", 16, 16)
+        + struct.pack(">II", 0x00480000, 0x00480000) + struct.pack(">I", 0)
+        + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1),
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 5, 100))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 2, 3, 1),
+    )
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, 5)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">III", 2, c1_off, c2_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 500) + struct.pack(">HH", 0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, 500) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 16 << 16, 16 << 16),
+    )
+    moov = _box(b"moov", _box(b"trak", tkhd + mdia))
+    raw = ftyp + mdat + moov
+
+    tr = mp4.parse_mp4(raw)
+    assert tr.n_samples == 5
+    assert mp4.extract_samples(raw, tr) == samples
+
+
+def test_frame_sample_real_mp4(spark):
+    """frame_sample(decode='real') pulls actual access units out of the
+    container at the sampling cadence."""
+    from earthquake_data_pipeline_spark.operators import mp4
+    from earthquake_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample,
+    )
+
+    samples = [bytes([i]) * 10 for i in range(10)]  # 10 frames @ 40 ms
+    raw = mp4.build_mp4(samples, timescale=1000, sample_delta=40)
+    media = spark.createDataFrame(
+        [(7, "video", raw, None, None, 400)], MEDIA_SCHEMA
+    )
+    rows = frame_sample(media, every_ms=100, decode="real").collect()
+    got = {r["frame_ts_ms"]: bytes(r["frame_bytes"]) for r in rows}
+    # t=0 → sample 0, t=100 → sample 2 (80ms), t=200 → sample 5 (200ms),
+    # t=300 → sample 7 (280ms), t=400 → sample 9 (wait: 400ms > last 360)
+    assert got[0] == samples[0]
+    assert got[100] == samples[2]
+    assert got[200] == samples[5]
+    assert got[300] == samples[7]
+    assert len(rows) == len(got)
+
+
 def test_codec_png_rejects_bad_input():
     import pytest as _pytest
 
