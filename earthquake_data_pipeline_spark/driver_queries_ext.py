@@ -1680,6 +1680,69 @@ ORDER BY doc_id
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/layout.py): Morton-interleave
+    (user_id, |floor(value)|) mod 1024 into a 20-bit curve key, then per
+    curve block report the min-max envelope of BOTH dimensions — the
+    numbers a scan planner prunes on. Every block's envelope is bounded
+    in x AND y (the property plain sorting cannot give), and because the
+    key is pure div/mod arithmetic the oracle replays it term by term.
+
+    Scale shape: the key is ~40 constant-folded codegen terms (no UDF,
+    no shuffle); the audit agg is one k-group shuffle. The write-side
+    twin (write_zordered: range-partition by key + sorted files) is
+    pinned by tests/test_scale.py::test_zorder_layout_bounds_both_dims.
+    """
+    _utc(spark)
+    from .operators.layout import zorder_key
+
+    ev = _table(spark, sf_dir, "events").select(
+        (F.col("user_id").cast("long") % 1024).alias("x"),
+        (F.abs(F.floor(F.col("value"))).cast("long") % 1024).alias("y"),
+    )
+    keyed = ev.withColumn("z", zorder_key(["x", "y"], bits=10))
+    return (
+        keyed.groupBy((F.col("z") / F.lit(4096)).cast("long").alias("block"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("block")
+    )
+
+
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
+    """The same Morton arithmetic zorder_key builds, as engine-neutral
+    SQL (integer div/mod only) — generated so Spark and the oracle can
+    never drift."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({xcol}//{1 << b})%2)*{1 << (2 * b)}")
+        terms.append(f"(({ycol}//{1 << b})%2)*{1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+SQL_ZORDER_LAYOUT = f"""
+WITH pts AS (
+  SELECT CAST(user_id % 1024 AS BIGINT) AS x,
+         CAST(abs(floor(value)) AS BIGINT) % 1024 AS y
+  FROM events
+), keyed AS (
+  SELECT x, y, {_zorder_sql_expr('x', 'y', 10)} AS z FROM pts
+)
+SELECT CAST(z // 4096 AS BIGINT) AS block,
+       count(*) AS n_events,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y
+FROM keyed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1709,6 +1772,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup_prune": q_semdedup_prune,
     "mp4_probe": q_mp4_probe,
+    "zorder_layout": q_zorder_layout,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1740,4 +1804,5 @@ ORACLE_EXT: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "mp4_probe": SQL_MP4_PROBE,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
 }

@@ -1,0 +1,79 @@
+"""Data-layout operators: Z-order (Morton) clustering for multi-column
+data skipping.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet row-group/file min-max stats prune scans, but only if the data
+is laid out so each file covers a SMALL range of the filtered columns.
+Sorting clusters one column perfectly and leaves the others unsorted;
+interleaving the bits of several columns (the Morton / Z-order curve)
+bounds EVERY interleaved column's range per file — the layout trick
+behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+The key here is built from pure integer arithmetic (div/mod/multiply,
+no engine-specific bit intrinsics), which keeps it inside whole-stage
+codegen AND makes it bit-identically replayable by a SQL oracle —
+the determinism contract every operator in this repo follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton-interleave the low ``bits`` bits of each column into one
+    LONG sort key: bit b of column i lands at position len(cols)*b + i.
+
+    Columns must already be non-negative integers (bucketize/offset
+    first); values are taken mod 2**bits so the key is total. With the
+    default 16 bits and 2 columns the key spans 32 bits — small enough
+    for exact DOUBLE-free arithmetic in any engine. The expression is
+    2·bits constant-folded terms of ((c div 2^b) % 2) · 2^(n·b+i):
+    pure codegen, no shuffle, no UDF.
+    """
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols × {bits} bits overflows a signed long")
+    terms = []
+    for i, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        col = col.cast("long") % F.lit(1 << bits)
+        for b in range(bits):
+            terms.append(
+                ((col / F.lit(1 << b)).cast("long") % 2)
+                * F.lit(1 << (n * b + i))
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` clustered along the Z-order curve of ``cols``:
+    range-partition by the Morton key (each output file owns one key
+    range → one bounded region of the multi-dim space), sort within
+    partitions so row groups inherit the locality, drop the key.
+
+    On a cluster this is exactly the Delta/Iceberg OPTIMIZE shape:
+    one range shuffle, then embarrassingly parallel sorted writes; the
+    min-max stats written per file/row-group are what later scans prune
+    on.
+    """
+    keyed = df.withColumn("_zorder", zorder_key(cols, bits))
+    (
+        keyed.repartitionByRange(n_files, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+        .write.format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )

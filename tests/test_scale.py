@@ -75,3 +75,68 @@ def test_salted_join_rejects_outer_and_keyonly(spark):
         salted_join(left, right, ["k"], how="full")
     with pytest.raises(ValueError, match="salt_source"):
         salted_join(left.select("k"), right, ["k"])
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from earthquake_data_pipeline_spark.operators.layout import zorder_key
+
+    def ref(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    rows = [(x, y) for x in (0, 1, 5, 10, 15) for y in (0, 3, 6, 15)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", zorder_key(["x", "y"], bits=4)
+    )
+    for r in df.collect():
+        assert r["z"] == ref(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_key_rejects_overflow(spark):
+    from earthquake_data_pipeline_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_layout_bounds_both_dims(spark, tmp_path):
+    """The point of Z-order: after range-partitioning on the Morton key,
+    EVERY interleaved dimension has bounded min-max per file — versus a
+    plain sort where the secondary column spans the full domain (no
+    pruning possible on it)."""
+    import pyarrow.parquet as pq
+
+    from earthquake_data_pipeline_spark.operators.layout import write_zordered
+
+    df = spark.range(0, 20000).select(
+        ((F.col("id") * 2654435761) % 4096).alias("x"),
+        ((F.col("id") * 40503 + 17) % 4096).alias("y"),
+    )
+    zpath, spath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    # 16 files → the top 4 z bits (y11,x11,y10,x10) split BOTH dims twice
+    write_zordered(df, zpath, ["x", "y"], bits=12, n_files=16)
+    (
+        df.repartitionByRange(16, "x").sortWithinPartitions("x")
+        .write.parquet(spath, mode="overwrite")
+    )
+
+    def avg_range(path, col):
+        import glob
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            if t:
+                spans.append(max(t) - min(t))
+        return sum(spans) / len(spans)
+
+    # x-sorted layout: x clustered, y spans ~the full 4096 domain
+    assert avg_range(spath, "x") < 600
+    assert avg_range(spath, "y") > 3500
+    # z-ordered layout: BOTH dims bounded (sampled range boundaries can
+    # straddle quadrants, so assert the decisive half-domain bound —
+    # versus >3500 for the un-clustered dim above)
+    assert avg_range(zpath, "x") < 2048
+    assert avg_range(zpath, "y") < 2048
