@@ -1743,6 +1743,85 @@ ORDER BY 1
 """
 
 
+def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension versioning (operators/merge.py::scd2_apply):
+    seed a user dimension from each user's FIRST event (tracked attr =
+    event_type), then apply the snapshot of their LAST event. Users whose
+    type changed get a closed historical row + a new open version; stable
+    users keep one open row — the MERGE-with-history warehouse pattern
+    the plain upsert (upsert_merge) cannot express. Deterministic ends
+    via (ts, event_id) row_number; epoch seconds keep the oracle exact;
+    NULL valid_to surfaces as -1 so the hash never sees engine NaN.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from .operators.merge import scd2_apply
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    first = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("valid_from"),
+        )
+    )
+    dim = first.select(
+        "user_id", "event_type", "valid_from",
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        ev.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.unix_timestamp("ts").alias("ts"))
+    )
+    out = scd2_apply(dim, updates, ["user_id"], ["event_type"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_s"),
+        F.coalesce("valid_to", F.lit(-1)).cast("long").alias("valid_to_s"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_s")
+
+
+SQL_SCD2_SNAPSHOT = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events WHERE user_id < 200
+), f AS (
+  SELECT user_id, event_type AS ft, s AS fs FROM e WHERE rn_a = 1
+), l AS (
+  SELECT user_id, event_type AS lt, s AS ls FROM e WHERE rn_d = 1
+), j AS (
+  SELECT f.user_id, ft, fs, lt, ls FROM f JOIN l USING (user_id)
+)
+SELECT user_id, ft AS event_type, fs AS valid_from_s,
+       CAST(CASE WHEN ft <> lt THEN ls ELSE -1 END AS BIGINT) AS valid_to_s,
+       (ft = lt) AS is_current
+FROM j
+UNION ALL
+SELECT user_id, lt, ls, CAST(-1 AS BIGINT), TRUE FROM j WHERE ft <> lt
+ORDER BY user_id, valid_from_s
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1773,6 +1852,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": q_semdedup_prune,
     "mp4_probe": q_mp4_probe,
     "zorder_layout": q_zorder_layout,
+    "scd2_snapshot": q_scd2_snapshot,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1805,4 +1885,5 @@ ORACLE_EXT: dict[str, str] = {
     "semdedup_prune": SQL_SEMDEDUP_PRUNE,
     "mp4_probe": SQL_MP4_PROBE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "scd2_snapshot": SQL_SCD2_SNAPSHOT,
 }

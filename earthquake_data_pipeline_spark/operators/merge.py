@@ -132,3 +132,84 @@ def upsert_merge(
         ],
         action.alias("action"),
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: version rows instead of
+    overwriting them. ``dim`` carries (keys, tracked attrs, valid_from,
+    valid_to NULL-when-open, is_current); ``updates`` is one snapshot row
+    per key (keys, tracked attrs, ts_col).
+
+    Per key: a changed tracked attribute CLOSES the open row
+    (valid_to = update ts, is_current = false) and INSERTS a new open
+    version effective at the update ts; unchanged keys pass through;
+    unseen keys insert their first version. History rows are untouched.
+    NULL-safe change detection (a NULL→value transition is a change).
+
+    Scale: two equi-joins on the key (current rows × updates; updates
+    anti existing) — both shuffle-partition by the same key, and with a
+    small update batch AQE broadcasts it; history rows stream through
+    untouched with no join at all. This is MERGE INTO ... WHEN MATCHED
+    AND <changed> in table formats; the join formulation is the
+    engine-only equivalent.
+
+    Updates must be unique per key (pre-aggregate the snapshot with
+    dedup_row_number first) — same contract as upsert_merge.
+    """
+    key_list, tr_list = list(keys), list(tracked)
+    hist = dim.filter(~F.col(current_col))
+    cur = dim.filter(F.col(current_col))
+    up = updates.select(
+        *key_list,
+        F.lit(1).alias("__up_present"),
+        F.col(ts_col).alias("__up_ts"),
+        *[F.col(c).alias(f"__up_{c}") for c in tr_list],
+    )
+    j = cur.join(up, key_list, "left")
+    changed = F.col("__up_present").isNotNull() & ~F.expr(
+        " AND ".join(f"({c} <=> __up_{c})" for c in tr_list)
+    )
+    # open rows: closed if their tracked attrs changed, else untouched
+    closed_or_kept = j.select(
+        *key_list,
+        *tr_list,
+        F.col(from_col),
+        F.when(changed, F.col("__up_ts")).otherwise(F.col(to_col)).alias(to_col),
+        (~changed).alias(current_col),
+    )
+    # new versions for changed keys…
+    new_versions = j.filter(changed).select(
+        *key_list,
+        *[F.col(f"__up_{c}").alias(c) for c in tr_list],
+        F.col("__up_ts").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    # …and first versions for keys the dimension has never seen
+    first_versions = (
+        updates.join(dim.select(*key_list).dropDuplicates(key_list),
+                     key_list, "left_anti")
+        .select(
+            *key_list,
+            *tr_list,
+            F.col(ts_col).alias(from_col),
+            F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    cols = [*key_list, *tr_list, from_col, to_col, current_col]
+    return (
+        hist.select(*cols)
+        .unionByName(closed_or_kept.select(*cols))
+        .unionByName(new_versions.select(*cols))
+        .unionByName(first_versions.select(*cols))
+    )

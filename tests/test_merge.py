@@ -88,3 +88,69 @@ def test_upsert_merge_actions_and_null_values(spark):
     assert out[2] == ("B", "update")   # matched despite NULL existing value
     assert out[3] == ("c", "keep")
     assert out[4] == (None, "insert")  # NULL update value still inserts
+
+
+def test_scd2_closes_and_versions_changed_keys(spark):
+    from earthquake_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: open row whose attr will change
+            (1, "bronze", 100, None, True),
+            # key 1 also has history that must pass through untouched
+            (1, "trial", 10, 100, False),
+            # key 2: open row, unchanged in the snapshot
+            (2, "gold", 50, None, True),
+            # key 3: open row, absent from the snapshot
+            (3, "silver", 70, None, True),
+        ],
+        "k long, tier string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "silver", 200), (2, "gold", 200), (9, "new", 200)],
+        "k long, tier string, ts long",
+    )
+    out = scd2_apply(dim, updates, ["k"], ["tier"]).collect()
+    rows = {(r["k"], r["tier"], r["valid_from"]): r for r in out}
+    assert len(out) == 6
+    # changed key: old row closed, new version open
+    closed = rows[(1, "bronze", 100)]
+    assert closed["valid_to"] == 200 and closed["is_current"] is False
+    opened = rows[(1, "silver", 200)]
+    assert opened["valid_to"] is None and opened["is_current"] is True
+    # history untouched
+    assert rows[(1, "trial", 10)]["valid_to"] == 100
+    # unchanged + unseen keys untouched, new key inserted open
+    assert rows[(2, "gold", 50)]["is_current"] is True
+    assert rows[(2, "gold", 50)]["valid_to"] is None
+    assert rows[(3, "silver", 70)]["is_current"] is True
+    assert rows[(9, "new", 200)]["is_current"] is True
+
+
+def test_scd2_null_transition_is_a_change(spark):
+    from earthquake_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, 10, None, True)],
+        "k long, tier string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "gold", 20)], "k long, tier string, ts long")
+    out = scd2_apply(dim, updates, ["k"], ["tier"]).collect()
+    assert len(out) == 2
+    assert {r["is_current"] for r in out} == {True, False}
+
+
+def test_scd2_idempotent_on_replay(spark):
+    from earthquake_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, None, True)],
+        "k long, tier string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "b", 20)], "k long, tier string, ts long")
+    once = scd2_apply(dim, updates, ["k"], ["tier"])
+    twice = scd2_apply(once, updates, ["k"], ["tier"])
+    # replaying the same snapshot is a no-op: same rows both times
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
