@@ -1822,6 +1822,48 @@ ORDER BY user_id, valid_from_s
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (operators/merge.py::incremental_agg_merge): carve events into three
+    deterministic batches (event_id mod 3), seed per-event_type state
+    from batch 0, then fold batches 1 and 2 in one at a time. The oracle
+    is the FULL recompute over all events — the equality that makes
+    delta refresh trustworthy (integer-cents sums keep the merge
+    associative with zero float drift, so increment ≡ recompute exactly).
+    """
+    _utc(spark)
+    from .operators.merge import incremental_agg_merge
+
+    ev = _table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    b0 = ev.filter(F.col("event_id") % 3 == 0)
+    b1 = ev.filter(F.col("event_id") % 3 == 1)
+    b2 = ev.filter(F.col("event_id") % 3 == 2)
+    state = b0.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    state = incremental_agg_merge(state, b1, ["event_type"], "value")
+    state = incremental_agg_merge(state, b2, ["event_type"], "value")
+    return state.orderBy("event_type")
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1853,6 +1895,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp4_probe": q_mp4_probe,
     "zorder_layout": q_zorder_layout,
     "scd2_snapshot": q_scd2_snapshot,
+    "incremental_agg": q_incremental_agg,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1886,4 +1929,5 @@ ORACLE_EXT: dict[str, str] = {
     "mp4_probe": SQL_MP4_PROBE,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "scd2_snapshot": SQL_SCD2_SNAPSHOT,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
 }

@@ -134,6 +134,65 @@ def upsert_merge(
     )
 
 
+def incremental_agg_merge(
+    state: DataFrame,
+    batch: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a new batch
+    into a persisted per-key aggregate state WITHOUT recomputing history
+    — the delta-refresh pattern that keeps a 100 TB rollup's nightly
+    cost proportional to the increment, not the corpus.
+
+    State schema per key: (n_rows, sum_cents, min_v, max_v) — the
+    mergeable primitives (count/sum/min/max; avg derives as sum/n at
+    read time; non-mergeable aggregates like exact median need their own
+    sketch and are out of scope by design). Sums accumulate as integer
+    cents (exact decimal → long), so merging is associative with NO
+    float-order drift: merge(state, b1+b2) ≡ merge(merge(state, b1), b2)
+    bit-for-bit — the property that makes replay/restatement safe, and
+    the one the unit tests pin.
+
+    Shape: aggregate the batch (one shuffle over batch keys only), then
+    full-outer join with the state on the key and coalesce-merge — with
+    a small increment AQE broadcasts it and the state side is touched
+    only on matching partitions.
+    """
+    key_list = list(keys)
+    agg = batch.groupBy(*key_list).agg(
+        F.count("*").alias("__b_n"),
+        F.sum((F.col(value_col).cast("decimal(18,2)") * 100).cast("long")).alias(
+            "__b_sum"
+        ),
+        F.min(value_col).alias("__b_min"),
+        F.max(value_col).alias("__b_max"),
+    )
+    st = state.select(
+        *key_list,
+        F.col("n_rows").alias("__s_n"),
+        F.col("sum_cents").alias("__s_sum"),
+        F.col("min_v").alias("__s_min"),
+        F.col("max_v").alias("__s_max"),
+    )
+    j = st.join(agg, key_list, "full")
+    return j.select(
+        *key_list,
+        (F.coalesce("__s_n", F.lit(0)) + F.coalesce("__b_n", F.lit(0))).alias(
+            "n_rows"
+        ),
+        (F.coalesce("__s_sum", F.lit(0)) + F.coalesce("__b_sum", F.lit(0))).alias(
+            "sum_cents"
+        ),
+        F.least(
+            F.coalesce("__s_min", "__b_min"), F.coalesce("__b_min", "__s_min")
+        ).alias("min_v"),
+        F.greatest(
+            F.coalesce("__s_max", "__b_max"), F.coalesce("__b_max", "__s_max")
+        ).alias("max_v"),
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

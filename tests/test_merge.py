@@ -154,3 +154,65 @@ def test_scd2_idempotent_on_replay(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_incremental_agg_merge_associative_and_exact(spark):
+    from earthquake_data_pipeline_spark.operators.merge import (
+        incremental_agg_merge,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, "t%d" % (i % 3), float(i) * 1.25 - 10) for i in range(60)],
+        "id long, k string, v double",
+    )
+    b0, b1, b2 = (ev.filter(F.col("id") % 3 == i) for i in range(3))
+    state = b0.groupBy("k").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("v").cast("decimal(18,2)") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    one_by_one = incremental_agg_merge(
+        incremental_agg_merge(state, b1, ["k"], "v"), b2, ["k"], "v"
+    )
+    all_at_once = incremental_agg_merge(state, b1.unionAll(b2), ["k"], "v")
+    a = sorted(map(tuple, one_by_one.collect()))
+    b = sorted(map(tuple, all_at_once.collect()))
+    assert a == b  # associativity, bit-for-bit (integer cents)
+    # increment == full recompute
+    full = sorted(
+        map(
+            tuple,
+            ev.groupBy("k")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    (F.col("v").cast("decimal(18,2)") * 100).cast("long")
+                ).alias("sum_cents"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect(),
+        )
+    )
+    assert a == full
+
+
+def test_incremental_agg_merge_new_keys_and_empty_batch(spark):
+    from earthquake_data_pipeline_spark.operators.merge import (
+        incremental_agg_merge,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 2, 500, 1.0, 4.0)],
+        "k string, n_rows long, sum_cents long, min_v double, max_v double",
+    )
+    batch = spark.createDataFrame([("b", 7.5)], "k string, v double")
+    out = {r["k"]: r for r in incremental_agg_merge(state, batch, ["k"], "v").collect()}
+    assert out["a"]["n_rows"] == 2 and out["a"]["sum_cents"] == 500
+    assert out["b"]["n_rows"] == 1 and out["b"]["sum_cents"] == 750
+    empty = batch.filter(F.lit(False))
+    out2 = {r["k"]: r for r in incremental_agg_merge(state, empty, ["k"], "v").collect()}
+    assert out2["a"]["n_rows"] == 2 and len(out2) == 1
