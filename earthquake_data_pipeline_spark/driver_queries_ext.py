@@ -1864,6 +1864,56 @@ ORDER BY event_type
 """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality scoring (operators/text.py::
+    bigram_lm_scores): add-one-smoothed bigram log-probs learned from
+    the documents table itself, mean per doc — the CCNet-style fluency
+    signal with no external model. Per-bigram log-probs round to 6 dp
+    then decimal-sum, so the oracle (position self-join + the same
+    count arithmetic) reproduces the score bit-for-bit.
+    """
+    _utc(spark)
+    from .operators.text import bigram_lm_scores
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+SQL_BIGRAM_LM_SCORE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM d
+), uni AS (
+  SELECT w, count(*) AS cu FROM tok GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS vsize FROM tok
+), bg AS (
+  SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+  FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+), bc AS (
+  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(round(CAST(
+           ln(CAST(bc.cb + 1 AS DOUBLE) / (uni.cu + v.vsize))
+         AS DECIMAL(18,12)), 6) AS DECIMAL(18,6)) AS lp
+  FROM bg
+  JOIN bc USING (w1, w2)
+  JOIN uni ON bg.w1 = uni.w
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(CAST(CAST(sum(lp) AS DOUBLE) / count(*)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1896,6 +1946,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_layout": q_zorder_layout,
     "scd2_snapshot": q_scd2_snapshot,
     "incremental_agg": q_incremental_agg,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1930,4 +1981,5 @@ ORACLE_EXT: dict[str, str] = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "scd2_snapshot": SQL_SCD2_SNAPSHOT,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
 }

@@ -251,3 +251,66 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             .alias("dup_bigram_ratio"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics language-model scoring (the CCNet-style quality
+    signal): train add-one-smoothed bigram probabilities ON the corpus
+    itself, then score each document by its mean bigram log-probability
+    — fluent, typical text scores high; gibberish and boilerplate score
+    in the tails. No external model: the "LM" is two count aggregates.
+
+    Per doc: avg over bigrams of ln((c(w1,w2)+1)/(c(w1)+V)), V = vocab
+    size. Per-bigram log-probs are 6dp-rounded then decimal-summed, so
+    the score is addition-order-independent and a SQL oracle replays it
+    exactly (the round6x contract).
+
+    Scale shape: one tokenization pass; unigram/bigram counts are two
+    vocab-bounded aggregates (map-side partial); scoring is two
+    equi-joins keyed by token — all shuffle sizes ∝ vocabulary, not
+    corpus. Docs with fewer than two tokens have no bigrams and drop
+    out (score undefined).
+    """
+    from ..qcommon import round6x
+
+    toks = docs.select(id_col, tokens_of(text_col).alias("toks"))
+    n = F.size("toks")
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1), F.slice("toks", 2, n - 1)
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    unigrams = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    vocab = unigrams.count()  # scalar: vocabulary size (bounded)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    lp = round6x(
+        F.log(
+            (F.col("cb") + F.lit(1)).cast("double")
+            / (F.col("cu") + F.lit(int(vocab)))
+        )
+    ).cast("decimal(18,6)")
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(unigrams, F.col("w1") == F.col("w"))
+        .select(id_col, lp.alias("lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("_s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            round6x(F.col("_s").cast("double") / F.col("n_bigrams")).alias(
+                "avg_logprob"
+            ),
+        )
+    )

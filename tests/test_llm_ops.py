@@ -867,3 +867,27 @@ def test_multimodal_real_decode_and_resize_jpeg(spark):
     # re-encode at q=85 is lossy — assert within JPEG tolerance
     expect = np.repeat(np.repeat(tiles, 4, axis=0), 4, axis=1)
     assert np.abs(decoded.astype(int) - expect[:, :, None].astype(int)).max() <= 12
+
+
+def test_bigram_lm_scores_hand_corpus(spark):
+    """Add-one bigram log-probs on a corpus small enough to verify by
+    hand: counts, smoothing denominator, and the 6dp-round-then-sum
+    determinism contract."""
+    import math
+
+    from earthquake_data_pipeline_spark.operators.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # vocab = {a, b, solo} → V=3; c(a)=3, c(b)=3; c(a,b)=3, c(b,a)=1
+    r6 = lambda x: round(x, 6)
+    lp_ab = r6(math.log((3 + 1) / (3 + 3)))
+    lp_ba = r6(math.log((1 + 1) / (3 + 3)))
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_logprob"] - r6((2 * lp_ab + lp_ba) / 3)) < 2e-6
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["avg_logprob"] - lp_ab) < 2e-6
+    assert 3 not in out  # <2 tokens → no bigrams → no row
