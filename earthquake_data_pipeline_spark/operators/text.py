@@ -285,6 +285,11 @@ def bigram_lm_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    # NOTE: pairs is referenced twice (bigram counting + scoring join) and
+    # deliberately NOT checkpointed: tokenize+explode is cheap codegen, and
+    # measured at sf0.1 the double compute (2.6 s) beats materializing the
+    # exploded pairs (3.4 s) — the opposite call from lsh_jaccard_refine,
+    # whose re-computed subtree was an expensive shingle+hash chain.
     unigrams = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
