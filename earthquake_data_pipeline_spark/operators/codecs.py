@@ -589,8 +589,17 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     Table-driven from the file's DQT/DHT; interleaved single-scan SOF0
     with arbitrary sampling factors (4:4:4/4:2:2/4:2:0). Progressive
     (SOF2), arithmetic coding (SOF9+), and restart intervals raise —
-    those are the remaining documented seams.
+    those are the remaining documented seams. Truncated or malformed
+    streams always raise ValueError (never a bare IndexError) — the
+    contract the mapInPandas error paths rely on.
     """
+    try:
+        return _decode_jpeg_impl(raw)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg_impl(raw: bytes) -> np.ndarray:
     if raw[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2

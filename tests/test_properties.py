@@ -168,3 +168,98 @@ def test_png_codec_roundtrip_property(data, w, h, filter_type):
     rng = np.random.default_rng(seed)
     rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(rgb, filter_type=filter_type)), rgb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.data(),
+    tw=st.integers(min_value=1, max_value=4),
+    th=st.integers(min_value=1, max_value=4),
+)
+def test_jpeg_block_constant_roundtrip_property(data, tw, th):
+    """ANY block-constant gray image roundtrips bit-exactly at q=100 —
+    the invariant the codec_roundtrip oracle depends on."""
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    tiles = np.array(
+        [
+            [data.draw(st.integers(0, 255)) for _ in range(tw)]
+            for _ in range(th)
+        ],
+        dtype=np.uint8,
+    )
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.array_equal(dec, np.repeat(img[:, :, None], 3, axis=2))
+
+
+@settings(max_examples=15, deadline=None)
+@given(data=st.data(), w=st.integers(1, 20), h=st.integers(1, 20))
+def test_jpeg_q100_gray_error_bound_property(data, w, h):
+    """Arbitrary gray content (any dims, incl. non-multiple-of-8) stays
+    within 2 LSB through the q=100 encode→decode path."""
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.array(
+        [[data.draw(st.integers(0, 255)) for _ in range(w)] for _ in range(h)],
+        dtype=np.uint8,
+    )
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(int) - img[:, :, None].astype(int)).max() <= 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data(), n=st.integers(1, 12))
+def test_mp4_roundtrip_property(data, n):
+    """Any sample list (sizes 1..64, arbitrary bytes) survives
+    build→parse→extract byte-exactly with consistent offsets/times."""
+    from earthquake_data_pipeline_spark.operators import mp4
+
+    samples = [
+        bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=1, max_size=64)
+            )
+        )
+        for _ in range(n)
+    ]
+    delta = data.draw(st.integers(1, 3000))
+    raw = mp4.build_mp4(samples, timescale=1000, sample_delta=delta)
+    tr = mp4.parse_mp4(raw)
+    assert tr.n_samples == n
+    assert mp4.extract_samples(raw, tr) == samples
+    assert tr.sample_times_ms() == [i * delta for i in range(n)]
+    # offsets are strictly increasing by the previous sample's size
+    for i in range(1, n):
+        assert tr.sample_offsets[i] == tr.sample_offsets[i - 1] + len(
+            samples[i - 1]
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(cut=st.integers(20, 200))
+def test_jpeg_truncated_input_raises_cleanly(cut):
+    """Truncating a valid stream anywhere must raise ValueError, never an
+    uncontrolled IndexError — the contract mapInPandas error paths rely
+    on."""
+    import pytest as _pytest
+
+    from earthquake_data_pipeline_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = (np.add.outer(np.arange(16) * 7, np.arange(16) * 3) % 256).astype(
+        np.uint8
+    )
+    raw = encode_jpeg(img, quality=90)
+    cut = min(cut, len(raw) - 1)
+    with _pytest.raises(ValueError):
+        decode_jpeg(raw[:cut])
