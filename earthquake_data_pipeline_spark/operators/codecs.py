@@ -46,9 +46,17 @@ def sniff_format(raw: bytes) -> str | None:
 
 def decode_bmp(raw: bytes) -> np.ndarray:
     """BMP → (H, W, 3) uint8 RGB. Supports the uncompressed 24/32 bpp
-    BITMAPINFOHEADER form (BI_RGB), bottom-up or top-down rows."""
+    BITMAPINFOHEADER form (BI_RGB), bottom-up or top-down rows.
+    Truncated/malformed input raises ValueError."""
     if raw[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    try:
+        return _decode_bmp_impl(raw)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed BMP: {e}") from e
+
+
+def _decode_bmp_impl(raw: bytes) -> np.ndarray:
     (data_off,) = struct.unpack_from("<I", raw, 10)
     header_size, width, height = struct.unpack_from("<Iii", raw, 14)
     if header_size < 40:
@@ -127,6 +135,13 @@ def decode_png(raw: bytes) -> np.ndarray:
     """
     if raw[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
+    try:
+        return _decode_png_impl(raw)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"truncated or malformed PNG: {e}") from e
+
+
+def _decode_png_impl(raw: bytes) -> np.ndarray:
     pos, width = 8, None
     idat = bytearray()
     while pos + 8 <= len(raw):
@@ -242,7 +257,15 @@ def encode_png(rgb: np.ndarray, filter_type: int = 0) -> bytes:
 
 def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
     """WAV (PCM 8/16-bit) → (sample_rate, n_channels, float32 samples in
-    [-1, 1) shaped (n_frames, n_channels))."""
+    [-1, 1) shaped (n_frames, n_channels)). Truncated/malformed input
+    raises ValueError."""
+    try:
+        return _decode_wav_impl(raw)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise ValueError(f"truncated or malformed WAV: {e}") from e
+
+
+def _decode_wav_impl(raw: bytes) -> tuple[int, int, np.ndarray]:
     with wave.open(io.BytesIO(raw), "rb") as wf:
         rate = wf.getframerate()
         channels = wf.getnchannels()
