@@ -1786,6 +1786,12 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.unix_timestamp("ts").alias("ts"))
     )
+    # scd2_apply references dim 3× (history/current split + unseen-key
+    # anti-join) and updates 2×; without the checkpoints Catalyst
+    # re-computes each events scan+window per reference (audited: 6
+    # fact scans → 2). Both frames are one row per user — tiny.
+    dim = dim.localCheckpoint(eager=False)
+    updates = updates.localCheckpoint(eager=False)
     out = scd2_apply(dim, updates, ["user_id"], ["event_type"])
     return out.select(
         "user_id",

@@ -126,3 +126,40 @@ def test_pricing_summary_partial_agg_and_long_path(spark):
     # (UnscaledValue accumulators), not Decimal objects
     assert "UnscaledValue(cast(l_quantity" in plan
     assert "UnscaledValue(cast(l_extendedprice" in plan
+
+
+def test_zorder_layout_pure_codegen(spark):
+    plan = plan_of(spark, "zorder_layout")
+    # the Morton key is ~40 folded arithmetic terms, NOT a UDF: one scan,
+    # one agg exchange + terminal sort, zero Python stages
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("FileScan") == 1
+    assert "partial_" in plan  # map-side combine on the block agg
+
+
+def test_incremental_agg_merge_join_shape(spark):
+    plan = plan_of(spark, "incremental_agg")
+    # state+batch merges are key-partitioned full-outer joins (full outer
+    # cannot broadcast) over partial-aggregated batches; no Python
+    assert plan.count("FullOuter") == 2 and "SortMergeJoin" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_snapshot_bounded_exchanges(spark):
+    plan = plan_of(spark, "scd2_snapshot")
+    # dim/updates are lazily checkpointed before scd2_apply's multiple
+    # references — without that, Catalyst re-computes the events
+    # scan+window per reference (audited at 6 fact scans / 10 exchanges;
+    # now ≤ 6 exchanges over the checkpointed one-row-per-user frames)
+    assert plan.count("Exchange") <= 6
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_score_vocab_keyed_joins(spark):
+    plan = plan_of(spark, "bigram_lm_score")
+    # counts and scoring joins are token-keyed (vocab-bounded), all
+    # JVM-side; no Python stage anywhere in the scoring path
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # map-side combine on count aggs
