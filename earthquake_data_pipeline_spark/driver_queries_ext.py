@@ -1920,6 +1920,66 @@ ORDER BY doc_id
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.py) under the
+    guarantee-oracle pattern: build the k=31 sketch over a deliberately
+    skewed key (two ~25% hot keys + a per-user cold tail), then verify
+    the MG theorems against the exact counts — every key above the
+    n/(k+1) frequency threshold is present in the sketch, never
+    overcounted, and undercounted by at most n/(k+1). The booleans are
+    partition-proof (the guarantee holds under ANY input split), so the
+    output is deterministic even though raw counter values are not.
+    Output: the truly-heavy keys with exact counts + guarantee booleans.
+    """
+    _utc(spark)
+    from .operators.sketches import heavy_hitters_sketch
+
+    k = 31
+    key = F.when(F.col("user_id") % 4 == 0, F.lit("hot0")).when(
+        F.col("user_id") % 4 == 1, F.lit("hot1")
+    ).otherwise(F.concat(F.lit("cold_"), F.col("user_id").cast("string")))
+    ev = _table(spark, sf_dir, "events").select(key.alias("key"))
+    sketch = heavy_hitters_sketch(ev, "key", k=k)
+    exact = ev.groupBy("key").agg(F.count("*").alias("exact_count"))
+    n = ev.count()  # scalar total — one cheap count job
+    heavy = exact.filter(F.col("exact_count") * (k + 1) > F.lit(n))
+    return (
+        heavy.join(sketch, "key", "left")
+        .select(
+            "key",
+            "exact_count",
+            F.col("est").isNotNull().alias("in_sketch"),
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("est")) * (k + 1)
+                    <= F.lit(n)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("key")
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 4 = 0 THEN 'hot0'
+              WHEN user_id % 4 = 1 THEN 'hot1'
+              ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS key
+  FROM events
+), exact AS (
+  SELECT key, count(*) AS exact_count FROM keyed GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM keyed
+)
+SELECT key, exact_count, TRUE AS in_sketch, TRUE AS within_bound
+FROM exact CROSS JOIN tot
+WHERE exact_count * 32 > n
+ORDER BY key
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -1953,6 +2013,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_snapshot": q_scd2_snapshot,
     "incremental_agg": q_incremental_agg,
     "bigram_lm_score": q_bigram_lm_score,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -1988,4 +2049,5 @@ ORACLE_EXT: dict[str, str] = {
     "scd2_snapshot": SQL_SCD2_SNAPSHOT,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

@@ -891,3 +891,40 @@ def test_bigram_lm_scores_hand_corpus(spark):
     assert out[2]["n_bigrams"] == 1
     assert abs(out[2]["avg_logprob"] - lp_ab) < 2e-6
     assert 3 not in out  # <2 tokens → no bigrams → no row
+
+
+def test_misra_gries_guarantee_under_any_partitioning(spark):
+    """The MG theorems the heavy_hitters oracle relies on: every key
+    above the n/(k+1) threshold survives the merged sketch with
+    true - n/(k+1) <= est <= true, for ADVERSARIAL partitionings."""
+    from earthquake_data_pipeline_spark.operators.sketches import (
+        heavy_hitters_sketch,
+    )
+
+    # 1000 rows: 'a' 300, 'b' 250, 100 distinct cold keys ~4.5 each
+    rows = (
+        [("a",)] * 300 + [("b",)] * 250 + [(f"c{i % 100}",) for i in range(450)]
+    )
+    n, k = len(rows), 7
+    for parts in (1, 3, 16):
+        df = spark.createDataFrame(rows, "key string").repartition(parts)
+        est = {r["key"]: r["est"] for r in heavy_hitters_sketch(df, "key", k).collect()}
+        for key, true in (("a", 300), ("b", 250)):
+            assert true * (k + 1) > n  # genuinely heavy at this k
+            assert key in est, f"heavy key {key} lost at parts={parts}"
+            assert est[key] <= true
+            assert (true - est[key]) * (k + 1) <= n
+        # sketch never exceeds k keys per partition summary pre-merge
+        assert len(est) <= k * parts
+
+
+def test_misra_gries_bounded_summary_size(spark):
+    from earthquake_data_pipeline_spark.operators.sketches import (
+        mg_partition_summaries,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(5000)], "key string"
+    ).coalesce(1)
+    out = mg_partition_summaries(df, "key", k=10).collect()
+    assert len(out) <= 10  # O(k) memory regardless of distinct count
