@@ -1980,6 +1980,61 @@ ORDER BY key
 """
 
 
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (operators/quality.py) over events
+    — the dbt-tests face (the reference's schema.yml declares the
+    columns; the tests directory is empty, this is what fills it). One
+    aggregation pass computes every violation count: not_null, unique,
+    accepted_values, and a deliberately-violated range check so the
+    report proves exact violation COUNTS, not just pass booleans.
+    """
+    _utc(spark)
+    from .operators.quality import expectation_report
+
+    ev = _table(spark, sf_dir, "events")
+    suite = [
+        ("not_null", "event_id"),
+        ("not_null", "ts"),
+        ("unique", "event_id"),
+        ("accepted_values", "event_type",
+         ["click", "view", "purchase", "signup", "error"]),
+        ("between", "value", 0.0, 100.0),
+    ]
+    return expectation_report(ev, suite).orderBy("expectation", "column")
+
+
+SQL_EXPECTATIONS_REPORT = """
+WITH v AS (
+  SELECT
+    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v_null_id,
+    sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v_null_ts,
+    sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)
+      - count(DISTINCT event_id) AS v_uniq,
+    sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+             ('click','view','purchase','signup','error')
+        THEN 1 ELSE 0 END) AS v_vals,
+    sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 100.0)
+        THEN 1 ELSE 0 END) AS v_range
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'not_null' AS expectation, 'event_id' AS "column",
+         CAST(v_null_id AS BIGINT) AS n_violations, v_null_id = 0 AS passed
+  FROM v
+  UNION ALL
+  SELECT 'not_null', 'ts', CAST(v_null_ts AS BIGINT), v_null_ts = 0 FROM v
+  UNION ALL
+  SELECT 'unique', 'event_id', CAST(v_uniq AS BIGINT), v_uniq = 0 FROM v
+  UNION ALL
+  SELECT 'accepted_values', 'event_type', CAST(v_vals AS BIGINT), v_vals = 0
+  FROM v
+  UNION ALL
+  SELECT 'between', 'value', CAST(v_range AS BIGINT), v_range = 0 FROM v
+)
+ORDER BY expectation, "column"
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -2014,6 +2069,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg": q_incremental_agg,
     "bigram_lm_score": q_bigram_lm_score,
     "heavy_hitters": q_heavy_hitters,
+    "expectations_report": q_expectations_report,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -2050,4 +2106,5 @@ ORACLE_EXT: dict[str, str] = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "expectations_report": SQL_EXPECTATIONS_REPORT,
 }

@@ -80,3 +80,52 @@ def test_analytics_models_run(spark, raw):
     tsu = ANALYTICS_MODELS["tsunami_flags"](fact).collect()
     assert len(tsu) == 1 and tsu[0].country == "Japan"
     assert tsu[0].percent_tsunami_flagged == 100.0
+
+
+def test_expectation_report_semantics(spark):
+    from earthquake_data_pipeline_spark.operators.quality import (
+        expectation_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0),
+            (1, "a", -3.0),   # duplicate id + below range
+            (None, "b", 50.0),  # null id
+            (3, "zzz", 200.0),  # bad value + above range
+            (4, None, None),    # nulls never violate unique/values/range
+        ],
+        "id long, cat string, v double",
+    )
+    suite = [
+        ("not_null", "id"),
+        ("unique", "id"),
+        ("accepted_values", "cat", ["a", "b"]),
+        ("between", "v", 0.0, 100.0),
+    ]
+    out = {
+        (r["expectation"], r["column"]): (r["n_violations"], r["passed"])
+        for r in expectation_report(df, suite).collect()
+    }
+    assert out[("not_null", "id")] == (1, False)
+    assert out[("unique", "id")] == (1, False)       # one extra '1'
+    assert out[("accepted_values", "cat")] == (1, False)  # 'zzz'
+    assert out[("between", "v")] == (2, False)       # -3 and 200
+    clean = expectation_report(df.filter("id = 4"), [("not_null", "cat")])
+    assert clean.collect()[0]["n_violations"] == 1
+
+
+def test_expectation_report_single_pass_plan(spark):
+    from earthquake_data_pipeline_spark.operators.quality import (
+        expectation_report,
+    )
+
+    df = spark.range(100).selectExpr("id", "cast(id as double) v")
+    rep = expectation_report(
+        df, [("not_null", "id"), ("between", "v", 0.0, 1e9)]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # the whole suite is ONE aggregation over ONE scan — adding
+    # expectations must not add passes
+    assert plan.count("Scan") <= 2  # range scan (+reused exchange view)
+    assert "Generate explode" in plan or "Generate" in plan
