@@ -2035,6 +2035,48 @@ ORDER BY expectation, "column"
 """
 
 
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test splits (operators/sampling.py::
+    assign_splits): every document lands in exactly one split from its
+    content-hash bucket — disjoint+exhaustive by construction, stable
+    under any partitioning/rerun (the property df.sample() lacks), and
+    exactly replayable by the oracle's md5 arithmetic. Output: each
+    split's document count and doc_id checksum (proves the ASSIGNMENT,
+    not just the sizes)."""
+    _utc(spark)
+    from .operators.sampling import assign_splits
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_splits(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_SPLIT_ASSIGNMENT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+           AS bucket
+  FROM documents
+), labeled AS (
+  SELECT doc_id,
+         CASE WHEN bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+              WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM labeled GROUP BY split ORDER BY split
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_frame": q_range_frame,
     "grouping_sets": q_grouping_sets,
@@ -2070,6 +2112,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "heavy_hitters": q_heavy_hitters,
     "expectations_report": q_expectations_report,
+    "split_assignment": q_split_assignment,
 }
 
 ORACLE_EXT: dict[str, str] = {
@@ -2107,4 +2150,5 @@ ORACLE_EXT: dict[str, str] = {
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "expectations_report": SQL_EXPECTATIONS_REPORT,
+    "split_assignment": SQL_SPLIT_ASSIGNMENT,
 }

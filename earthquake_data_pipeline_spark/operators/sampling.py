@@ -67,3 +67,42 @@ def stratified_sample_by_hash(
             .otherwise(thresh)
         )
     return df.filter(hash_bucket(key_col, salt) < thresh)
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's hash bucket
+    falls into exactly one cumulative range, so the splits are DISJOINT
+    and EXHAUSTIVE by construction, stable across reruns/partitioning,
+    and honored by every downstream job that uses the same key+salt.
+
+    Also the leakage-control tool: keying by a DOCUMENT id keeps all of
+    a document's chunks in one split; keying by a group id (site,
+    author) keeps correlated content together — pick the key at the
+    granularity leakage matters.
+
+    Adds a ``split`` column; fractions must sum to 1 (the last range is
+    closed at 2^32 so float rounding cannot orphan rows).
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, salt)
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for i, (name, frac) in enumerate(items):
+        # 12-dp re-round per step: float accumulation would drift the
+        # cumulative threshold (0.8 + 0.1 = 0.9000000000000001 → one
+        # bucket off the oracle's CAST(0.9 * 2^32)) — measure-zero but
+        # free to eliminate
+        acc = round(acc + frac, 12)
+        hi = _HASH_SPACE if i == len(items) - 1 else int(acc * _HASH_SPACE)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -928,3 +928,25 @@ def test_misra_gries_bounded_summary_size(spark):
     ).coalesce(1)
     out = mg_partition_summaries(df, "key", k=10).collect()
     assert len(out) <= 10  # O(k) memory regardless of distinct count
+
+
+def test_assign_splits_disjoint_exhaustive_stable(spark):
+    from earthquake_data_pipeline_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 2000).selectExpr("id AS doc_id")
+    out = assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000          # exhaustive
+    assert set(counts) == {"train", "val", "test"}
+    assert 1400 < counts["train"] < 1800          # ~80% within hash noise
+    # stability: same assignment under different partitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(
+            df.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(df, "doc_id", {"train": 0.5})
