@@ -1799,7 +1799,10 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").alias("valid_from_s"),
         F.coalesce("valid_to", F.lit(-1)).cast("long").alias("valid_to_s"),
         "is_current",
-    ).orderBy("user_id", "valid_from_s")
+        # is_current as the tie-breaker makes the sort total even when a
+        # user's first and last event share one timestamp (closed row and
+        # new open version tie on (user_id, valid_from_s))
+    ).orderBy("user_id", "valid_from_s", "is_current")
 
 
 SQL_SCD2_SNAPSHOT = """
@@ -1824,7 +1827,7 @@ SELECT user_id, ft AS event_type, fs AS valid_from_s,
 FROM j
 UNION ALL
 SELECT user_id, lt, ls, CAST(-1 AS BIGINT), TRUE FROM j WHERE ft <> lt
-ORDER BY user_id, valid_from_s
+ORDER BY user_id, valid_from_s, is_current
 """
 
 
@@ -2066,8 +2069,11 @@ WITH b AS (
   FROM documents
 ), labeled AS (
   SELECT doc_id,
-         CASE WHEN bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-              WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+         -- floor() on both sides: Python int() truncates, so the oracle
+         -- must too (CAST alone rounds-to-nearest in DuckDB — one bucket
+         -- off at the exact boundary value)
+         CASE WHEN bucket < CAST(floor(0.8 * 4294967296) AS BIGINT) THEN 'train'
+              WHEN bucket < CAST(floor(0.9 * 4294967296) AS BIGINT) THEN 'val'
               ELSE 'test' END AS split
   FROM b
 )

@@ -51,8 +51,12 @@ def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of qcommon._table('events'): same ts normalization
     (see ``qcommon.normalize_events_ts``), via the file stream source
     (directory + glob, because the file source requires a directory
-    basePath). The batch reader probes the schema; the stream applies the
-    identical normalization, so ``ts`` is a UTC TimestampType either way.
+    basePath). A batch read probes the schema (the stream source needs it
+    declared up front), then the stream applies the identical
+    normalization — since the round-6 retirement of the nanosAsLong
+    legacy branch both paths support exactly the one timestamp[us]
+    layout the testdata contract pins, so batch and stream can no longer
+    diverge on layout support.
     """
     _utc(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema

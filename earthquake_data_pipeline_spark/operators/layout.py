@@ -25,12 +25,14 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     """Morton-interleave the low ``bits`` bits of each column into one
     LONG sort key: bit b of column i lands at position len(cols)*b + i.
 
-    Columns must already be non-negative integers (bucketize/offset
-    first); values are taken mod 2**bits so the key is total. With the
-    default 16 bits and 2 columns the key spans 32 bits — small enough
-    for exact DOUBLE-free arithmetic in any engine. The expression is
-    2·bits constant-folded terms of ((c div 2^b) % 2) · 2^(n·b+i):
-    pure codegen, no shuffle, no UDF.
+    Values are taken pmod 2**bits (floor-mod, always non-negative) so
+    the key really is total for ANY integer input — Spark's plain ``%``
+    preserves the dividend's sign, which would make negative inputs
+    produce meaningless bit extractions. With the default 16 bits and 2
+    columns the key spans 32 bits — small enough for exact DOUBLE-free
+    arithmetic in any engine. The expression is 2·bits constant-folded
+    terms of ((c div 2^b) % 2) · 2^(n·b+i): pure codegen, no shuffle,
+    no UDF.
     """
     n = len(cols)
     if n * bits > 62:
@@ -38,7 +40,7 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     terms = []
     for i, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
-        col = col.cast("long") % F.lit(1 << bits)
+        col = F.pmod(col.cast("long"), F.lit(1 << bits))
         for b in range(bits):
             terms.append(
                 ((col / F.lit(1 << b)).cast("long") % 2)

@@ -72,15 +72,24 @@ class Mp4Track:
 
 def parse_mp4(raw: bytes) -> Mp4Track:
     """Parse the first video track (falls back to the first track) into
-    resolved per-sample byte ranges and timestamps."""
+    resolved per-sample byte ranges and timestamps.
+
+    Truncated/malformed payloads raise ValueError — the same contract
+    every decoder in operators/codecs.py honors, which the mapInPandas
+    error paths rely on (a bare struct.error or IndexError from a short
+    tkhd/mdhd body or an stsc run past the stco table must not escape).
+    """
     if not sniff_mp4(raw):
         raise ValueError("not an MP4 payload (no ftyp)")
     tracks: list[Mp4Track] = []
-    for btype, body, box_end in walk_boxes(raw):
-        if btype == b"moov":
-            for t2, b2, e2 in walk_boxes(raw, body, box_end):
-                if t2 == b"trak":
-                    tracks.append(_parse_trak(raw, b2, e2))
+    try:
+        for btype, body, box_end in walk_boxes(raw):
+            if btype == b"moov":
+                for t2, b2, e2 in walk_boxes(raw, body, box_end):
+                    if t2 == b"trak":
+                        tracks.append(_parse_trak(raw, b2, e2))
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated or malformed MP4: {exc}") from exc
     if not tracks:
         raise ValueError("MP4 has no tracks")
     for t in tracks:
@@ -213,7 +222,10 @@ def extract_samples(
     idx = range(track.n_samples) if indices is None else indices
     out = []
     for i in idx:
-        off, size = track.sample_offsets[i], track.sample_sizes[i]
+        try:
+            off, size = track.sample_offsets[i], track.sample_sizes[i]
+        except IndexError as exc:
+            raise ValueError(f"sample index {i} out of range") from exc
         if off + size > len(raw):
             raise ValueError(f"sample {i} byte range escapes the file")
         out.append(raw[off : off + size])

@@ -8,25 +8,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampNTZType
+from pyspark.sql.types import TimestampNTZType
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """Normalize the events ``ts`` column to TimestampType (UTC instant),
-    whatever physical layout the parquet uses.
+    """Normalize the events ``ts`` column to TimestampType (UTC instant).
 
-    The generated testdata has shipped two layouts across rounds:
-    int64 epoch-nanos (read as LongType under
-    ``spark.sql.legacy.parquet.nanosAsLong``) and parquet
-    ``timestamp[us]`` with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
-    Both carry the same UTC wall-clock; the session timezone is pinned to
-    UTC (``_utc``) before the NTZ→timestamp cast so the instant is
-    identical either way, and identical to DuckDB's naive TIMESTAMP.
+    The current testdata layout is parquet ``timestamp[us]`` with
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. The
+    session timezone is pinned to UTC (``_utc``) before the NTZ cast so
+    the instant equals DuckDB's naive TIMESTAMP exactly. The round-4
+    int64-epoch-nanos legacy branch (``nanosAsLong`` session conf) was
+    retired in round 6 after two consecutive rounds on this layout;
+    ``tests/test_testdata_contract.py`` pins ``ts`` to the timestamp
+    family and fails by name if the generator ever drifts again.
     """
     t = df.schema["ts"].dataType
-    if isinstance(t, LongType):
-        # epoch nanos → floor to micros, exactly DuckDB's truncation
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(t, TimestampNTZType):
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -38,17 +35,7 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The NTZ→timestamp cast in normalize_events_ts reads the session tz
     # at plan time; pin UTC first so the instant is timezone-proof.
     _utc(spark)
-    try:
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        raw.schema["ts"]  # force schema resolution
-    except Exception:
-        # Legacy layout: parquet TIMESTAMP(NANOS), which the vectorized
-        # reader rejects outright. Re-read the raw int64 nanos. The conf
-        # must hold through scan time, so it stays set for the session —
-        # it only affects NANOS columns, which no other table has.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return normalize_events_ts(raw)
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _utc(spark: SparkSession) -> None:

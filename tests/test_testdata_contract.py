@@ -24,9 +24,10 @@ SF_DIR = "/root/testdata/sf0.001"
 CONTRACT = {
     "events": {
         "event_id": ("int",),
-        # every family normalize_events_ts handles; anything else is a
+        # the single family normalize_events_ts handles since the round-6
+        # retirement of the int64-nanos legacy branch; anything else is a
         # NEW layout the reader must learn about
-        "ts": ("int64", "timestamp"),
+        "ts": ("timestamp",),
         "user_id": ("int",),
         "event_type": ("string", "large_string"),
         "value": ("float", "double"),
