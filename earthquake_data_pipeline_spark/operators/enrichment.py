@@ -32,6 +32,11 @@ from pyspark.sql import types as T
 from ..functions.geo import parse_wkt_polygon, points_in_polygon, ring_bbox
 from ..functions.scalar import token_pattern
 
+# Linear per-batch polygon scan is fine to ~16× the reference's 259-row
+# world dim; beyond that the broadcast dim needs a bbox-grid index (see
+# spatial_join docstring).
+_MAX_LINEAR_POLYGONS = 4096
+
 
 def spatial_join(
     points: DataFrame,
@@ -50,6 +55,16 @@ def spatial_join(
     rows (wkt=None, e.g. the reference's manual 'Alaska' row) are skipped
     here — they participate in the regex fallback instead
     (pipeline/add_region.py:36).
+
+    Cost model: the per-batch loop is O(polygons) with a vectorized bbox
+    prefilter — the right shape for the reference's 259-row dim (and the
+    operator stays MAP-ONLY: no shuffle, pinned by
+    tests/test_plans.py::test_spatial_join_is_map_only). It is NOT the
+    right shape for a dim of many thousands of polygons, where the bbox
+    tests themselves dominate; past ``_MAX_LINEAR_POLYGONS`` this raises
+    rather than silently degrading — the fix at that scale is an
+    STRtree/bbox-grid index over the broadcast dim inside the same
+    mapInPandas (plumbing unchanged, still map-only).
     """
     import pandas as pd
 
@@ -59,6 +74,13 @@ def spatial_join(
             continue
         polys = parse_wkt_polygon(wkt)
         parsed.append((country, region, polys, ring_bbox(polys)))
+    if len(parsed) > _MAX_LINEAR_POLYGONS:
+        raise ValueError(
+            f"spatial_join's linear polygon scan is sized for dims ≤ "
+            f"{_MAX_LINEAR_POLYGONS} polygons (got {len(parsed)}); add a "
+            "bbox-grid/STRtree index to the broadcast dim before raising "
+            "the limit"
+        )
 
     spark = points.sparkSession
     bc = spark.sparkContext.broadcast(parsed)

@@ -267,15 +267,30 @@ def bigram_lm_scores(
     the score is addition-order-independent and a SQL oracle replays it
     exactly (the round6x contract).
 
-    Scale shape: one tokenization pass; unigram/bigram counts are two
-    vocab-bounded aggregates (map-side partial); scoring is two
-    equi-joins keyed by token — all shuffle sizes ∝ vocabulary, not
-    corpus. Docs with fewer than two tokens have no bigrams and drop
-    out (score undefined).
+    Scale shape: ONE corpus scan. The tokenized corpus lands once in a
+    materialized intermediate (``localCheckpoint``; a production
+    pipeline would persist it as a columnar table between stages —
+    same plan shape), and every downstream subtree — bigram counting,
+    the scoring join's second pairs reference, unigram counts, and the
+    vocabulary size — reads the materialized tokens, never the raw
+    corpus. Unigram/bigram counts are vocab-bounded aggregates
+    (map-side partial); scoring is two equi-joins keyed by token plus
+    a broadcast of the 1-row vocab frame — all shuffle sizes ∝
+    vocabulary, not corpus. Docs with fewer than two tokens have no
+    bigrams and drop out (score undefined).
+
+    (Measured crossover, sf0.1 / local[32]: recompute-3-scans 1.9 s <
+    checkpoint-token-ARRAYS 2.5 s < checkpoint-EXPLODED-pairs 3.4 s.
+    At sf0.1 the corpus file is OS-cached so rescans are nearly free
+    and recompute wins; at 100 TB the scan IS the cost and the ranking
+    inverts — single-scan is the shape that survives, so it ships, and
+    the compact pre-explode arrays are the cheapest thing to land.)
     """
     from ..qcommon import round6x
 
     toks = docs.select(id_col, tokens_of(text_col).alias("toks"))
+    # the one corpus scan: tokenize once, materialize the token arrays
+    toks = toks.localCheckpoint(eager=False)
     n = F.size("toks")
     pairs = toks.select(
         id_col,
@@ -285,27 +300,25 @@ def bigram_lm_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-    # NOTE: pairs is referenced twice (bigram counting + scoring join) and
-    # deliberately NOT checkpointed: tokenize+explode is cheap codegen, and
-    # measured at sf0.1 the double compute (2.6 s) beats materializing the
-    # exploded pairs (3.4 s) — the opposite call from lsh_jaccard_refine,
-    # whose re-computed subtree was an expensive shingle+hash chain.
     unigrams = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
     )
-    vocab = unigrams.count()  # scalar: vocabulary size (bounded)
+    # vocab size as a broadcast 1-row frame: no separate driver action,
+    # the whole score stays one lazy plan
+    vsize = unigrams.agg(F.count("*").alias("vsize"))
     bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     lp = round6x(
         F.log(
             (F.col("cb") + F.lit(1)).cast("double")
-            / (F.col("cu") + F.lit(int(vocab)))
+            / (F.col("cu") + F.col("vsize"))
         )
     ).cast("decimal(18,6)")
     scored = (
         pairs.join(bigrams, ["w1", "w2"])
         .join(unigrams, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vsize))
         .select(id_col, lp.alias("lp"))
     )
     return (

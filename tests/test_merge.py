@@ -48,6 +48,62 @@ def test_high_water_mark_drops_late_rows(spark):
     assert [r.k for r in kept.collect()] == ["new"]
 
 
+def test_late_data_batch_drops_watermark_bounded_accepts(spark, tmp_path):
+    """The I1 divergence made explicit (SURVEY §2.9 caveat,
+    stg_earthquake.sql:13-15): a late row older than the current maximum
+    is SILENTLY dropped by the batch `>`-high-water path, but the
+    streaming watermark face accepts it as long as it lands inside the
+    declared lateness horizon — the bound is a contract, not luck."""
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        streaming_dedup,
+    )
+
+    # -- batch face: 11:30 is behind the 12:00 high-water mark → dropped
+    existing = _events(spark, [("hw", "2024-01-01 12:00:00", 1.0)])
+    late = _events(spark, [("late_ok", "2024-01-01 11:30:00", 2.0)])
+    assert high_water_mark_filter(late, existing, "ts").count() == 0
+
+    # -- streaming face, 1 h watermark: after the 12:00 batch the
+    # watermark is 11:00, so the same 11:30 row is bounded-ACCEPTED in
+    # the next micro-batch, while a 10:00 row (behind the watermark) is
+    # dropped — the declared version of the batch path's silent drop
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("hw", "2024-01-01 12:00:00", 1.0)], ["k", "ts", "v"]
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(
+        src
+    )
+    q = (
+        streaming_dedup(stream, ["k"], "ts", lateness="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_bound_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to 11:00
+        spark.createDataFrame(
+            [
+                ("late_ok", "2024-01-01 11:30:00", 2.0),
+                ("late_drop", "2024-01-01 10:00:00", 3.0),
+            ],
+            ["k", "ts", "v"],
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()  # batch 2: one inside, one behind
+        keys = sorted(
+            r.k for r in spark.sql("SELECT k FROM late_bound_out").collect()
+        )
+    finally:
+        q.stop()
+    assert keys == ["hw", "late_ok"]
+
+
 def test_incremental_upsert_dedups_within_batch(spark):
     existing = _events(spark, [("a", "2024-01-01", 1.0)])
     batch = _events(

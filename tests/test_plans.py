@@ -163,3 +163,24 @@ def test_bigram_lm_score_vocab_keyed_joins(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # map-side combine on count aggs
+
+
+def test_spatial_join_is_map_only(spark):
+    # R2 stays a broadcast-dim mapInPandas over the scan: one Python
+    # stage, ZERO exchanges — the property that makes point-in-polygon
+    # enrichment scale linearly with the fact side (VERDICT r5 item 6;
+    # the 259-polygon reference dim rides a driver-side broadcast var)
+    plan = plan_of(spark, "spatial_join")
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_score_single_corpus_scan(spark):
+    # round-6 restructure: the tokenized corpus is checkpointed once, so
+    # the scoring plan's three token references (pairs ×2, unigrams) all
+    # read the materialized arrays — ZERO parquet scans in the final
+    # plan; the one corpus scan lives inside the checkpoint lineage
+    plan = plan_of(spark, "bigram_lm_score")
+    assert "FileScan" not in plan
+    assert plan.count("Scan ExistingRDD") >= 3
