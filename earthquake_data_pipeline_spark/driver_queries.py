@@ -2114,48 +2114,60 @@ ORACLE: dict[str, str] = {
 
 
 from .driver_queries_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+from .driver_queries_r6 import ORACLE_R6, QUERIES_R6  # noqa: E402
 from .driver_queries_stream import ORACLE_STREAM, QUERIES_STREAM  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE.update(ORACLE_EXT)
 QUERIES.update(QUERIES_STREAM)
 ORACLE.update(ORACLE_STREAM)
+QUERIES.update(QUERIES_R6)
+ORACLE.update(ORACLE_R6)
 
-# Gate-window rotation: the driver verifies exactly the FIRST 50 entries of
-# queries() each round. Round 2 banked green CORRECTNESS rows for the 50
-# entries that led then; this round the head holds (a) the 21 ext-catalog
-# queries the driver has never hashed (incl. sessionization, red in r1 and
-# fixed since), (b) this round's new query, and (c) every query whose code
-# or oracle changed this round — so cumulatively all 72 entries have a
-# driver-proven row across CORRECTNESS_r02 ∪ r03.
+# Gate-window rotation: the driver verifies exactly the FIRST 50 entries
+# of queries() each round. Rotation policy (formalized round 6, VERDICT
+# r5 items 1-2):
+#   1. every query that has NEVER had a driver CORRECTNESS row leads;
+#   2. then every query whose code, oracle, or CALLED OPERATOR changed
+#      this round;
+#   3. shared-helper-churn rule: any round that touches qcommon.py,
+#      functions/scalar.py, or tools/check.py must also seat one
+#      sentinel query per table type — events / lineitem / documents /
+#      embeddings — even if no query changed;
+#   4. remaining slots go to the queries with the OLDEST banked row.
+# Cumulative driver coverage: r04 ∪ r05 proved 78/86; this head proves
+# the 8 round-5 operators that never got a row, kmeans_clusters (module
+# edited in r5 after its r04 row — re-proof), the full 27-query r04
+# bank (oldest rows), the 8 new round-6 queries, qcommon sentinels
+# (clean_events=events, pricing_summary=lineitem in the r04 bank,
+# text_quality=documents, cosine_topk=embeddings), and the 3 stream
+# queries (reader docstring/path touched this round) — exactly 50.
 _GATE_FIRST = [
-    # Round-5 head (the driver proves exactly the first 50):
-    # (a) the 18 queries red in r04 — all broke on the events.ts parquet
-    #     layout change, fixed via qcommon.normalize_events_ts; must
-    #     re-prove
-    "sessionization", "asof_join", "json_extract", "range_join",
-    "null_census", "gap_fill", "stream_window_counts", "stream_dedup_days",
-    "conditional_ratio", "clean_events", "in_list_case_sort",
-    "scalar_derivations", "merge_anti_join", "high_water_mark",
-    "union_dedup", "top2_per_user", "spatial_join", "enrich_coalesce",
-    # (b) changed this round: approx_stats (join dropped), semdedup_prune
-    #     (cluster-size cap), codec_roundtrip (JPEG branch),
-    #     stream_running_totals (stream reader normalization).
-    #     kmeans_clusters also touched assign_clusters, but its gate plan
-    #     is bit-identical below the GEMM threshold (property-tested) and
-    #     keeps its r04 row — the one cut needed to fit 50.
-    "approx_stats", "semdedup_prune", "codec_roundtrip",
-    "stream_running_totals",
-    # (c) the 28 r02-banked queries whose newest green row is two rounds
-    #     old (VERDICT r3 item 1: rotate them back in)
-    "ann_ivf", "ann_lsh", "chunk_documents", "corpus_curation",
-    "cosine_topk", "dedup_components", "doc_repetition",
-    "embedding_near_dup", "embedding_near_dup_lsh", "eval_overlap",
-    "exact_dedup", "grouping_sets", "hash_sample", "label_centroids",
-    "lang_id", "lsh_jaccard_refine", "minhash_lsh", "multimodal_features",
-    "ngram_jaccard", "pii_redact", "range_frame", "salted_join",
-    "text_quality", "tfidf_top_terms", "upsert_merge", "url_domains",
-    "usgs_pipeline", "value_histogram",
+    # (1) never driver-verified: the 8 round-5 operators…
+    "mp4_probe", "zorder_layout", "scd2_snapshot", "incremental_agg",
+    "bigram_lm_score", "heavy_hitters", "expectations_report",
+    "split_assignment",
+    # …and the 8 new round-6 queries
+    "cohort_retention", "funnel_steps", "zscore_outliers",
+    "quality_deciles", "top_p_select", "winnow_fingerprint",
+    "url_canonical", "approx_distinct",
+    # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
+    #     path in r5 — the gate standard wants a row against shipped code
+    "kmeans_clusters",
+    # (3) qcommon churn sentinels (events/documents/embeddings; lineitem
+    #     is covered by pricing_summary in the bank below) + the stream
+    #     reader's three queries
+    "clean_events", "text_quality", "cosine_topk",
+    "stream_window_counts", "stream_dedup_days", "stream_running_totals",
+    # (4) the 27 remaining r04-banked queries — the oldest green rows
+    "array_suite", "corr_stats", "correlated_subquery", "cube_agg",
+    "datetime_suite", "distinct_agg", "fact_fact_join", "max_per_group",
+    "pack_sequences", "percentile_stats", "pivot_status",
+    "pricing_summary", "ranking_suite", "regex_token_match",
+    "region_rollup", "rollup_agg", "semi_anti_join", "set_ops",
+    "severity_buckets", "simhash", "stats_per_decade", "string_suite",
+    "token_stats", "top_k_orders", "unpivot_measures", "window_running",
+    "yearly_stats",
 ]
 
 

@@ -1,0 +1,373 @@
+"""Round-6 driver-facing queries: behavioral analytics (cohort
+retention, funnels, outlier census), score-driven curation (deciles,
+nucleus selection), winnowing fingerprints, URL canonicalization, and
+sketched distinct counts.
+
+Same contract as driver_queries / driver_queries_ext: every query pins
+UTC, reads via qcommon._table, aliases every output column identically
+to its DuckDB oracle, and ends in a total ORDER BY. Reference parity
+notes: the analytics trio generalizes the reference's analytics-model
+family (dbt_files/models/analytics/*.sql — group-by rollups over one
+fact table) to the window-function shapes those models stop short of;
+the curation/fingerprint/URL ops extend the north-star training-data
+surface (BASELINE.json) alongside the round-1..5 dedup/sampling stack.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .qcommon import _fanout, _table, _utc
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/analytics.py::cohort_retention):
+    users bucketed by first-seen DAY (the testdata spans one calendar
+    month, so daily cohorts are the informative granularity; the
+    operator's default is monthly), counted per day offset. One events
+    scan, one user-keyed window, one (cohort, offset) aggregate —
+    integer day indices keep the calendar math exactly replayable.
+    """
+    _utc(spark)
+    from .operators.analytics import cohort_retention
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts")
+    return cohort_retention(ev, granularity="day")
+
+
+SQL_COHORT_RETENTION = """
+WITH um AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS mi
+  FROM events
+), c AS (
+  SELECT u, mi, min(mi) OVER (PARTITION BY u) AS ci FROM um
+)
+SELECT CAST(ci * 86400 AS BIGINT) AS cohort_day_s,
+       CAST(mi - ci AS INT) AS offset_days,
+       count(DISTINCT u) AS n_users
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view→click→purchase (operators/analytics.py::
+    funnel_steps): step k counts users whose first qualifying event is
+    at-or-after their step-(k-1) time. The whole chain is consecutive
+    min(CASE) windows over ONE user-keyed exchange — no joins, no
+    per-step scans.
+    """
+    _utc(spark)
+    from .operators.analytics import funnel_steps
+
+    ev = _table(spark, sf_dir, "events")
+    return funnel_steps(ev, FUNNEL)
+
+
+SQL_FUNNEL_STEPS = """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events
+), w2 AS (
+  SELECT user_id, event_type, ts, t0,
+         min(CASE WHEN event_type = 'click' AND ts >= t0 THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM w1
+), w3 AS (
+  SELECT user_id, t0, t1,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM w2
+), agg AS (
+  SELECT count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS c0,
+         count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS c1,
+         count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS c2
+  FROM w3
+)
+SELECT 1 AS step_idx, 'view' AS step, c0 AS n_users FROM agg
+UNION ALL SELECT 2, 'click', c1 FROM agg
+UNION ALL SELECT 3, 'purchase', c2 FROM agg
+ORDER BY step_idx
+"""
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier census (operators/analytics.py::
+    zscore_outlier_stats): |z| > 2 in EXACT integer arithmetic — the
+    predicate (n·v−S)² > 4·(n·SS−S²) clears division and floats
+    entirely, so the boolean replays bit-for-bit in any engine. Stats
+    pass is map-side combined to k rows; the flag pass broadcasts them.
+    """
+    _utc(spark)
+    from .operators.analytics import zscore_outlier_stats
+
+    ev = _table(spark, sf_dir, "events").select("event_type", "value")
+    return zscore_outlier_stats(ev)
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH c AS (
+  SELECT event_type AS k,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), st AS (
+  SELECT k, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM c GROUP BY 1
+), f AS (
+  SELECT c.k, c.cents,
+         CASE WHEN (st.n * c.cents - st.s) * (st.n * c.cents - st.s)
+                   > 4 * (st.n * st.ss - st.s * st.s)
+              THEN 1 ELSE 0 END AS o
+  FROM c JOIN st USING (k)
+)
+SELECT f.k AS event_type,
+       count(*) AS n_events,
+       CAST(sum(o) AS BIGINT) AS n_outliers,
+       CAST(round(CAST(st.s / (st.n * 100) AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS mean_value
+FROM f JOIN st USING (k)
+GROUP BY f.k, st.s, st.n ORDER BY 1
+"""
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles (operators/curation.py::
+    quality_decile_stats) keyed on document length — the audit table
+    behind bin-weighted mixture sampling. ntile runs per stratum
+    (key-partitioned window, never a global sort).
+    """
+    _utc(spark)
+    from .operators.curation import quality_decile_stats
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    return quality_decile_stats(docs)
+
+
+SQL_QUALITY_DECILES = """
+WITH b AS (
+  SELECT lang, n_chars, doc_id,
+         CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+              AS INT) AS bin
+  FROM documents
+)
+SELECT lang, bin, count(*) AS n_docs,
+       min(n_chars) AS min_score, max(n_chars) AS max_score,
+       CAST(sum(n_chars) AS BIGINT) AS total_score
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_p_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) selection per language (operators/curation.py::
+    top_p_select): keep best-first documents while the kept mass stays
+    under 80% of the stratum total, boundary decided in exact integers.
+    One window exchange per stratum + a k-row audit aggregate.
+    """
+    _utc(spark)
+    from .operators.curation import top_p_select
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    return top_p_select(docs, p_pct=80)
+
+
+SQL_TOP_P_SELECT = """
+WITH d AS (
+  SELECT lang, n_chars, doc_id,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(n_chars) OVER (PARTITION BY lang) AS total
+  FROM documents
+), k AS (
+  SELECT lang, n_chars,
+         CASE WHEN (cum - n_chars) * 100 < 80 * total THEN 1 ELSE 0 END AS keep
+  FROM d
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(keep * n_chars) AS BIGINT) AS kept_score,
+       CAST(sum(n_chars) AS BIGINT) AS total_score
+FROM k GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (operators/fingerprint.py):
+    k-gram rolling hashes + window minima (SIGMOD'03), the shared-
+    substring-guarantee dedup primitive. Pure per-row Column
+    expressions — no shuffle; the output carries the fingerprint-set
+    size and an order-free BIGINT checksum so set equality is
+    hash-checkable.
+    """
+    _utc(spark)
+    from .operators.fingerprint import winnow_fingerprints
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return winnow_fingerprints(docs, k=8, w=4, cap=200).orderBy("doc_id")
+
+
+SQL_WINNOW_FINGERPRINT = """
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+), g AS (
+  SELECT doc_id, t, length(t) - 7 AS m FROM d
+), h AS (
+  SELECT doc_id, m,
+         CASE WHEN m >= 4 THEN
+           list_transform(generate_series(1, m),
+             i -> ('0x' || substring(md5(substring(t, i, 8)), 1, 8))::BIGINT)
+         ELSE CAST([] AS BIGINT[]) END AS hashes
+  FROM g
+), s AS (
+  SELECT doc_id,
+         CASE WHEN m >= 4 THEN
+           list_distinct(list_transform(generate_series(1, m - 3),
+             j -> list_aggregate(hashes[j:j + 3], 'min')))
+         ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fingerprints,
+       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_checksum
+FROM s ORDER BY doc_id
+"""
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (operators/text.py::canonical_url):
+    four deterministic spelling variants per synthetic URL (case, www,
+    :443, trailing slash, fragment, utm query) collapse to one
+    canonical form; groups report variant counts and the canonical doc.
+    The corpus has no URLs, so they are seeded deterministically —
+    the url_domains pattern.
+    """
+    _utc(spark)
+    from .operators.text import canonical_url
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id"))
+    g = (F.col("doc_id") / 4).cast("long")
+    host = F.concat(F.lit("site"), (g % 50).cast("string"))
+    base = F.concat(host, F.lit(".com/page/"), g.cast("string"))
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base))
+        .when(v == 1, F.upper(F.concat(F.lit("https://www."), base)))
+        .when(v == 2, F.concat(F.lit("https://"), host, F.lit(".com:443/page/"), g.cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?utm_source=feed#frag")))
+    )
+    seeded = docs.select("doc_id", url.alias("raw_url"))
+    return (
+        seeded.groupBy(canonical_url("raw_url").alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.count_distinct("raw_url").alias("n_raw_forms"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+SQL_URL_CANONICAL = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN upper('https://www.site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id // 4 AS VARCHAR))
+           WHEN 2 THEN 'https://site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                       || '.com:443/page/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+           ELSE 'https://site' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                       || '.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '?utm_source=feed#frag'
+         END AS raw_url
+  FROM documents
+), canon AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(raw_url), '#[^#]*$', ''),
+                     '\?utm_[^&?]*$', ''),
+                   '^https://www\.', 'https://'),
+                 '^http://www\.', 'http://'),
+               ':443/', '/'),
+             ':80/', '/'),
+           '/$', '') AS canonical_url
+  FROM seeded
+)
+SELECT canonical_url, count(*) AS n_variants,
+       count(DISTINCT raw_url) AS n_raw_forms,
+       min(doc_id) AS canonical_doc
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched cardinality under the guarantee-oracle pattern
+    (heavy_hitters' shape): per-type HyperLogLog++ distinct-user
+    estimate (rsd 0.05) checked against the exact count in the SAME
+    single aggregation pass. The output carries the exact count plus
+    the bound boolean — never the engine-specific estimate. Scale
+    story: the HLL sketch is a few KB, merged map-side — the
+    100 TB-safe replacement for a full distinct shuffle when ±5% is
+    acceptable; the exact twin here is what makes the gate proof
+    possible.
+    """
+    _utc(spark)
+    ev = _table(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("apx"),
+    )
+    # 5-sigma-ish bound, floored at 5: deterministic for a fixed input
+    # set (HLL++ is deterministic), astronomically safe for a sound
+    # implementation, and still a REAL check — a broken sketch fails it
+    bound = F.greatest(F.ceil(F.col("n_exact") * 0.25), F.lit(5))
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("apx") - F.col("n_exact")) <= bound).alias("within_bound"),
+    ).orderBy("event_type")
+
+
+SQL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cohort_retention": q_cohort_retention,
+    "funnel_steps": q_funnel_steps,
+    "zscore_outliers": q_zscore_outliers,
+    "quality_deciles": q_quality_deciles,
+    "top_p_select": q_top_p_select,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "url_canonical": q_url_canonical,
+    "approx_distinct": q_approx_distinct,
+}
+
+ORACLE_R6: dict[str, str] = {
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "funnel_steps": SQL_FUNNEL_STEPS,
+    "zscore_outliers": SQL_ZSCORE_OUTLIERS,
+    "quality_deciles": SQL_QUALITY_DECILES,
+    "top_p_select": SQL_TOP_P_SELECT,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "url_canonical": SQL_URL_CANONICAL,
+    "approx_distinct": SQL_APPROX_DISTINCT,
+}

@@ -1,0 +1,180 @@
+"""Behavioral analytics operators over event streams: cohort retention,
+ordered-step funnels, and statistical outlier detection.
+
+These are the query shapes a product/metrics layer runs on the same
+events table the pipeline curates (the reference's analytics models —
+dbt_files/models/analytics/ — are the seismic flavor of exactly this
+family: group-by rollups over a fact table). All three are pure
+DataFrame compositions: window functions partitioned by a real key
+(user_id / event_type), integer-exact arithmetic where a SQL oracle
+must replay the values bit-for-bit, no UDFs anywhere.
+
+Scale notes per operator live on the functions; the common theme: every
+shuffle is keyed by user or type (never a global window), so the plans
+hold at 1000 executors — the user axis is the natural partitioner for
+behavioral data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen period
+    (their cohort), counted as active per period offset from it.
+
+    Periods are exact integer indices — ``year*12 + month - 1`` for
+    months, ``epoch_seconds div 86400`` for days — so cohort/offset
+    arithmetic is plain subtraction and the oracle replays it with
+    year()/month()/epoch(). Month output: (cohort_y, cohort_m, …);
+    day output: (cohort_day_s = day start in epoch seconds, …).
+
+    One corpus scan: the cohort period comes from a min() window over
+    the user partition instead of a self-join with a per-user
+    aggregate — one user-keyed shuffle, then the (cohort, offset)
+    aggregate. At 100 TB the user window is the natural partitioning of
+    behavioral events; count_distinct over (cohort, offset) groups is
+    the only other exchange.
+    """
+    if granularity == "month":
+        idx = F.year(ts_col) * 12 + F.month(ts_col) - 1
+        cohort_cols = [
+            (F.col("ci") / 12).cast("long").alias("cohort_y"),
+            (F.col("ci") % 12 + 1).cast("int").alias("cohort_m"),
+        ]
+        offset_name = "offset_months"
+    elif granularity == "day":
+        # div truncation == floor: epochs are positive in this domain
+        idx = F.expr(f"unix_timestamp({ts_col}) div 86400")
+        cohort_cols = [(F.col("ci") * 86400).cast("long").alias("cohort_day_s")]
+        offset_name = "offset_days"
+    else:
+        raise ValueError(f"granularity must be month|day, got {granularity!r}")
+    um = events.select(F.col(user_col).alias("u"), idx.alias("mi"))
+    w = Window.partitionBy("u")
+    with_cohort = um.withColumn("ci", F.min("mi").over(w))
+    out_keys = [c for c in cohort_cols] + [
+        (F.col("mi") - F.col("ci")).cast("int").alias(offset_name)
+    ]
+    grouped = (
+        with_cohort.groupBy(*out_keys)
+        .agg(F.count_distinct("u").alias("n_users"))
+    )
+    return grouped.orderBy(*[c for c in grouped.columns if c != "n_users"])
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel: how many users performed step 1, then step 2
+    AT OR AFTER their first step-1 event, then step 3 after that, …
+    (the product-analytics conversion query).
+
+    Single corpus scan: each step's first-qualifying timestamp is a
+    min(CASE …) window over the user partition, where step k's CASE
+    requires ``ts >= t_{k-1}`` — consecutive Window nodes over the SAME
+    partitioning, so Catalyst plans ONE user-keyed exchange for the
+    whole chain, then a final global count. No joins, no re-scans.
+    Output: one row per step with the surviving-user count.
+    """
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) >= F.col(prev))
+        cur = f"_t{i}"
+        df = df.withColumn(
+            cur, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = cur
+    counts = df.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col(f"_t{i}").isNotNull(), F.col(user_col))
+            ).alias(f"c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    # unpivot to (step_idx, step, n_users) rows — stack is pure codegen
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', c{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack_args}) AS (step_idx, step, n_users)"
+        )
+    ).orderBy("step_idx")
+
+
+def zscore_outlier_stats(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: int = 2,
+) -> DataFrame:
+    """Per-key z-score outlier census: count values more than
+    ``z_threshold`` population standard deviations from their key's
+    mean — the monitoring/data-quality face of the aggregate family.
+
+    Exactness: values are fixed to integer cents, and the outlier
+    predicate is cleared of division entirely —
+
+        z² > T²  ⟺  n·(n·v − S)² > T²·n·(n·SS − S²)
+                 ⟺  (n·v − S)² > T²·(n·SS − S²)
+
+    with S = Σcents, SS = Σcents² (all BIGINT, exact in any engine;
+    safe while n·SS < 2^63 — cents ≤ 1e4 keeps that true to ~9e5 rows
+    per key, far past the gate scales). The reported mean is an
+    int/int ratio, tie-free under the round6x contract.
+
+    Two passes by necessity (a value cannot know its key's mean until
+    the key is fully aggregated): a map-side-combined stats aggregate
+    (k rows), then the flagging pass with the tiny stats frame
+    broadcast — no key-partitioned shuffle of the fact side at all.
+    """
+    cents = (
+        (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    ).alias("cents")
+    ev = events.select(F.col(key_col).alias("k"), cents)
+    stats = ev.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    t2 = z_threshold * z_threshold
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var_n3 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")  # = n³·var/n
+    flagged = ev.join(F.broadcast(stats), "k").select(
+        "k",
+        (dev * dev > F.lit(t2) * var_n3).cast("int").alias("is_outlier"),
+    )
+    from ..qcommon import round6x
+
+    return (
+        flagged.groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_outlier").alias("n_outliers"),
+        )
+        .join(F.broadcast(stats.select("k", "n", "s")), "k")
+        .select(
+            F.col("k").alias(key_col),
+            "n_events",
+            "n_outliers",
+            round6x(F.col("s") / (F.col("n") * 100)).alias("mean_value"),
+        )
+        .orderBy(key_col)
+    )

@@ -332,3 +332,34 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """URL canonicalization for crawl dedup (the step before
+    ``url_domains``-style grouping): collapse the equivalent spellings a
+    crawler actually sees — case, ``www.``, explicit default port,
+    trailing slash, fragments, pure-tracking query strings — to one
+    canonical form, so exact-dup detection by URL works.
+
+    Pure chained ``regexp_replace`` with LITERAL replacements only: no
+    capture-group references, because replacement syntax is the one
+    place Spark ($1) and other engines (\\1) diverge — with literals the
+    same patterns replay identically anywhere. Each pattern is anchored
+    or unique-per-URL, so Spark's replace-all and an oracle's
+    replace-first agree. Deliberately lossy where the web is sloppy
+    (path case IS significant per RFC 3986, but mixed-case duplicates
+    dominate real crawls; a stricter variant would lowercase only
+    scheme+host).
+
+    Scale: per-row codegen expressions — scan-speed, no shuffle.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    u = F.lower(c)
+    u = F.regexp_replace(u, r"#[^#]*$", "")  # fragment
+    u = F.regexp_replace(u, r"\?utm_[^&?]*$", "")  # tracking-only query
+    u = F.regexp_replace(u, r"^https://www\.", "https://")
+    u = F.regexp_replace(u, r"^http://www\.", "http://")
+    u = F.regexp_replace(u, r":443/", "/")  # https default port
+    u = F.regexp_replace(u, r":80/", "/")  # http default port
+    u = F.regexp_replace(u, r"/$", "")  # trailing slash
+    return u

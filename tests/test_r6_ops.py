@@ -1,0 +1,193 @@
+"""Round-6 operator tests: behavioral analytics, curation, winnowing
+fingerprints, URL canonicalization (+ their plan-shape pins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.operators.analytics import (
+    cohort_retention,
+    funnel_steps,
+    zscore_outlier_stats,
+)
+from earthquake_data_pipeline_spark.operators.curation import (
+    quality_decile_stats,
+    top_p_select,
+)
+from earthquake_data_pipeline_spark.operators.fingerprint import (
+    winnow_fingerprints,
+)
+from earthquake_data_pipeline_spark.operators.text import canonical_url
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_cohort_retention_month(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, "x", "2024-01-05"),  # cohort Jan, active Jan + Feb
+            (1, "x", "2024-02-20"),
+            (2, "x", "2024-02-01"),  # cohort Feb, active Feb only
+        ],
+    )
+    out = cohort_retention(ev).collect()
+    as_tuples = {(r.cohort_y, r.cohort_m, r.offset_months): r.n_users for r in out}
+    assert as_tuples == {(2024, 1, 0): 1, (2024, 1, 1): 1, (2024, 2, 0): 1}
+
+
+def test_cohort_retention_day_offsets(spark):
+    ev = _ev(spark, [(1, "x", "2024-01-01"), (1, "x", "2024-01-03")])
+    out = cohort_retention(ev, granularity="day").collect()
+    assert [(r.offset_days, r.n_users) for r in out] == [(0, 1), (2, 1)]
+
+
+def test_funnel_requires_step_order(spark):
+    ev = _ev(
+        spark,
+        [
+            # u1 converts fully in order
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+            (1, "purchase", "2024-01-01 12:00:00"),
+            # u2 clicked BEFORE viewing: click must not count
+            (2, "click", "2024-01-01 09:00:00"),
+            (2, "view", "2024-01-01 10:00:00"),
+            # u3 viewed only
+            (3, "view", "2024-01-01 08:00:00"),
+        ],
+    )
+    out = funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    assert [(r.step, r.n_users) for r in out] == [
+        ("view", 3),
+        ("click", 1),
+        ("purchase", 1),
+    ]
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # ts >= t_prev: a click at the exact view instant qualifies
+    ev = _ev(spark, [(1, "view", "2024-01-01 10:00:00"), (1, "click", "2024-01-01 10:00:00")])
+    out = funnel_steps(ev, ["view", "click"]).collect()
+    assert [(r.step, r.n_users) for r in out] == [("view", 1), ("click", 1)]
+
+
+def test_zscore_flags_the_planted_outlier(spark):
+    rows = [("a", 10.0)] * 20 + [("a", 500.0)] + [("b", 1.0)] * 5
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {r.event_type: r for r in zscore_outlier_stats(df).collect()}
+    assert out["a"].n_outliers == 1 and out["a"].n_events == 21
+    assert out["b"].n_outliers == 0
+    # integer-exact mean, reported at 6 dp (round6x)
+    assert abs(out["a"].mean_value - (20 * 1000 + 50000) / 2100) < 5e-7
+
+
+def test_quality_deciles_even_and_total(spark):
+    docs = spark.createDataFrame(
+        [("en", i, i) for i in range(1, 21)], ["lang", "n_chars", "doc_id"]
+    )
+    out = quality_decile_stats(docs).collect()
+    assert len(out) == 10
+    assert all(r.n_docs == 2 for r in out)  # 20 docs → 2 per decile
+    assert out[0].min_score == 1 and out[-1].max_score == 20
+
+
+def test_top_p_select_minimal_best_first_cover(spark):
+    # scores 50/30/20: nucleus p=0.6 keeps 50 (cum_before 0) and 30
+    # (cum_before 50 < 60), stops at 20 (cum_before 80 >= 60)
+    docs = spark.createDataFrame(
+        [("en", 50, 1), ("en", 30, 2), ("en", 20, 3)],
+        ["lang", "n_chars", "doc_id"],
+    )
+    r = top_p_select(docs, p_pct=60).collect()[0]
+    assert (r.n_kept, r.kept_score, r.total_score) == (2, 80, 100)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # Schleimer et al. theorem: a shared substring of length >= w+k-1
+    # (here 4+8-1 = 11) yields at least one shared fingerprint
+    shared = "quartz gene"  # 11 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb"),
+            (2, "cccc " + shared + " dddd"),
+            (3, "entirely different words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        _gram_hash,  # reuse the hash to recover the sets
+    )
+
+    t = F.lower(F.substring(F.col("text"), 1, 200))
+    m = F.length(t) - F.lit(7)
+    sel = F.transform(
+        F.sequence(F.lit(1), m - F.lit(3)),
+        lambda j: F.least(*[_gram_hash(t, j + o, 8) for o in range(4)]),
+    )
+    sets = {
+        r.doc_id: set(r.fps)
+        for r in docs.select("doc_id", F.array_distinct(sel).alias("fps")).collect()
+    }
+    assert sets[1] & sets[2]  # shared substring → shared fingerprint
+    assert not (sets[1] & sets[3])
+
+
+def test_winnowing_short_doc_has_no_fingerprints(spark):
+    docs = spark.createDataFrame([(1, "tiny"), (2, "x" * 11)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    assert out[1].n_fingerprints == 0 and out[1].fp_checksum == 0
+    assert out[2].n_fingerprints >= 1
+
+
+def test_winnowing_density_reduction(spark):
+    # winnowing exists to THIN the fingerprint set: far fewer selected
+    # fingerprints than k-grams (expected density 2/(w+1))
+    text = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = winnow_fingerprints(docs, cap=200).collect()[0]
+    n_grams = min(len(text), 200) - 8 + 1
+    assert 0 < r.n_fingerprints < n_grams / 2
+
+
+def test_canonical_url_collapses_equivalent_spellings(spark):
+    urls = [
+        "https://site1.com/page/3",
+        "HTTPS://WWW.SITE1.COM/PAGE/3",
+        "https://site1.com:443/page/3/",
+        "https://site1.com/page/3?utm_source=feed#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    out = df.select(canonical_url("u").alias("c")).distinct().collect()
+    assert [r.c for r in out] == ["https://site1.com/page/3"]
+
+
+def test_canonical_url_keeps_meaningful_query(spark):
+    df = spark.createDataFrame([("https://a.com/x?id=5",)], ["u"])
+    assert df.select(canonical_url("u").alias("c")).first().c == "https://a.com/x?id=5"
+
+
+def test_funnel_plan_single_user_exchange_for_window_chain(spark):
+    # the 3 chained min(CASE) windows share ONE user-keyed exchange;
+    # the only other hash exchange is the distinct-count aggregate
+    ev = _ev(spark, [(1, "view", "2024-01-01")])
+    plan = (
+        funnel_steps(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 3
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_winnow_plan_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
+    plan = (
+        winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
