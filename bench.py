@@ -79,7 +79,8 @@ def main() -> None:
     # any query whose time is strongly order-sensitive inherits state
     # from its neighbors.
     items = list(QUERIES.items())
-    if "--reverse" in sys.argv[1:]:
+    reverse = "--reverse" in sys.argv[1:]
+    if reverse:
         items.reverse()
 
     timings: dict[str, float] = {}
@@ -95,7 +96,9 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    with open(_FULL_PATH, "w") as fh:
+    # order-guard runs must not clobber the canonical forward artifact
+    path = _FULL_PATH.replace(".json", "_REVERSE.json") if reverse else _FULL_PATH
+    with open(path, "w") as fh:
         json.dump(
             {
                 "metric": "total_query_wall_seconds",
