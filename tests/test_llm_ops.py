@@ -801,6 +801,88 @@ def test_frame_sample_real_mp4(spark):
     assert len(rows) == len(got)
 
 
+def test_mp4_truncated_and_malformed_raise_valueerror():
+    """The codecs.py error contract applies to the container layer too:
+    truncated or internally-inconsistent MP4s surface as ValueError,
+    never bare struct.error/IndexError (which the mapInPandas error
+    paths don't catch)."""
+    import struct
+
+    import pytest as _pytest
+
+    from earthquake_data_pipeline_spark.operators import mp4
+    from earthquake_data_pipeline_spark.operators.mp4 import _box, _full
+
+    good = mp4.build_mp4([b"x" * 10, b"y" * 10])
+    # truncation at every 16th byte inside moov must raise ValueError
+    moov_at = good.find(b"moov") - 4
+    for cut in range(moov_at + 8, len(good), 16):
+        with _pytest.raises(ValueError):
+            mp4.parse_mp4(good[:cut])
+    # a trak whose tkhd body is too short for its fixed fields →
+    # struct.error inside _parse_trak, surfaced as ValueError
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom")
+    short_tkhd = _full(b"tkhd", 0, 7, b"\x00" * 4)
+    moov = _box(b"moov", _box(b"trak", short_tkhd))
+    with _pytest.raises(ValueError):
+        mp4.parse_mp4(ftyp + moov)
+    # stsc claiming more samples than the chunk table can hold resolves
+    # only a prefix of the sample offsets; reading past that prefix is a
+    # ValueError from extract_samples (IndexError pre-round-6), never a
+    # silent wrong byte range
+    mdat = _box(b"mdat", b"A" * 30)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 0))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 9, 10))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 3, 1))
+    stsz = _full(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, 9) + struct.pack(">9I", *([3] * 9)),
+    )
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, len(ftyp) + 8))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 13)
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, 1000, 90) + struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, 90)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 16 << 16, 16 << 16),
+    )
+    moov2 = _box(b"moov", _box(b"trak", tkhd + mdia))
+    track = mp4.parse_mp4(ftyp + mdat + moov2)
+    assert track.n_samples == 9 and len(track.sample_offsets) == 3
+    with _pytest.raises(ValueError, match="out of range"):
+        mp4.extract_samples(ftyp + mdat + moov2, track, [5])
+
+
+def test_frame_sample_real_surfaces_valueerror_for_truncated_mp4(spark):
+    """End-to-end: a sniff-passing but truncated payload fed through
+    frame_sample(decode='real') fails the Spark job with the ValueError
+    message visible — not an opaque struct.error."""
+    import pytest as _pytest
+
+    from earthquake_data_pipeline_spark.operators import mp4
+    from earthquake_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample,
+    )
+
+    raw = mp4.build_mp4([b"x" * 10])[:40]  # keeps ftyp, loses moov
+    media = spark.createDataFrame(
+        [(1, "video", raw, None, None, 1000)],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="ValueError|malformed|no tracks"):
+        frame_sample(media, every_ms=100, decode="real").collect()
+
+
 def test_codec_png_rejects_bad_input():
     import pytest as _pytest
 

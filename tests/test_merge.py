@@ -196,6 +196,32 @@ def test_scd2_null_transition_is_a_change(spark):
     assert {r["is_current"] for r in out} == {True, False}
 
 
+def test_scd2_tied_valid_from_sorts_total_with_is_current(spark):
+    """ADVICE r5: when an update carries the SAME timestamp as the open
+    row's valid_from (a user whose events all tie at one ts), the closed
+    row and the new open version share (key, valid_from) — is_current as
+    the final sort key makes the output order total, matching the
+    driver query/oracle discipline (False < True in both engines)."""
+    from earthquake_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "bronze", 100, None, True)],
+        "k long, tier string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "silver", 100)], "k long, tier string, ts long"
+    )
+    out = (
+        scd2_apply(dim, updates, ["k"], ["tier"])
+        .orderBy("k", "valid_from", "is_current")
+        .collect()
+    )
+    assert [(r.tier, r.valid_from, r.is_current) for r in out] == [
+        ("bronze", 100, False),  # closed at its own start: zero-width
+        ("silver", 100, True),
+    ]
+
+
 def test_scd2_idempotent_on_replay(spark):
     from earthquake_data_pipeline_spark.operators.merge import scd2_apply
 

@@ -171,6 +171,23 @@ def test_canonical_url_keeps_meaningful_query(spark):
     assert df.select(canonical_url("u").alias("c")).first().c == "https://a.com/x?id=5"
 
 
+def test_canonical_url_is_idempotent(spark):
+    # canon(canon(u)) == canon(u): canonical forms are fixed points, so
+    # re-canonicalizing an already-clean corpus is a no-op
+    urls = [
+        "https://site1.com/page/3",
+        "HTTPS://WWW.SITE1.COM/PAGE/3",
+        "https://site1.com:443/page/3/",
+        "https://site1.com/page/3?utm_source=feed#frag",
+        "http://www.b.org:80/x?id=2#s",
+        "https://a.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    once = df.select(canonical_url("u").alias("c1"))
+    twice = once.select("c1", canonical_url("c1").alias("c2"))
+    assert all(r.c1 == r.c2 for r in twice.collect())
+
+
 def test_funnel_plan_single_user_exchange_for_window_chain(spark):
     # the 3 chained min(CASE) windows share ONE user-keyed exchange;
     # the only other hash exchange is the distinct-count aggregate
