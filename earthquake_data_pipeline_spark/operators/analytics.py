@@ -81,11 +81,15 @@ def funnel_steps(
     AT OR AFTER their first step-1 event, then step 3 after that, …
     (the product-analytics conversion query).
 
-    Single corpus scan: each step's first-qualifying timestamp is a
-    min(CASE …) window over the user partition, where step k's CASE
-    requires ``ts >= t_{k-1}`` — consecutive Window nodes over the SAME
-    partitioning, so Catalyst plans ONE user-keyed exchange for the
-    whole chain, then a final global count. No joins, no re-scans.
+    Single corpus scan, single hash exchange: each step's
+    first-qualifying timestamp is a min(CASE …) window over the user
+    partition, where step k's CASE requires ``ts >= t_{k-1}`` —
+    consecutive Window nodes over the SAME partitioning share one
+    user-keyed exchange, and because the step times are CONSTANT per
+    user, the per-user reduction afterwards (groupBy the same key)
+    rides that exchange too. Counting users per step is then plain
+    count-non-null over one row per user — no count_distinct, so no
+    Expand-tripling of the event stream. No joins, no re-scans.
     Output: one row per step with the surviving-user count.
     """
     w = Window.partitionBy(user_col)
@@ -100,13 +104,11 @@ def funnel_steps(
             cur, F.min(F.when(cond, F.col(ts_col))).over(w)
         )
         prev = cur
-    counts = df.agg(
-        *[
-            F.count_distinct(
-                F.when(F.col(f"_t{i}").isNotNull(), F.col(user_col))
-            ).alias(f"c{i}")
-            for i in range(len(steps))
-        ]
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(F.col(f"_t{i}")).alias(f"c{i}") for i in range(len(steps))]
     )
     # unpivot to (step_idx, step, n_users) rows — stack is pure codegen
     stack_args = ", ".join(

@@ -6,10 +6,20 @@ documents by a quality score (to up/down-weight bins in the mixture)
 and take the best mass per stratum up to a budget (nucleus-style
 selection — keep the highest-scoring documents until they account for
 fraction p of the stratum's total mass). Both are one-window-one-agg
-DataFrame shapes partitioned by a real stratum key (language here), so
-the shuffles are key-bounded and hold at corpus scale — there is no
-GLOBAL sort anywhere: a global ntile would serialize 100 TB through one
-partition, the per-stratum form never does.
+DataFrame shapes partitioned by the stratum key (language here) — no
+GLOBAL sort anywhere.
+
+Scale honesty (the percentile_stats/approx_stats pairing applies):
+a partitioned window still sorts each stratum IN ONE TASK, so these
+exact forms hold while every stratum fits an executor — fine for
+many-strata keys (user, domain), NOT for "5 languages × 20 TB each".
+At that shape the scale path is sketch-first: percentile_approx
+boundaries per stratum (map-side-merged, k×10 rows) and a map-only
+``width_bucket``-style assignment against the broadcast boundaries —
+same output schema, approximate bin edges. These exact forms are the
+oracle-checkable faces; pipelines at mega-stratum scale should swap in
+the sketch boundary step (the approx_stats pattern) and keep the rest
+of the plan unchanged.
 
 Determinism contract: ordering keys always end with the unique doc id,
 and the top-p boundary test is integer arithmetic (exclusive-cumsum·q <

@@ -188,16 +188,18 @@ def test_canonical_url_is_idempotent(spark):
     assert all(r.c1 == r.c2 for r in twice.collect())
 
 
-def test_funnel_plan_single_user_exchange_for_window_chain(spark):
-    # the 3 chained min(CASE) windows share ONE user-keyed exchange;
-    # the only other hash exchange is the distinct-count aggregate
+def test_funnel_plan_single_user_exchange_no_expand(spark):
+    # the 3 chained min(CASE) windows AND the per-user reduction share
+    # ONE user-keyed exchange; counting non-null per step (not
+    # count_distinct) means no Expand node triples the stream
     ev = _ev(spark, [(1, "view", "2024-01-01")])
     plan = (
         funnel_steps(ev, ["view", "click", "purchase"])
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Window") == 3
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Expand" not in plan
     assert "BatchEvalPython" not in plan
 
 
