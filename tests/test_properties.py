@@ -263,3 +263,77 @@ def test_jpeg_truncated_input_raises_cleanly(cut):
     cut = min(cut, len(raw) - 1)
     with _pytest.raises(ValueError):
         decode_jpeg(raw[:cut])
+
+
+# ---- round-6 operator math (pure-Python models of the Column exprs) ----
+
+
+def _winnow_model(text: str, k: int = 8, w: int = 4, cap: int = 200):
+    """Python twin of operators/fingerprint.winnow_fingerprints: same
+    lower/substring/md5-prefix hash family, same least-of-w selection."""
+    import hashlib
+
+    t = text.lower()[:cap]
+    m = len(t) - k + 1
+    if m < w:
+        return set()
+    hashes = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(m)
+    ]
+    return {min(hashes[j : j + w]) for j in range(m - w + 1)}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    prefix=st.text(st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")), max_size=40),
+    suffix=st.text(st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")), max_size=40),
+    shared=st.text(st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")), min_size=11, max_size=30),
+)
+def test_winnowing_guarantee_property(prefix, suffix, shared):
+    """Schleimer et al.: documents sharing a substring of length >=
+    w+k-1 (= 11 for k=8, w=4) always share at least one fingerprint —
+    for ANY surrounding text. Also the density bound: never more
+    fingerprints than k-gram windows."""
+    a = prefix + shared + suffix
+    b = suffix + shared + prefix
+    fa, fb = _winnow_model(a), _winnow_model(b)
+    # guarantee applies while the shared run survives the 200-char cap
+    if a.find(shared) + len(shared) <= 200 and b.find(shared) + len(shared) <= 200:
+        assert fa & fb
+    for s, f in ((a, fa), (b, fb)):
+        m = len(s[:200]) - 8 + 1
+        assert len(f) <= max(m - 4 + 1, 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cents=st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=80),
+)
+def test_zscore_integer_predicate_matches_float_zscore(cents):
+    """The division-free outlier predicate (n*v - S)^2 > T^2*(n*SS - S^2)
+    is algebraically z^2 > T^2 with population variance — check against
+    the float computation away from the boundary."""
+    import math
+
+    n = len(cents)
+    S = sum(cents)
+    SS = sum(c * c for c in cents)
+    var_pop = (n * SS - S * S) / (n * n)
+    for v in cents:
+        integer_says = (n * v - S) ** 2 > 4 * (n * SS - S * S)
+        if var_pop == 0:
+            assert not integer_says  # zero variance -> nothing flags
+            continue
+        z2 = (v - S / n) ** 2 / var_pop
+        if abs(z2 - 4.0) > 1e-9:  # away from the exact boundary
+            assert integer_says == (z2 > 4.0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(y=st.integers(1, 9999), m=st.integers(1, 12))
+def test_cohort_month_index_roundtrip(y, m):
+    """cohort_retention's integer month index y*12 + m - 1 decodes back
+    to exactly (y, m) via (idx // 12, idx % 12 + 1)."""
+    idx = y * 12 + m - 1
+    assert (idx // 12, idx % 12 + 1) == (y, m)
