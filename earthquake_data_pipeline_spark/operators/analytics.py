@@ -142,10 +142,14 @@ def zscore_outlier_stats(
     per key, far past the gate scales). The reported mean is an
     int/int ratio, tie-free under the round6x contract.
 
-    Two passes by necessity (a value cannot know its key's mean until
-    the key is fully aggregated): a map-side-combined stats aggregate
-    (k rows), then the flagging pass with the tiny stats frame
-    broadcast — no key-partitioned shuffle of the fact side at all.
+    Exactly two passes, by information flow (a value cannot know its
+    key's mean until the key is fully aggregated): a map-side-combined
+    stats aggregate (k rows), then the flagging pass with the tiny
+    stats frame broadcast — no key-partitioned shuffle of the fact side
+    at all. The per-key (n, s) needed for the reported mean ride
+    THROUGH the flagging aggregate (constant per key → max()) instead
+    of re-joining the stats subtree, which Catalyst would otherwise
+    evaluate twice — a third fact scan for nothing.
     """
     cents = (
         (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
@@ -161,6 +165,8 @@ def zscore_outlier_stats(
     var_n3 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")  # = n³·var/n
     flagged = ev.join(F.broadcast(stats), "k").select(
         "k",
+        "n",
+        "s",
         (dev * dev > F.lit(t2) * var_n3).cast("int").alias("is_outlier"),
     )
     from ..qcommon import round6x
@@ -170,8 +176,9 @@ def zscore_outlier_stats(
         .agg(
             F.count("*").alias("n_events"),
             F.sum("is_outlier").alias("n_outliers"),
+            F.max("n").alias("n"),  # constant per key
+            F.max("s").alias("s"),
         )
-        .join(F.broadcast(stats.select("k", "n", "s")), "k")
         .select(
             F.col("k").alias(key_col),
             "n_events",
