@@ -203,6 +203,20 @@ def test_funnel_plan_single_user_exchange_no_expand(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_zscore_plan_two_fact_scans(spark):
+    # stats pass + flag pass, nothing more: the mean derives from stats
+    # carried through the flag aggregate, not a re-joined (re-evaluated)
+    # stats subtree
+    from earthquake_data_pipeline_spark.driver_queries import QUERIES
+
+    plan = (
+        QUERIES["zscore_outliers"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 2
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
