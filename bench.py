@@ -107,6 +107,9 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "cpus": cpus,
+                # shared host: co-tenant spikes swing timings ±20%+; the
+                # load triple lets a reader separate regression from noise
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             },
             fh,
