@@ -3,7 +3,12 @@ SparkSession with a non-UTC timezone (the driver's session is not ours)
 and compare against DuckDB — the strongest local approximation of the
 driver's gate.
 
-Usage: python tools/hostile_check.py [sf_dir] [tz]
+``--weird-confs`` goes further: a prime shuffle-partition count (7) and
+AQE off, probing that every query's RESULT is partition-count-invariant
+(deterministic ops, total orders, no rand()/monotonic-id leakage) —
+the other axis on which the driver's session can differ from ours.
+
+Usage: python tools/hostile_check.py [--weird-confs] [sf_dir] [tz]
 """
 
 from __future__ import annotations
@@ -16,18 +21,25 @@ from check import TABLES, normalize, value_repr  # noqa: E402  (same dir)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    tz = sys.argv[2] if len(sys.argv) > 2 else "America/New_York"
+    args = [a for a in sys.argv[1:] if a != "--weird-confs"]
+    weird = "--weird-confs" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    tz = args[1] if len(args) > 1 else "America/New_York"
 
     import duckdb
     from pyspark.sql import SparkSession
 
     # vanilla session: no engine configs beyond master + the hostile TZ
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", tz)
-        .getOrCreate()
     )
+    if weird:
+        builder = (
+            builder.config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.adaptive.enabled", "false")
+        )
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -56,7 +68,8 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}")
-    print(f"\nhostile[{tz}]: {len(qs) - len(failures)} ok, {len(failures)} failed")
+    label = f"{tz}+weird-confs" if weird else tz
+    print(f"\nhostile[{label}]: {len(qs) - len(failures)} ok, {len(failures)} failed")
     return 1 if failures else 0
 
 
