@@ -2156,8 +2156,12 @@ _GATE_FIRST = [
     "kmeans_clusters",
     # (3) qcommon churn sentinels (events/documents/embeddings; lineitem
     #     is covered by pricing_summary in the bank below) + the stream
-    #     reader's three queries
-    "clean_events", "text_quality", "cosine_topk",
+    #     reader's three queries. spatial_join doubles as the events
+    #     sentinel: it reads events via _table AND its function body
+    #     gained the polygon-count guard this round — the one non-head
+    #     query whose own code changed (clean_events, unchanged since
+    #     its r05 row, banks instead)
+    "spatial_join", "text_quality", "cosine_topk",
     "stream_window_counts", "stream_dedup_days", "stream_running_totals",
     # (4) the 27 remaining r04-banked queries — the oldest green rows
     "array_suite", "corr_stats", "correlated_subquery", "cube_agg",
