@@ -350,6 +350,58 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-join dedup (operators/fingerprint.py::
+    fingerprint_match_pairs): the downstream consumer of the winnowing
+    fingerprints — candidate near-dup pairs by plain equi-join on
+    selected hashes, counted per pair. Guarantee-carrying (any shared
+    ≥ w+k−1 = 17-char substring in the cap window produces a match)
+    and containment-capable, unlike ratio-based LSH. Hot boilerplate
+    fingerprints are dropped by the max_df=10 document-frequency guard;
+    min_shared=4 suppresses single-hash coincidences.
+    """
+    _utc(spark)
+    from .operators.fingerprint import fingerprint_match_pairs
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return fingerprint_match_pairs(
+        docs, k=12, w=6, cap=200, max_df=10, min_shared=4
+    ).orderBy("id_a", "id_b")
+
+
+SQL_FINGERPRINT_DEDUP = """
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+), g AS (
+  SELECT doc_id, t, length(t) - 11 AS m FROM d
+), h AS (
+  SELECT doc_id, m,
+         CASE WHEN m >= 6 THEN
+           list_transform(generate_series(1, m),
+             i -> ('0x' || substring(md5(substring(t, i, 12)), 1, 8))::BIGINT)
+         ELSE CAST([] AS BIGINT[]) END AS hashes
+  FROM g
+), s AS (
+  SELECT doc_id,
+         CASE WHEN m >= 6 THEN
+           list_distinct(list_transform(generate_series(1, m - 5),
+             j -> list_aggregate(hashes[j:j + 5], 'min')))
+         ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h
+), e AS (
+  SELECT doc_id AS doc, unnest(fps) AS fp FROM s
+), keepfp AS (
+  SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 10
+), p AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared
+  FROM e a JOIN keepfp USING (fp) JOIN e b USING (fp)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 4 ORDER BY id_a, id_b
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -359,6 +411,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "url_canonical": q_url_canonical,
     "approx_distinct": q_approx_distinct,
+    "fingerprint_dedup": q_fingerprint_dedup,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -370,4 +423,5 @@ ORACLE_R6: dict[str, str] = {
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "url_canonical": SQL_URL_CANONICAL,
     "approx_distinct": SQL_APPROX_DISTINCT,
+    "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
 }

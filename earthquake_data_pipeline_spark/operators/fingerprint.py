@@ -38,6 +38,31 @@ def _gram_hash(t: Column, i: Column, k: int) -> Column:
     ).cast("long")
 
 
+def fingerprint_set(text_col: Column | str, k: int = 8, w: int = 4, cap: int = 200) -> Column:
+    """The winnowing fingerprint SET of the capped, lowercased text as an
+    ``array<bigint>`` Column — the shared core of :func:`winnow_fingerprints`
+    (per-doc summary) and :func:`fingerprint_match_pairs` (equi-join dedup).
+
+    Expression shape matters here: the obvious two-transform form
+    (hash array, then array_min over slices of it) re-evaluates the
+    ENTIRE hash-array subtree once per window position — higher-order
+    functions bind only their lambda variable, argument subtrees are
+    recomputed per element — which is O(m²) md5 calls and measured
+    ~20× slower. Window minima as ``least()`` of the w in-place gram
+    hashes keep it O(w·m) with w a small constant; nothing is
+    materialized, the expression stays a pure per-row scan.
+    """
+    t = F.lower(F.substring(F.col(text_col) if isinstance(text_col, str) else text_col, 1, cap))
+    m = F.length(t) - F.lit(k - 1)  # number of k-grams
+    selected = F.transform(
+        F.sequence(F.lit(1), m - F.lit(w - 1)),
+        lambda j: F.least(*[_gram_hash(t, j + o, k) for o in range(w)]),
+    )
+    return F.when(m >= w, F.array_distinct(selected)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -54,29 +79,75 @@ def winnow_fingerprints(
     Documents whose capped text has fewer than w k-grams (length <
     k+w−1) legitimately have zero fingerprints — guarded CASE branches
     keep the expressions total instead of erroring on short rows.
-
-    Expression shape matters here: the obvious two-transform form
-    (hash array, then array_min over slices of it) re-evaluates the
-    ENTIRE hash-array subtree once per window position — higher-order
-    functions bind only their lambda variable, argument subtrees are
-    recomputed per element — which is O(m²) md5 calls and measured
-    ~20× slower. Window minima as ``least()`` of the w in-place gram
-    hashes keep it O(w·m) with w a small constant; nothing is
-    materialized, the operator stays a pure per-row scan.
     """
-    t = F.lower(F.substring(F.col(text_col), 1, cap))
-    m = F.length(t) - F.lit(k - 1)  # number of k-grams
-    selected = F.transform(
-        F.sequence(F.lit(1), m - F.lit(w - 1)),
-        lambda j: F.least(*[_gram_hash(t, j + o, k) for o in range(w)]),
-    )
-    fps = F.when(m >= w, F.array_distinct(selected)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    fps = fingerprint_set(text_col, k=k, w=w, cap=cap)
     return docs.select(
         id_col,
         F.size(fps).alias("n_fingerprints"),
         F.aggregate(
             fps, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("fp_checksum"),
+    )
+
+
+def fingerprint_match_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    cap: int = 200,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs by winnowing-fingerprint equi-join —
+    the downstream consumer the SIGMOD'03 scheme exists for. Returns
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b``: pairs sharing at
+    least ``min_shared`` selected fingerprints, where sharing ANY
+    fingerprint is guaranteed for documents with a common substring of
+    length ≥ w+k−1 (inside the cap). Unlike MinHash-LSH this catches
+    asymmetric containment (a small doc embedded in a huge one) because
+    the guarantee is per-substring, not per-similarity-ratio.
+
+    Scale shape (100 TB): fingerprinting is per-row scan work (no
+    shuffle); the explode carries ≤ ~2·cap/(w+1) rows per doc; pairs are
+    generated BUCKET-SIDE per fingerprint (groupBy + in-array i<j
+    combinations — one exchange, never a self-join that re-runs the
+    fingerprint subtree). The two quadratic dangers are both bounded:
+
+    - hot fingerprints (boilerplate substrings shared by thousands of
+      docs) are dropped by the ``max_df`` document-frequency guard —
+      stop-fingerprint removal, the exact analog of stop-word removal;
+      a bucket therefore yields at most C(max_df, 2) pairs;
+    - ``min_shared ≥ 2`` suppresses single-hash coincidences before the
+      pair aggregate, shrinking the groupBy input.
+
+    The final (id_a, id_b) count aggregate is an equi-shuffle on the
+    pair key, map-side combined.
+    """
+    fps = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(fingerprint_set(text_col, k=k, w=w, cap=cap)).alias("fp"),
+    )
+    # fingerprint_set is array_distinct per doc, so (doc, fp) is already
+    # unique — no extra distinct pass needed before bucketing.
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+    )
+    combos = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -217,6 +217,67 @@ def test_zscore_plan_two_fact_scans(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_fingerprint_join_finds_planted_duplicate(spark):
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        fingerprint_match_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + base + " tail one"),
+            (2, "totally different words here nothing shared with anyone"),
+            (3, base + " other suffix material"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = fingerprint_match_pairs(docs, k=8, w=4, max_df=10, min_shared=1).collect()
+    # winnowing guarantee: a shared substring of length >= w+k-1 = 11
+    # produces at least one identical fingerprint in both docs
+    assert any(r.id_a == 1 and r.id_b == 3 for r in pairs)
+    assert all(r.id_a < r.id_b and r.n_shared >= 1 for r in pairs)
+
+
+def test_fingerprint_join_catches_asymmetric_containment(spark):
+    # a small doc embedded verbatim in a much larger one: Jaccard over
+    # the full shingle sets is low, but the substring guarantee still
+    # fires — the documented advantage over ratio-based LSH
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        fingerprint_match_pairs,
+    )
+
+    small = "rare specific phrase that appears embedded verbatim"
+    big = "lots of unrelated filler words before the payload " + small + (
+        " and plenty of trailing filler words after the payload too"
+    )
+    docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    pairs = fingerprint_match_pairs(docs, k=8, w=4, max_df=10, min_shared=1).collect()
+    assert any(r.id_a == 1 and r.id_b == 2 for r in pairs)
+
+
+def test_fingerprint_join_max_df_drops_boilerplate(spark):
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        fingerprint_match_pairs,
+    )
+
+    boiler = "standard legal disclaimer text appended to every document here"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    # eight byte-identical docs: every fingerprint has document
+    # frequency exactly 8, so with max_df=4 the stop-fingerprint guard
+    # drops them all...
+    assert (
+        fingerprint_match_pairs(docs, k=8, w=4, max_df=4, min_shared=1).count() == 0
+    )
+    # ...and with the guard relaxed the same corpus pairs up, proving the
+    # emptiness above is the guard, not a miss
+    assert (
+        fingerprint_match_pairs(docs, k=8, w=4, max_df=10, min_shared=1).count() > 0
+    )
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
