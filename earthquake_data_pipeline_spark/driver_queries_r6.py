@@ -402,6 +402,89 @@ SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 4 ORDER BY id_a, id_b
 """
 
 
+_TOKS_R6 = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+# the winnowing-candidate CTE chain shared by fingerprint_dedup's oracle
+# (min_shared applied in the outer filter there) and ngram_containment's
+# (min_shared=2 HAVING here): k=12, w=6, cap=200, max_df=10
+_FP_PAIRS_SQL = """
+  d AS (
+    SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+  ), g AS (
+    SELECT doc_id, t, length(t) - 11 AS m FROM d
+  ), h AS (
+    SELECT doc_id, m,
+           CASE WHEN m >= 6 THEN
+             list_transform(generate_series(1, m),
+               i -> ('0x' || substring(md5(substring(t, i, 12)), 1, 8))::BIGINT)
+           ELSE CAST([] AS BIGINT[]) END AS hashes
+    FROM g
+  ), s AS (
+    SELECT doc_id,
+           CASE WHEN m >= 6 THEN
+             list_distinct(list_transform(generate_series(1, m - 5),
+               j -> list_aggregate(hashes[j:j + 5], 'min')))
+           ELSE CAST([] AS BIGINT[]) END AS fps
+    FROM h
+  ), e AS (
+    SELECT doc_id AS doc, unnest(fps) AS fp FROM s
+  ), keepfp AS (
+    SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 10
+  ), p AS (
+    SELECT a.doc AS id_a, b.doc AS id_b
+    FROM e a JOIN keepfp USING (fp) JOIN e b USING (fp)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2 HAVING count(*) >= 2
+  )
+"""
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate detection (operators/fuzzy_dedup.py::
+    ngram_containment_pairs): asymmetric |A∩B|/|A| 3-gram containment
+    over fingerprint-join candidates. The composed pipeline is the
+    containment analog of lsh_jaccard_refine — candidates from the
+    winnowing equi-join (whose substring guarantee keeps recall when
+    one doc is much larger), exact set arithmetic only on the bounded
+    candidate set, never all-pairs.
+    """
+    _utc(spark)
+    from .operators.fingerprint import fingerprint_match_pairs
+    from .operators.fuzzy_dedup import ngram_containment_pairs
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    cand = fingerprint_match_pairs(
+        docs, k=12, w=6, cap=200, max_df=10, min_shared=2
+    )
+    return ngram_containment_pairs(docs, cand, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_NGRAM_CONTAINMENT = rf"""
+WITH {_FP_PAIRS_SQL}, sh AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS_R6}) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len({_TOKS_R6}) - 2),
+             i -> {_TOKS_R6}[i] || ' ' || {_TOKS_R6}[i+1] || ' ' || {_TOKS_R6}[i+2]))
+              ELSE [] END AS sh
+  FROM documents
+), c AS (
+  SELECT p.id_a, p.id_b,
+         CAST(round(CAST(len(list_intersect(a.sh, b.sh))
+              / greatest(len(a.sh), 1) AS DECIMAL(18,12)), 6) AS DOUBLE)
+           AS containment_a,
+         CAST(round(CAST(len(list_intersect(a.sh, b.sh))
+              / greatest(len(b.sh), 1) AS DECIMAL(18,12)), 6) AS DOUBLE)
+           AS containment_b
+  FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+)
+SELECT id_a, id_b, containment_a, containment_b
+FROM c WHERE greatest(containment_a, containment_b) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -412,6 +495,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical": q_url_canonical,
     "approx_distinct": q_approx_distinct,
     "fingerprint_dedup": q_fingerprint_dedup,
+    "ngram_containment": q_ngram_containment,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -424,4 +508,5 @@ ORACLE_R6: dict[str, str] = {
     "url_canonical": SQL_URL_CANONICAL,
     "approx_distinct": SQL_APPROX_DISTINCT,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
+    "ngram_containment": SQL_NGRAM_CONTAINMENT,
 }

@@ -179,6 +179,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram containment for SUB-document duplicates:
+    ``containment_a = |A∩B| / |A|`` (and symmetrically for B) over word
+    shingle sets. A short document quoted verbatim inside a long one has
+    containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0 — the case symmetric
+    similarity misses entirely (the reason CC-style pipelines track
+    containment alongside Jaccard).
+
+    ``candidates`` must be a bounded (id_a, id_b) pair frame — the scale
+    contract. fingerprint.fingerprint_match_pairs is the natural
+    generator here: the winnowing guarantee is per-SUBSTRING, so the
+    contained-doc case still produces candidates, unlike MinHash-LSH
+    banding whose recall decays with the size ratio. The shingle subtree
+    is lazily checkpointed because both join sides reference it
+    (Catalyst reuses exchanges, not arbitrary subtrees); the joins are
+    id-equi-joins, shuffle-bounded by the candidate count.
+    """
+    from ..qcommon import round6x
+
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_of(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=False)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    cont_a = round6x(inter / F.greatest(F.size("sh_a"), F.lit(1)))
+    cont_b = round6x(inter / F.greatest(F.size("sh_b"), F.lit(1)))
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

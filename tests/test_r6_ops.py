@@ -278,6 +278,29 @@ def test_fingerprint_join_max_df_drops_boilerplate(spark):
     )
 
 
+def test_ngram_containment_asymmetry(spark):
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        ngram_containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = (
+        "one two three four five six seven eight nine ten "
+        + small
+        + " eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    cand = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r = ngram_containment_pairs(docs, cand, threshold=0.5).collect()
+    assert len(r) == 1
+    # all 4 shingles of the small doc appear in the big doc
+    assert r[0].containment_a == 1.0
+    # ...but they are a small fraction of the big doc's shingle set
+    assert r[0].containment_b < 0.5
+    # a threshold above max(cont_a, cont_b) filters the pair out
+    assert ngram_containment_pairs(docs, cand, threshold=1.01).count() == 0
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
