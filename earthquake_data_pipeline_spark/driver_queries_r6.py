@@ -485,6 +485,30 @@ ORDER BY id_a, id_b
 """
 
 
+def q_approx_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-first scale path of quality_deciles (operators/
+    curation.py::approx_bins_audit): percentile_approx boundaries per
+    stratum (map-side-merged sketch — no single-task stratum sort),
+    audited against the rank guarantee in the same pass. Tie-proof
+    one-sided rank checks; only the guarantee boolean leaves the plan,
+    never the engine-specific boundary values — the heavy_hitters /
+    approx_distinct guarantee-oracle pattern.
+    """
+    _utc(spark)
+    from .operators.curation import approx_bins_audit
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return approx_bins_audit(docs, accuracy=100)
+
+
+SQL_APPROX_QUALITY_BINS = """
+SELECT lang, CAST(q.q_pct AS INT) AS q_pct, TRUE AS within_bound, n_total
+FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1) t,
+     (SELECT unnest(generate_series(10, 90, 10)) AS q_pct) q
+ORDER BY lang, q_pct
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -496,6 +520,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "fingerprint_dedup": q_fingerprint_dedup,
     "ngram_containment": q_ngram_containment,
+    "approx_quality_bins": q_approx_quality_bins,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -509,4 +534,5 @@ ORACLE_R6: dict[str, str] = {
     "approx_distinct": SQL_APPROX_DISTINCT,
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
     "ngram_containment": SQL_NGRAM_CONTAINMENT,
+    "approx_quality_bins": SQL_APPROX_QUALITY_BINS,
 }

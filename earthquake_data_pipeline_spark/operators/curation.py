@@ -62,6 +62,122 @@ def quality_decile_stats(
     )
 
 
+def approx_bin_boundaries(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    score_col: str = "n_chars",
+    n_bins: int = 10,
+    accuracy: int = 100,
+) -> DataFrame:
+    """Stage 1 of the sketch-first binning path promised above: per-
+    stratum approximate quantile boundaries via ``percentile_approx``
+    (Greenwald-Khanna sketch, map-side merged — no per-stratum sort, no
+    single-task stratum bottleneck). Returns one row per stratum:
+    ``(stratum, bounds array<n_bins-1>, n_total)`` — k rows total,
+    broadcastable. Rank guarantee: each boundary's true rank is within
+    ``n/accuracy`` of its target quantile.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    return docs.groupBy(stratum_col).agg(
+        F.percentile_approx(score_col, qs, accuracy).alias("bounds"),
+        F.count("*").alias("n_total"),
+    )
+
+
+def assign_approx_bins(
+    docs: DataFrame,
+    boundaries: DataFrame,
+    stratum_col: str = "lang",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Stage 2: map-only bin assignment against the broadcast boundary
+    frame — ``bin = 1 + #boundaries strictly below the score`` (ties land
+    in the lower bin; deterministic). Same output meaning as
+    quality_decile_stats' ntile bin, approximate edges, NO window sort —
+    this composition is what replaces the exact form when single strata
+    stop fitting one task.
+    """
+    nb = F.size("bounds") + 1
+    bin_col = F.lit(1) + F.aggregate(
+        "bounds",
+        F.lit(0),
+        lambda acc, b: acc + (b < F.col(score_col)).cast("int"),
+    )
+    return docs.join(F.broadcast(boundaries), stratum_col).select(
+        *docs.columns, F.least(bin_col, nb).alias("bin")
+    )
+
+
+def approx_bins_audit(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    score_col: str = "n_chars",
+    n_bins: int = 10,
+    accuracy: int = 100,
+) -> DataFrame:
+    """Guarantee audit of the sketch boundaries, tie-proof by design.
+
+    A per-bin count check breaks on tied scores (a heavy tie straddling
+    a boundary lumps mass into one bin no matter how exact the sketch),
+    so the audit checks the RANK guarantee directly, which ties cannot
+    violate: for boundary b at quantile q over n rows, the sketch
+    promises a rank r with |r − qn| ≤ εn, and since
+    ``count(x < b) ≤ r ≤ count(x ≤ b)`` both one-sided checks
+
+        count(x < b)·n_bins ≤ q·n_bins·n + bound·n_bins
+        count(x ≤ b)·n_bins ≥ q·n_bins·n − bound·n_bins
+
+    are implied (bound = max(⌈2n/accuracy⌉, 2): twice the documented
+    rank error, floored — generous but REAL; a broken sketch fails it).
+    All comparisons are scaled-integer, no floats anywhere.
+
+    Shape: one k-row boundary aggregate, one broadcast join, one
+    conditional-sum aggregate per stratum — the per-boundary counts are
+    n_bins−1 conditional sums inside ONE pass over the corpus, not a
+    row fan-out. Output: (stratum, q_pct, within_bound, n_total),
+    engine-portable because the engine-specific boundary VALUES never
+    leave the plan — only the guarantee boolean does.
+    """
+    b = approx_bin_boundaries(docs, stratum_col, score_col, n_bins, accuracy)
+    joined = docs.select(stratum_col, score_col).join(F.broadcast(b), stratum_col)
+    sc = F.col(score_col)
+    per_q = joined.groupBy(stratum_col).agg(
+        F.first("n_total").alias("n_total"),
+        *[
+            F.sum((sc < F.element_at("bounds", i)).cast("long")).alias(f"lt{i}")
+            for i in range(1, n_bins)
+        ],
+        *[
+            F.sum((sc <= F.element_at("bounds", i)).cast("long")).alias(f"le{i}")
+            for i in range(1, n_bins)
+        ],
+    )
+    n = F.col("n_total")
+    bound = F.greatest(F.ceil(n * 2 / accuracy), F.lit(2)).cast("long")
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(i * 100 // n_bins).alias("q_pct"),
+                (
+                    (F.col(f"lt{i}") * n_bins <= i * n + bound * n_bins)
+                    & (F.col(f"le{i}") * n_bins >= i * n - bound * n_bins)
+                ).alias("within_bound"),
+            )
+            for i in range(1, n_bins)
+        ]
+    )
+    return (
+        per_q.select(stratum_col, "n_total", F.explode(checks).alias("c"))
+        .select(
+            stratum_col,
+            F.col("c.q_pct").alias("q_pct"),
+            F.col("c.within_bound").alias("within_bound"),
+            "n_total",
+        )
+        .orderBy(stratum_col, "q_pct")
+    )
+
+
 def top_p_select(
     docs: DataFrame,
     p_pct: int = 80,
