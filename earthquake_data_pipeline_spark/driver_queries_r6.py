@@ -509,6 +509,58 @@ ORDER BY lang, q_pct
 """
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (operators/layout.py::
+    compaction_plan): documents stand in for the file inventory
+    (source = table partition, n_chars = file bytes). Closed-form
+    next-fit-decreasing bin packing — one exchange, two windows, all
+    integer arithmetic — summarized per (partition, bin).
+    """
+    _utc(spark)
+    from .operators.layout import compaction_plan
+
+    docs = _table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    plan = compaction_plan(
+        docs, partition_col="source", id_col="doc_id",
+        size_col="n_chars", target_bytes=4096,
+    )
+    return (
+        plan.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.max("n_chars").alias("max_file_bytes"),
+            F.min("doc_id").alias("first_file"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+SQL_COMPACTION_PLAN = """
+WITH f AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_chars AS cum_before
+  FROM documents
+), b AS (
+  SELECT source, doc_id, n_chars,
+         CAST(cum_before // 4096 AS BIGINT) AS raw_bin
+  FROM f
+), d AS (
+  SELECT source, doc_id, n_chars,
+         CAST(dense_rank() OVER (PARTITION BY source ORDER BY raw_bin)
+              AS INT) AS bin_id
+  FROM b
+)
+SELECT source, bin_id, count(*) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       max(n_chars) AS max_file_bytes,
+       min(doc_id) AS first_file
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -521,6 +573,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_dedup": q_fingerprint_dedup,
     "ngram_containment": q_ngram_containment,
     "approx_quality_bins": q_approx_quality_bins,
+    "compaction_plan": q_compaction_plan,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -535,4 +588,5 @@ ORACLE_R6: dict[str, str] = {
     "fingerprint_dedup": SQL_FINGERPRINT_DEDUP,
     "ngram_containment": SQL_NGRAM_CONTAINMENT,
     "approx_quality_bins": SQL_APPROX_QUALITY_BINS,
+    "compaction_plan": SQL_COMPACTION_PLAN,
 }

@@ -17,7 +17,7 @@ the determinism contract every operator in this repo follows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,6 +50,56 @@ def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     for t in terms[1:]:
         out = out + t
     return out.cast("long")
+
+
+def compaction_plan(
+    files: DataFrame,
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    target_bytes: int = 4096,
+) -> DataFrame:
+    """Small-file compaction planner: assign each file to a rewrite bin
+    of ≈ ``target_bytes`` per table partition, in ONE closed-form window
+    pass — no iterative packing loop, no driver-side state.
+
+    The assignment is next-fit over a size-DESCENDING walk (the FFD
+    ordering): files are ordered (size desc, id), the EXCLUSIVE running
+    total is divided by the target, and the floor is the raw bin; a
+    dense_rank over raw bins renumbers them contiguously (an oversized
+    file advances the floor by >1, leaving index gaps). Guarantees, all
+    from the arithmetic: bins are consecutive runs of the walk; every
+    bin's total is < target + its last file's size (≤ 2×target when all
+    files are under target); a file ≥ target sits alone in its bin.
+
+    Scale shape: this plans over file METADATA — one row per file, ~1e6
+    rows for a 100 TB table — so the per-partition windows are trivial
+    next to the data-scale rewrite jobs the plan drives (one
+    read-coalesce-write per bin). Both windows share one partition-key
+    exchange. Everything is integer arithmetic: the plan replays
+    bit-identically in any engine.
+
+    Returns the per-file assignment (partition, id, size, bin_id);
+    aggregate by (partition, bin_id) for the audit/plan summary.
+    """
+    w_walk = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.desc(size_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive-cumsum div target, truncation == floor since both are
+    # non-negative; exact while per-partition totals < 2^53 (9 PB — the
+    # zorder_key div/cast idiom and bound)
+    raw_bin = (
+        (F.sum(size_col).over(w_walk) - F.col(size_col)) / F.lit(target_bytes)
+    ).cast("long")
+    w_dense = Window.partitionBy(partition_col).orderBy("raw_bin")
+    return (
+        files.select(partition_col, id_col, size_col)
+        .withColumn("raw_bin", raw_bin)
+        .withColumn("bin_id", F.dense_rank().over(w_dense))
+        .drop("raw_bin")
+    )
 
 
 def write_zordered(

@@ -366,6 +366,44 @@ def test_approx_bins_audit_catches_a_broken_boundary(spark):
     assert not (n_le * 10 >= 5 * 500 - 10 * 10)
 
 
+def test_compaction_plan_bins_are_bounded_and_dense(spark):
+    from collections import defaultdict
+
+    from earthquake_data_pipeline_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p1", i, 100 + (i * 37) % 400) for i in range(50)]
+        + [("p2", i, 50 + (i * 13) % 200) for i in range(30)],
+        ["source", "doc_id", "n_chars"],
+    )
+    target = 1000
+    rows = compaction_plan(files, target_bytes=target).collect()
+    per_bin = defaultdict(list)
+    for r in rows:
+        per_bin[(r.source, r.bin_id)].append(r.n_chars)
+    # all inputs are under target, so every bin total stays under 2x
+    assert all(sum(v) < 2 * target for v in per_bin.values())
+    # bin ids are dense 1..K per partition
+    for part in ["p1", "p2"]:
+        bins = sorted({b for (p, b) in per_bin if p == part})
+        assert bins == list(range(1, len(bins) + 1))
+
+
+def test_compaction_plan_oversized_file_sits_alone(spark):
+    from earthquake_data_pipeline_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p", 1, 5000), ("p", 2, 300), ("p", 3, 300), ("p", 4, 300)],
+        ["source", "doc_id", "n_chars"],
+    )
+    rows = compaction_plan(files, target_bytes=1000).collect()
+    by_doc = {r.doc_id: r.bin_id for r in rows}
+    # the 5x-target file opens the walk (size-desc) and owns its bin
+    assert sum(1 for r in rows if r.bin_id == by_doc[1]) == 1
+    # the three small files pack together in the next bin
+    assert by_doc[2] == by_doc[3] == by_doc[4] == by_doc[1] + 1
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
