@@ -561,6 +561,79 @@ FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates (operators/sketches.py::
+    cms_sketch + cms_point_estimates) for the probe set user_id < 100,
+    alongside exact counts and the one-sided guarantee boolean
+    (est ≥ true, overshoot ≤ 3N/width + 1). The sketch rows use
+    deterministic md5 bucketing, so unlike engine-native sketches the
+    ESTIMATE ITSELF replays bit-identically in the SQL oracle — this is
+    an exact-value row, not a guarantee-only row.
+    """
+    _utc(spark)
+    from .operators.sketches import cms_point_estimates, cms_sketch
+
+    ev = _table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_sketch(ev, "user_id", depth=3, width=64)
+    probes = ev.filter(F.col("user_id") < 100).distinct()
+    est = cms_point_estimates(sketch, probes, "user_id", depth=3, width=64)
+    true_n = (
+        ev.filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+    )
+    total = ev.agg(F.count("*").alias("n_total"))
+    bound = (F.col("n_total") * 3 / F.lit(64)).cast("long") + 1
+    return (
+        true_n.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "true_n",
+            "cms_est",
+            (
+                (F.col("cms_est") >= F.col("true_n"))
+                & (F.col("cms_est") <= F.col("true_n") + bound)
+            ).alias("within_bound"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_CMS_FREQUENCY = """
+WITH js AS (
+  SELECT unnest(generate_series(0, 2)) AS j
+), cells AS (
+  SELECT j,
+         ('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|'
+             || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+  FROM events, js
+), grid AS (
+  SELECT j, bucket, count(*) AS n FROM cells GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < 100
+), coords AS (
+  SELECT user_id, j,
+         ('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|'
+             || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+  FROM probes, js
+), est AS (
+  SELECT user_id, min(n) AS cms_est
+  FROM coords JOIN grid USING (j, bucket) GROUP BY 1
+), tr AS (
+  SELECT user_id, count(*) AS true_n FROM events
+  WHERE user_id < 100 GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n_total FROM events
+)
+SELECT t.user_id, t.true_n, e.cms_est,
+       (e.cms_est >= t.true_n
+        AND e.cms_est <= t.true_n + n_total * 3 // 64 + 1) AS within_bound
+FROM tr t JOIN est e USING (user_id), tot
+ORDER BY t.user_id
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -574,6 +647,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_containment": q_ngram_containment,
     "approx_quality_bins": q_approx_quality_bins,
     "compaction_plan": q_compaction_plan,
+    "cms_frequency": q_cms_frequency,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -589,4 +663,5 @@ ORACLE_R6: dict[str, str] = {
     "ngram_containment": SQL_NGRAM_CONTAINMENT,
     "approx_quality_bins": SQL_APPROX_QUALITY_BINS,
     "compaction_plan": SQL_COMPACTION_PLAN,
+    "cms_frequency": SQL_CMS_FREQUENCY,
 }

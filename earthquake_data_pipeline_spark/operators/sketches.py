@@ -1,4 +1,5 @@
-"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+"""Mergeable frequency sketches: Misra-Gries heavy hitters and a
+Count-Min sketch.
 
 The 100 TB question "which keys dominate this column" cannot afford a
 full groupBy when the key space is huge (URLs, user ids, n-grams): the
@@ -84,4 +85,90 @@ def heavy_hitters_sketch(df: DataFrame, key_col: str, k: int = 31) -> DataFrame:
         mg_partition_summaries(df, key_col, k)
         .groupBy("key")
         .agg(F.sum("est").alias("est"))
+    )
+
+
+def _cms_bucket(key, j: int, width: int):
+    """Row j's bucket for ``key``: the repo-standard md5-prefix integer
+    of the salted key, floor-mod width — engine-neutral and exactly
+    replayable in SQL (no probabilistic seeding, no engine RNG)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{j}|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch of a key column as a (row j, bucket, n) frame —
+    depth × width cells TOTAL, independent of input size.
+
+    Count-Min (Cormode & Muthukrishnan 2005) complements Misra-Gries
+    above: MG answers "which keys dominate" (top-k presence), CMS
+    answers point queries "how often did THIS key occur" for any key,
+    with the one-sided guarantee  true ≤ est ≤ true + εN  where
+    ε ≈ e/width (the min over depth independent rows makes large
+    overestimates exponentially unlikely; with deterministic md5 rows
+    the bound that always holds is est ≥ true, overshoot bounded by
+    collision mass actually present).
+
+    Spark shape: each input row explodes to ``depth`` (j, bucket)
+    pairs; ONE hash-aggregate with map-side combine collapses them to
+    the d×w cell grid. The shuffle moves at most depth×width rows per
+    task — the sketch is mergeable by construction because addition
+    commutes. No UDF, no Python: md5 + pmod stay in codegen.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(key_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame, probes: DataFrame, key_col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Point-query the sketch for each probe key:
+    ``est = min over rows j of cell[j][bucket_j(key)]``.
+
+    The sketch is d×w rows — broadcast; each probe key expands to its
+    ``depth`` (j, bucket) coordinates and equi-joins the cells. A probe
+    key absent from every cell would mean count 0; with the grid built
+    from the same key domain every coordinate exists, and the min
+    aggregate keeps exactly one row per probe.
+    """
+    coords = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket(key_col, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+    return (
+        coords.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("cms_est"))
     )

@@ -404,6 +404,65 @@ def test_compaction_plan_oversized_file_sits_alone(spark):
     assert by_doc[2] == by_doc[3] == by_doc[4] == by_doc[1] + 1
 
 
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    from earthquake_data_pipeline_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    rows = [(k,) for k in ["a"] * 7 + ["b"] * 3 + ["c"] * 1]
+    df = spark.createDataFrame(rows, ["k"])
+    probes = df.distinct()
+    true = {"a": 7, "b": 3, "c": 1}
+    # narrow sketch: collisions possible, but est >= true always
+    est = {
+        r.k: r.cms_est
+        for r in cms_point_estimates(
+            cms_sketch(df, "k", width=4), probes, "k", width=4
+        ).collect()
+    }
+    assert all(est[k] >= v for k, v in true.items())
+    # wide sketch: 3 keys in 4096 buckets x 3 rows — no collisions, exact
+    est_wide = {
+        r.k: r.cms_est
+        for r in cms_point_estimates(
+            cms_sketch(df, "k", width=4096), probes, "k", width=4096
+        ).collect()
+    }
+    assert est_wide == true
+
+
+def test_cms_width_one_degenerates_to_total(spark):
+    from earthquake_data_pipeline_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], ["k"])
+    est = cms_point_estimates(
+        cms_sketch(df, "k", width=1), df.distinct(), "k", width=1
+    ).collect()
+    assert all(r.cms_est == 4 for r in est)
+
+
+def test_cms_sketch_is_mergeable(spark):
+    from earthquake_data_pipeline_spark.operators.sketches import cms_sketch
+    from pyspark.sql import functions as F
+
+    half1 = spark.createDataFrame([("a",), ("b",)], ["k"])
+    half2 = spark.createDataFrame([("a",), ("c",)], ["k"])
+    merged = (
+        cms_sketch(half1, "k")
+        .unionAll(cms_sketch(half2, "k"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = cms_sketch(half1.unionAll(half2), "k")
+    a = {(r.j, r.bucket): r.n for r in merged.collect()}
+    b = {(r.j, r.bucket): r.n for r in whole.collect()}
+    assert a == b
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
