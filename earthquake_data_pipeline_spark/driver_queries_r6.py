@@ -634,6 +634,92 @@ ORDER BY t.user_id
 """
 
 
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning audit (operators/scale.py::
+    bloom_filter_build / bloom_might_contain): a word-packed md5 Bloom
+    filter of the dim keys (customers with custkey % 7 = 0) probes the
+    orders fact map-only, before any shuffle. The audit row proves the
+    two structural guarantees — zero false negatives, false positives
+    counted exactly — plus a checksum of the true semi-join. The filter
+    is deterministic md5, so every number replays exactly in SQL.
+    """
+    _utc(spark)
+    from .operators.scale import bloom_filter_build, bloom_might_contain
+
+    dim = (
+        _table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey")
+    )
+    bloom = bloom_filter_build(dim, "c_custkey", m_bits=65536, k_hashes=3)
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    flags = orders.crossJoin(F.broadcast(bloom)).select(
+        "o_orderkey",
+        "o_custkey",
+        bloom_might_contain("o_custkey", "bloom_words", 65536, 3).alias("bloom_pass"),
+    )
+    exact = flags.join(
+        F.broadcast(dim.withColumn("hit", F.lit(1))),
+        flags.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select(
+        "o_orderkey",
+        "bloom_pass",
+        F.col("hit").isNotNull().alias("exact"),
+    )
+    return exact.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("exact").cast("long")).alias("n_exact"),
+        F.sum((F.col("bloom_pass") & ~F.col("exact")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        (
+            F.sum((F.col("exact") & ~F.col("bloom_pass")).cast("long")) == 0
+        ).alias("no_false_negatives"),
+        F.sum(F.when(F.col("exact"), F.col("o_orderkey"))).alias(
+            "matched_checksum"
+        ),
+    )
+
+
+SQL_BLOOM_PRUNE = """
+WITH js AS (
+  SELECT unnest(generate_series(0, 2)) AS j
+), dim AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0
+), bits AS (
+  SELECT DISTINCT ('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || '|'
+             || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS bit
+  FROM dim, js
+), oc AS (
+  SELECT o_orderkey, o_custkey, j,
+         ('0x' || substring(md5('bf' || CAST(j AS VARCHAR) || '|'
+             || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS bit
+  FROM orders, js
+), passes AS (
+  SELECT o_orderkey, o_custkey,
+         (count(*) FILTER (WHERE bit IN (SELECT bit FROM bits)) = 3)
+           AS bloom_pass
+  FROM oc GROUP BY 1, 2
+), fl AS (
+  SELECT p.o_orderkey, p.bloom_pass, (d.c_custkey IS NOT NULL) AS exact
+  FROM passes p LEFT JOIN dim d ON p.o_custkey = d.c_custkey
+)
+SELECT count(*) AS n_orders,
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(sum(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN bloom_pass AND NOT exact THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       (sum(CASE WHEN exact AND NOT bloom_pass THEN 1 ELSE 0 END) = 0)
+         AS no_false_negatives,
+       CAST(sum(CASE WHEN exact THEN o_orderkey END) AS BIGINT)
+         AS matched_checksum
+FROM fl
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -648,6 +734,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quality_bins": q_approx_quality_bins,
     "compaction_plan": q_compaction_plan,
     "cms_frequency": q_cms_frequency,
+    "bloom_prune": q_bloom_prune,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -664,4 +751,5 @@ ORACLE_R6: dict[str, str] = {
     "approx_quality_bins": SQL_APPROX_QUALITY_BINS,
     "compaction_plan": SQL_COMPACTION_PLAN,
     "cms_frequency": SQL_CMS_FREQUENCY,
+    "bloom_prune": SQL_BLOOM_PRUNE,
 }

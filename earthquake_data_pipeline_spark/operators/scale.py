@@ -95,3 +95,98 @@ def bucketed_join_ready(
     both sides' bucketing satisfies the required hash distribution and
     plans the join with NO Exchange (verified in tests)."""
     return spark.table(left_table).join(spark.table(right_table), list(on))
+
+
+def _bloom_hash(key, j: int, m_bits: int):
+    """Hash j's bit position for ``key`` — the repo-standard md5-prefix
+    integer family, engine-neutral and exactly SQL-replayable."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bf{j}|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_filter_build(
+    dim_keys: DataFrame, key_col: str, m_bits: int = 65536, k_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom filter of the dim keys as ONE row holding a
+    word-packed bitset ``map<word → 32-bit value>`` — broadcastable at
+    any m (65536 bits = ≤2048 map entries).
+
+    Packing uses 32 bits per long word, so every value stays positive
+    and the probe side needs only div/mod arithmetic (no engine-specific
+    shift semantics). Distinct (word, 2^(bit%32)) pairs sum to the OR
+    because each term is a distinct power of two.
+
+    Spark ships native runtime bloom pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) that injects
+    this exact pattern automatically for suitable joins; this explicit
+    operator exists for when the filter must be REUSED across queries,
+    shipped to another system, or — as here — replayed bit-identically
+    by a SQL oracle.
+    """
+    coords = dim_keys.select(
+        F.explode(
+            F.array(*[_bloom_hash(key_col, j, m_bits) for j in range(k_hashes)])
+        ).alias("bit")
+    ).distinct()
+    words = coords.select(
+        (F.col("bit") / 32).cast("long").alias("word"),
+        F.pow(F.lit(2.0), F.pmod(F.col("bit"), F.lit(32))).cast("long").alias("v"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.sum("v").alias("v"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "v")))
+            ).alias("bloom_words")
+        )
+    )
+
+
+def bloom_might_contain(
+    key, words_col="bloom_words", m_bits: int = 65536, k_hashes: int = 3
+):
+    """Membership predicate Column against the packed bitset: for each of
+    the k hashes, extract bit (word div/mod — the zorder idiom) and AND
+    them. O(k) map lookups per row, pure codegen — the probe side never
+    explodes, shuffles, or leaves the JVM."""
+    cond = F.lit(True)
+    for j in range(k_hashes):
+        h = _bloom_hash(key, j, m_bits)
+        word = F.coalesce(
+            F.element_at(F.col(words_col), (h / 32).cast("long")), F.lit(0)
+        )
+        bit = (
+            (word / F.pow(F.lit(2.0), F.pmod(h, F.lit(32))).cast("long"))
+            .cast("long") % 2
+        )
+        cond = cond & (bit == 1)
+    return cond
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Pre-join pruning: drop fact rows that CANNOT match the dim —
+    no false negatives by Bloom construction, false positives bounded by
+    (set_bits/m)^k. The filter frame is one row (crossJoin-broadcast);
+    the fact side is filtered map-only BEFORE any shuffle, which is the
+    entire point at 100 TB: the exchange then moves only plausible rows.
+    Follow with the exact join; semantics are unchanged.
+    """
+    bloom = bloom_filter_build(dim_keys, dim_key, m_bits, k_hashes)
+    return (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain(fact_key, "bloom_words", m_bits, k_hashes))
+        .drop("bloom_words")
+    )

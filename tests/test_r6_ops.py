@@ -463,6 +463,47 @@ def test_cms_sketch_is_mergeable(spark):
     assert a == b
 
 
+def test_bloom_prune_no_false_negatives_even_when_saturated(spark):
+    from earthquake_data_pipeline_spark.operators.scale import bloom_prune
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 100, 7)], ["dk"])
+    fact = spark.createDataFrame([(i, i % 100) for i in range(300)], ["fid", "fk"])
+    # tiny filter (32 bits for 15 keys x 3 hashes): false positives
+    # galore, but every true match MUST survive
+    pruned = bloom_prune(fact, dim, "fk", "dk", m_bits=32, k_hashes=3)
+    kept = {r.fk for r in pruned.collect()}
+    assert {k for k in range(0, 100, 7)} <= kept
+
+
+def test_bloom_prune_is_exact_when_wide(spark):
+    from earthquake_data_pipeline_spark.operators.scale import bloom_prune
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 100, 7)], ["dk"])
+    fact = spark.createDataFrame([(i, i % 100) for i in range(300)], ["fid", "fk"])
+    pruned = bloom_prune(fact, dim, "fk", "dk", m_bits=1 << 20, k_hashes=3)
+    kept = {r.fk for r in pruned.collect()}
+    # 45 coords in 2^20 bits: collision-free in practice for this seed
+    # set, so the pruned set IS the exact semi-join
+    assert kept == {k for k in range(0, 100, 7)}
+
+
+def test_bloom_probe_side_is_map_only(spark):
+    from earthquake_data_pipeline_spark.operators.scale import bloom_prune
+
+    dim = spark.createDataFrame([(k,) for k in range(10)], ["dk"])
+    fact = spark.createDataFrame([(i, i) for i in range(100)], ["fid", "fk"])
+    plan = (
+        bloom_prune(fact, dim, "fk", "dk")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the FACT side must reach the filter without a hash exchange (the
+    # tiny build side legitimately shuffles its <=2048 bit rows; only an
+    # exchange keyed on the fact column would defeat the pruning)
+    assert "hashpartitioning(fk" not in plan
+    assert "hashpartitioning(fid" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
