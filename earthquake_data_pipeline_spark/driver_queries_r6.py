@@ -720,6 +720,58 @@ FROM fl
 """
 
 
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture audit (operators/sampling.py
+    ::mixture_resample): √-reweighting keeps ⌊√(4·n_i)⌋ docs per source
+    in deterministic hash order. α = ½ is the one temperature with an
+    exact engine-portable form (correctly-rounded IEEE sqrt + integer
+    floor; no order-dependent normalizing float sum) — the audit row
+    set replays bit-identically in DuckDB.
+    """
+    _utc(spark)
+    from .operators.sampling import mixture_resample
+
+    docs = _table(spark, sf_dir, "documents").select("source", "doc_id")
+    mixed = mixture_resample(docs, "source", "doc_id", k_budget=4)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_target").alias("n_target"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("doc_id"))).alias(
+                "kept_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), t AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(4 * n_docs AS DOUBLE))) AS BIGINT) AS n_target
+  FROM c
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5(doc_id::VARCHAR || 'mix-sqrt'),
+                     1, 8))::BIGINT, doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, max(t.n_docs) AS n_docs, max(t.n_target) AS n_target,
+       CAST(sum(CASE WHEN rn <= n_target THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rn <= n_target THEN doc_id END) AS BIGINT)
+         AS kept_checksum
+FROM r JOIN t USING (source)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -735,6 +787,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_plan": q_compaction_plan,
     "cms_frequency": q_cms_frequency,
     "bloom_prune": q_bloom_prune,
+    "domain_mixture": q_domain_mixture,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -752,4 +805,5 @@ ORACLE_R6: dict[str, str] = {
     "compaction_plan": SQL_COMPACTION_PLAN,
     "cms_frequency": SQL_CMS_FREQUENCY,
     "bloom_prune": SQL_BLOOM_PRUNE,
+    "domain_mixture": SQL_DOMAIN_MIXTURE,
 }

@@ -13,7 +13,7 @@ inside codegen — scan-speed, zero shuffle, exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPACE = 1 << 32  # first 8 md5 hex chars → uniform [0, 2^32)
@@ -67,6 +67,52 @@ def stratified_sample_by_hash(
             .otherwise(thresh)
         )
     return df.filter(hash_bucket(key_col, salt) < thresh)
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    k_budget: int = 4,
+    salt: str = "mix-sqrt",
+) -> DataFrame:
+    """Temperature-flattened domain mixture (α = 1/2): keep
+    ``t_i = ⌊√(k_budget · n_i)⌋`` documents from each domain — the
+    square-root reweighting multilingual/multi-source training mixtures
+    use so head domains stop drowning tail domains (n_i^α sampling,
+    here with α = ½ and a per-domain budget multiplier).
+
+    Exactness notes, because α = ½ is the only temperature with an
+    engine-portable exact form: IEEE-754 sqrt is correctly rounded, and
+    floor(sqrt_double(x)) equals ⌊√x⌋ exactly for integer x < 2^51 (an
+    error would need √x within ulp of an integer m, i.e. |x − m²| < 1 —
+    impossible for distinct integers). No normalizing float SUM over
+    domains is ever computed (Σ n_j^α would be summation-order-
+    dependent), so the targets replay bit-identically anywhere.
+
+    Selection is the deterministic hash order (hash_bucket, id) per
+    domain with ``row_number ≤ t_i`` — exactly t_i docs, stable under
+    any partitioning. The per-domain window sorts each stratum in one
+    task: fine while strata fit an executor; at mega-domain scale swap
+    the ranking for ``sample_by_hash(rate = t_i/n_i)`` (map-only,
+    approximately t_i docs) and keep this exact form as the audit face.
+
+    Returns the input plus ``n_docs``, ``n_target`` and ``keep``.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    targets = counts.withColumn(
+        "n_target",
+        F.floor(F.sqrt(F.col("n_docs") * F.lit(k_budget))).cast("long"),
+    )
+    w = Window.partitionBy(domain_col).orderBy(
+        hash_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(targets), domain_col)
+        .withColumn("keep", (F.col("_rn") <= F.col("n_target")).cast("int"))
+        .drop("_rn")
+    )
 
 
 def assign_splits(

@@ -504,6 +504,35 @@ def test_bloom_probe_side_is_map_only(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_mixture_resample_flattens_the_head_domain(spark):
+    from earthquake_data_pipeline_spark.operators.sampling import mixture_resample
+
+    rows = [("head", i) for i in range(400)] + [("tail", 1000 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["source", "doc_id"])
+    out = mixture_resample(df, "source", "doc_id", k_budget=4)
+    kept = (
+        out.groupBy("source")
+        .agg(F.sum("keep").alias("n_kept"), F.max("n_target").alias("t"))
+        .collect()
+    )
+    by = {r.source: (r.n_kept, r.t) for r in kept}
+    # head: floor(sqrt(1600)) = 40 of 400 kept (10%); tail: target
+    # floor(sqrt(16)) = 4 covers the whole domain (100%)
+    assert by["head"] == (40, 40)
+    assert by["tail"] == (4, 4)
+
+
+def test_mixture_resample_is_partitioning_invariant(spark):
+    from earthquake_data_pipeline_spark.operators.sampling import mixture_resample
+
+    rows = [("s", i) for i in range(100)]
+    df1 = spark.createDataFrame(rows, ["source", "doc_id"]).repartition(1)
+    df7 = spark.createDataFrame(rows, ["source", "doc_id"]).repartition(7)
+    k1 = {r.doc_id for r in mixture_resample(df1, "source", "doc_id").filter("keep = 1").collect()}
+    k7 = {r.doc_id for r in mixture_resample(df7, "source", "doc_id").filter("keep = 1").collect()}
+    assert k1 == k7 and len(k1) == 20  # floor(sqrt(400))
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
