@@ -772,6 +772,62 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate audit (operators/text.py::
+    boilerplate_flags): paragraphs (16-token windows) appearing verbatim
+    in more than one document are flagged corpus-wide; per-doc counts
+    and the clean token mass replay exactly in SQL. One map-side
+    chunking explode, one hash-keyed frequency shuffle, one join of the
+    (tiny) flagged set back to the stream.
+    """
+    _utc(spark)
+    from .operators.text import boilerplate_flags
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    flags = boilerplate_flags(docs, para_tokens=16, max_df=1)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("is_boilerplate").cast("long")).alias("n_boiler"),
+            F.sum(
+                F.when(~F.col("is_boilerplate"), F.col("n_para_tokens")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("clean_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BOILERPLATE_STRIP = rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_R6} AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+             greatest(CAST(ceil((len(t) - 16) / 16.0) AS BIGINT), 0))) AS i
+  FROM toks
+), paras AS (
+  SELECT doc_id,
+         md5(array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ')) AS para_hash,
+         CAST(len(regexp_split_to_array(
+             array_to_string(t[i * 16 + 1 : i * 16 + 16], ' '), '\s+'))
+             AS BIGINT) AS n_para_tokens
+  FROM idx
+), boiler AS (
+  SELECT para_hash FROM paras GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+)
+SELECT p.doc_id, count(*) AS n_paras,
+       CAST(sum(CASE WHEN b.para_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(sum(CASE WHEN b.para_hash IS NULL THEN n_para_tokens ELSE 0 END)
+            AS BIGINT) AS clean_tokens
+FROM paras p LEFT JOIN boiler b USING (para_hash)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel_steps": q_funnel_steps,
@@ -788,6 +844,7 @@ QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_frequency": q_cms_frequency,
     "bloom_prune": q_bloom_prune,
     "domain_mixture": q_domain_mixture,
+    "boilerplate_strip": q_boilerplate_strip,
 }
 
 ORACLE_R6: dict[str, str] = {
@@ -806,4 +863,5 @@ ORACLE_R6: dict[str, str] = {
     "cms_frequency": SQL_CMS_FREQUENCY,
     "bloom_prune": SQL_BLOOM_PRUNE,
     "domain_mixture": SQL_DOMAIN_MIXTURE,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
 }

@@ -334,6 +334,55 @@ def bigram_lm_scores(
     )
 
 
+def boilerplate_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 16,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-document boilerplate removal, the CCNet/RefinedWeb shape:
+    segment every document into paragraphs, hash them, and flag any
+    paragraph whose DOCUMENT frequency across the corpus exceeds
+    ``max_df`` — headers, footers, cookie banners, license blurbs that
+    repeat verbatim on many pages. Here "paragraph" is a non-overlapping
+    ``para_tokens`` token window (the corpus has no newline structure);
+    swap the segmenter for ``split('\\n\\n')`` on real text.
+
+    Scale shape: segmentation is the chunk_text map-side explode; the
+    document-frequency aggregate is one equi-shuffle on the paragraph
+    hash with map-side combine. The flag join deliberately joins the
+    FILTERED hash set (df > max_df only) back to the paragraphs: the
+    boilerplate set is at most (#paragraphs)/max_df distinct hashes and
+    in practice tiny, so AQE turns the join into a broadcast — the full
+    paragraph stream is never shuffled a second time.
+
+    Returns per-paragraph rows (id, chunk_idx, para_hash, n_para_tokens,
+    is_boilerplate); aggregate per doc for the audit, or filter + re-
+    concat for the cleaned corpus.
+    """
+    paras = chunk_text(df.select(id_col, text_col), text_col, para_tokens, 0)
+    hashed = paras.select(
+        id_col,
+        "chunk_idx",
+        F.md5("chunk_text").alias("para_hash"),
+        F.size(tokens_of("chunk_text")).alias("n_para_tokens"),
+    )
+    boiler = (
+        hashed.groupBy("para_hash")
+        .agg(F.count_distinct(id_col).alias("n_docs_with"))
+        .filter(F.col("n_docs_with") > max_df)
+        .select("para_hash", F.lit(1).alias("_b"))
+    )
+    return hashed.join(boiler, "para_hash", "left").select(
+        id_col,
+        "chunk_idx",
+        "para_hash",
+        "n_para_tokens",
+        F.col("_b").isNotNull().alias("is_boilerplate"),
+    )
+
+
 def canonical_url(url: Column | str) -> Column:
     """URL canonicalization for crawl dedup (the step before
     ``url_domains``-style grouping): collapse the equivalent spellings a

@@ -533,6 +533,30 @@ def test_mixture_resample_is_partitioning_invariant(spark):
     assert k1 == k7 and len(k1) == 20  # floor(sqrt(400))
 
 
+def test_boilerplate_flags_cross_document_only(spark):
+    from earthquake_data_pipeline_spark.operators.text import boilerplate_flags
+
+    footer = " ".join(f"legal{i}" for i in range(16))  # one exact window
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(16)) + " " + footer),
+            (2, " ".join(f"b{i}" for i in range(16)) + " " + footer),
+            (3, " ".join(f"c{i}" for i in range(32))),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = boilerplate_flags(docs, para_tokens=16, max_df=1).collect()
+    flagged = {(r.doc_id, r.chunk_idx) for r in rows if r.is_boilerplate}
+    # the footer window (chunk 1) of docs 1 and 2 is boilerplate —
+    # nothing else is, including doc 3's unique windows
+    assert flagged == {(1, 1), (2, 1)}
+    # within-doc repetition alone must NOT flag (df counts documents)
+    rep = spark.createDataFrame([(9, footer + " " + footer)], ["doc_id", "text"])
+    assert boilerplate_flags(rep, para_tokens=16, max_df=1).filter(
+        "is_boilerplate"
+    ).count() == 0
+
+
 def test_winnow_plan_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
     plan = (
