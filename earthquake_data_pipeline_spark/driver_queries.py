@@ -2151,11 +2151,13 @@ _GATE_FIRST = [
     "cohort_retention", "funnel_steps", "zscore_outliers",
     "quality_deciles", "top_p_select", "winnow_fingerprint",
     "url_canonical", "approx_distinct",
-    # …and the round-6 second-batch queries (each displaced one r04-bank
-    # entry, which keeps its r04-green row and leads the r07 head:
-    # yearly_stats, window_running, unpivot_measures, top_k_orders)
+    # …and the round-6 second/third-batch queries (each displaced one
+    # r04-bank entry, which keeps its r04-green row and leads the r07
+    # head: yearly_stats, window_running, unpivot_measures, top_k_orders,
+    # token_stats, string_suite, stats_per_decade, simhash)
     "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
-    "compaction_plan",
+    "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
+    "boilerplate_strip",
     # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
     #     path in r5 — the gate standard wants a row against shipped code
     "kmeans_clusters",
@@ -2168,16 +2170,16 @@ _GATE_FIRST = [
     #     its r05 row, banks instead)
     "spatial_join", "text_quality", "cosine_topk",
     "stream_window_counts", "stream_dedup_days", "stream_running_totals",
-    # (4) the 23 remaining r04-banked queries — the oldest green rows
-    # (top_k_orders / unpivot_measures / window_running / yearly_stats
-    # displaced by the round-6 second batch; they keep r04 rows)
+    # (4) the 19 remaining r04-banked queries — the oldest green rows
+    # (simhash / stats_per_decade / string_suite / token_stats /
+    # top_k_orders / unpivot_measures / window_running / yearly_stats
+    # displaced by the round-6 batches; they keep r04 rows)
     "array_suite", "corr_stats", "correlated_subquery", "cube_agg",
     "datetime_suite", "distinct_agg", "fact_fact_join", "max_per_group",
     "pack_sequences", "percentile_stats", "pivot_status",
     "pricing_summary", "ranking_suite", "regex_token_match",
     "region_rollup", "rollup_agg", "semi_anti_join", "set_ops",
-    "severity_buckets", "simhash", "stats_per_decade", "string_suite",
-    "token_stats",
+    "severity_buckets",
 ]
 
 
