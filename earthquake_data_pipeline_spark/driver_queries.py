@@ -2154,10 +2154,11 @@ _GATE_FIRST = [
     # …and the round-6 second/third-batch queries (each displaced one
     # r04-bank entry, which keeps its r04-green row and leads the r07
     # head: yearly_stats, window_running, unpivot_measures, top_k_orders,
-    # token_stats, string_suite, stats_per_decade, simhash)
+    # token_stats, string_suite, stats_per_decade, simhash,
+    # severity_buckets)
     "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
     "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
-    "boilerplate_strip",
+    "boilerplate_strip", "prefix_filter_join",
     # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
     #     path in r5 — the gate standard wants a row against shipped code
     "kmeans_clusters",
@@ -2179,7 +2180,6 @@ _GATE_FIRST = [
     "pack_sequences", "percentile_stats", "pivot_status",
     "pricing_summary", "ranking_suite", "regex_token_match",
     "region_rollup", "rollup_agg", "semi_anti_join", "set_ops",
-    "severity_buckets",
 ]
 
 

@@ -865,3 +865,61 @@ ORACLE_R6: dict[str, str] = {
     "domain_mixture": SQL_DOMAIN_MIXTURE,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
 }
+
+
+# ---------------------------------------------------------------- batch 4
+
+
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (operators/
+    fuzzy_dedup.py::prefix_filter_join, AllPairs/PPJoin family): all
+    document pairs with distinct-token Jaccard >= 49/50, no false
+    negatives (threshold 49/50 — the tight near-duplicate band: this
+    template-heavy synthetic corpus relates 92k of 125k pairs at
+    t=1/2, so only a tight threshold yields a dedup-shaped answer;
+    tight thresholds are also where prefix filtering shines:
+    p = |x| - ceil(t|x|) + 1 ~ 3 tokens/doc here).
+    The oracle is deliberately the BRUTE-FORCE all-pairs
+    join (+ the theorem-exact length bound) — a hash match proves the
+    prefix filter dropped nothing, which is the operator's entire
+    claim. Spark runs the scale plan (token-df prefix equi-join);
+    DuckDB runs the quadratic audit the scale plan replaces.
+    """
+    _utc(spark)
+    from .operators.fuzzy_dedup import prefix_filter_join
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return prefix_filter_join(
+        docs, threshold_num=49, threshold_den=50
+    ).orderBy("id_a", "id_b")
+
+
+SQL_PREFIX_FILTER_JOIN = r"""
+WITH tk AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(text)), '\s+'),
+           t -> t != '')) AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, len(tk) AS sz FROM tk WHERE len(tk) > 0
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.tk, b.tk)) AS n_inter,
+         a.sz + b.sz - len(list_intersect(a.tk, b.tk)) AS n_union
+  FROM s a JOIN s b
+    ON a.doc_id < b.doc_id
+   AND least(a.sz, b.sz) * 50 >= greatest(a.sz, b.sz) * 49
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS INT) AS n_inter,
+       CAST(n_union AS INT) AS n_union,
+       CAST(round(CAST(n_inter / n_union AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS jaccard
+FROM p WHERE n_inter * 50 >= n_union * 49
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES_R6["prefix_filter_join"] = q_prefix_filter_join
+ORACLE_R6["prefix_filter_join"] = SQL_PREFIX_FILTER_JOIN

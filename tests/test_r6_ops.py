@@ -564,3 +564,65 @@ def test_winnow_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+# ---------------------------------------------------------------- batch 4
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_prefix_filter_join_matches_brute_force(spark):
+    """The operator's whole claim is NO false negatives vs. brute force.
+    Build a corpus with planted near-dups, template spam, and unrelated
+    docs; compare against the quadratic join at a loose threshold."""
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_filter_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    texts = [base]
+    texts.append(base + " today")                     # near-dup of 0
+    texts.append(base.replace("fox", "cat"))          # near-dup of 0
+    texts += [f"totally unrelated document number {i} about spark" for i in range(20)]
+    texts += ["alpha beta gamma delta epsilon zeta eta theta"] * 3  # exact dups
+    docs = _docs(spark, texts)
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_join(docs, threshold_num=3, threshold_den=5).collect()
+    }
+
+    rows = docs.collect()
+    toks = {r.doc_id: set(r.text.lower().split()) for r in rows}
+    want = set()
+    for a in toks:
+        for b in toks:
+            if a < b:
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if inter * 5 >= union * 3:
+                    want.add((a, b))
+    assert got == want
+    assert (23, 24) in got and (23, 25) in got  # the exact-dup clique
+
+
+def test_prefix_filter_join_tight_threshold_prunes_candidates(spark):
+    """At t→1 the prefix shrinks to ~1 token; unrelated docs that share
+    only common words must never be emitted."""
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_filter_join,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "shared common words but different content entirely here",
+            "shared common words yet another unrelated topic there",
+            "identical twin document body alpha beta",
+            "identical twin document body alpha beta",
+        ],
+    )
+    got = {(r.id_a, r.id_b, r.jaccard) for r in prefix_filter_join(docs).collect()}
+    assert got == {(2, 3, 1.0)}
