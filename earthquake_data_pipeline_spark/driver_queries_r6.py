@@ -923,3 +923,144 @@ ORDER BY id_a, id_b
 
 QUERIES_R6["prefix_filter_join"] = q_prefix_filter_join
 ORACLE_R6["prefix_filter_join"] = SQL_PREFIX_FILTER_JOIN
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (operators/analytics.py::
+    merge_intervals): each event opens a 12 h activity window per user;
+    overlapping windows fuse into islands (gaps-and-islands with
+    DURATIONS, complementing gap-based sessionization). 12 h vs the
+    corpus's ~10.75 h mean inter-event gap makes roughly half the
+    windows merge — both branches of the island predicate are
+    exercised. Integer epoch seconds end-to-end.
+    """
+    _utc(spark)
+    from .operators.analytics import merge_intervals
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts")
+    return merge_intervals(ev, duration_s=43200)
+
+
+SQL_INTERVAL_MERGE = """
+WITH ev AS (
+  SELECT user_id AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 43200 AS end_s
+  FROM events
+), f AS (
+  SELECT k, start_s, end_s,
+         CASE WHEN max(end_s) OVER w IS NULL THEN 1
+              WHEN start_s > max(end_s) OVER w THEN 1
+              ELSE 0 END AS new_island
+  FROM ev
+  WINDOW w AS (PARTITION BY k ORDER BY start_s, end_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), g AS (
+  SELECT k, start_s, end_s,
+         sum(new_island) OVER (PARTITION BY k ORDER BY start_s, end_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+)
+SELECT k AS user_id, CAST(island AS INT) AS island,
+       min(start_s) AS island_start_s,
+       max(end_s) AS island_end_s,
+       max(end_s) - min(start_s) AS span_s,
+       count(*) AS n_events
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES_R6["interval_merge"] = q_interval_merge
+ORACLE_R6["interval_merge"] = SQL_INTERVAL_MERGE
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (operators/merge.py::snapshot_diff): per-user
+    latest state as of Jan 2 vs Jan 20, classified added / changed /
+    unchanged — the audit face of the MERGE/SCD2 family, computed from
+    one conditional struct-max aggregate instead of diffing two stored
+    snapshots. The early T1 cut leaves some users unseen (-> 'added'
+    rows), so every classification branch is populated.
+    """
+    _utc(spark)
+    from .operators.merge import snapshot_diff
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return snapshot_diff(ev, t_old="2024-01-02 00:00:00", t_new="2024-01-20 00:00:00")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH s1 AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-02 00:00:00'
+), o AS (SELECT user_id, event_type AS old_state FROM s1 WHERE rn = 1),
+s2 AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+), n AS (SELECT user_id, event_type AS new_state FROM s2 WHERE rn = 1)
+SELECT user_id, old_state, new_state,
+       CASE WHEN old_state IS NULL AND new_state IS NOT NULL THEN 'added'
+            WHEN old_state IS NOT NULL AND new_state IS NULL THEN 'removed'
+            WHEN old_state != new_state THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n USING (user_id)
+ORDER BY user_id
+"""
+
+QUERIES_R6["snapshot_diff"] = q_snapshot_diff
+ORACLE_R6["snapshot_diff"] = SQL_SNAPSHOT_DIFF
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (operators/packing.py::
+    length_batches): power-of-two token-length buckets, deterministic
+    hash-order dealing into fixed-size batches per (bucket, shard)
+    cell, per-batch padding-waste audit. The (bucket, shard) cell
+    design is what removes the per-bucket single-task sort at scale.
+    """
+    _utc(spark)
+    from .operators.packing import length_batches
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return length_batches(docs, n_shards=8, batch_size=8)
+
+
+SQL_LENGTH_BATCHING = r"""
+WITH d AS (
+  SELECT doc_id AS id,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+         ('0x' || substring(md5(doc_id::VARCHAR || 'lenbatch'), 1, 8))::BIGINT
+           AS h
+  FROM documents
+), b AS (
+  SELECT id, n_tokens, h, h % 8 AS shard,
+         CASE WHEN n_tokens <= 16 THEN 16
+              WHEN n_tokens <= 32 THEN 32
+              WHEN n_tokens <= 64 THEN 64
+              WHEN n_tokens <= 128 THEN 128
+              WHEN n_tokens <= 256 THEN 256
+              WHEN n_tokens <= 512 THEN 512
+              ELSE 1024 END AS bucket_len
+  FROM d
+), dealt AS (
+  SELECT bucket_len, shard, n_tokens,
+         CAST(floor((row_number() OVER (PARTITION BY bucket_len, shard
+                                        ORDER BY h, id) - 1) / 8) AS INT)
+           AS batch
+  FROM b
+)
+SELECT bucket_len, CAST(shard AS INT) AS shard, batch,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(n_tokens) AS INT) AS max_tokens,
+       CAST(count(*) * bucket_len - sum(n_tokens) AS BIGINT) AS pad_waste
+FROM dealt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES_R6["length_batching"] = q_length_batching
+ORACLE_R6["length_batching"] = SQL_LENGTH_BATCHING

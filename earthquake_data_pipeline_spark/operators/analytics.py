@@ -187,3 +187,74 @@ def zscore_outlier_stats(
         )
         .orderBy(key_col)
     )
+
+
+def merge_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_s: int = 600,
+) -> DataFrame:
+    """Coalesce overlapping per-key time intervals (gaps-and-islands):
+    each event opens the interval [ts, ts + duration_s]; overlapping or
+    touching intervals within a key merge into one island. The classic
+    uses — activity spans from heartbeats, downtime windows from
+    alerts, visit spans from page events — all reduce to this shape.
+    Complements ``sessionization`` (which breaks on inactivity GAPS
+    between instants; this merges explicit DURATIONS, so two events
+    600 s apart still fuse while sessionization with a 300 s gap would
+    split them).
+
+    A new island starts where the event's start exceeds the running
+    max of all earlier ends (the cumulative-max window, exclusive of
+    the current row — the textbook formulation that stays correct when
+    an early long interval swallows later short ones). Island ids are
+    a running sum of the start flags. Everything is integer epoch
+    seconds — exact in any engine.
+
+    100 TB: one key-partitioned exchange; both windows and the final
+    (key, island) aggregate reuse it. Skewed keys are bounded by the
+    per-key event count, not corpus size.
+    """
+    start_s = F.unix_timestamp(ts_col)
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        start_s.alias("start_s"),
+        (start_s + duration_s).alias("end_s"),
+    )
+    w_prev = (
+        Window.partitionBy("k")
+        .orderBy("start_s", "end_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("k")
+        .orderBy("start_s", "end_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(
+            F.col("start_s") > F.coalesce(F.max("end_s").over(w_prev), F.lit(None)),
+            1,
+        )
+        .when(F.max("end_s").over(w_prev).isNull(), 1)
+        .otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        flagged.groupBy("k", "island")
+        .agg(
+            F.min("start_s").alias("island_start_s"),
+            F.max("end_s").alias("island_end_s"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("island").cast("int").alias("island"),
+            "island_start_s",
+            "island_end_s",
+            (F.col("island_end_s") - F.col("island_start_s")).alias("span_s"),
+            "n_events",
+        )
+        .orderBy(key_col, "island")
+    )

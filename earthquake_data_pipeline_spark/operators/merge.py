@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import dedup_row_number
@@ -271,4 +271,63 @@ def scd2_apply(
         .unionByName(closed_or_kept.select(*cols))
         .unionByName(new_versions.select(*cols))
         .unionByName(first_versions.select(*cols))
+    )
+
+
+def snapshot_diff(
+    events: DataFrame,
+    t_old: str,
+    t_new: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CDC-style snapshot diff over an append-only event log: the
+    latest state per key as of two cut times, classified added /
+    removed / changed / unchanged. This is the audit face of the
+    SCD2/upsert family (scd2_apply, upsert_merge) — "what changed
+    between Monday's load and today's" without storing either
+    snapshot, the question a MERGE-based warehouse (reference
+    earthquake_batch_pipeline.py:171-196) answers by diffing table
+    copies.
+
+    Both snapshots come from ONE key-partitioned aggregate: latest
+    state as-of T is max(CASE WHEN ts <= T THEN struct(ts, id, state))
+    — struct max orders lexicographically by (ts, id), so the pick is
+    total even under duplicate timestamps, and the conditional form
+    computes both cuts in the same map-side-combined pass (no second
+    scan, no self-join of ranked subqueries).
+
+    100 TB: one shuffle on the key; partial aggregation reduces each
+    partition to <= 2 structs per key before the exchange.
+    """
+    def latest_at(t: str) -> Column:
+        return F.max(
+            F.when(
+                F.col(ts_col) <= F.lit(t).cast("timestamp"),
+                F.struct(ts_col, id_col, state_col),
+            )
+        )
+
+    agg = events.groupBy(key_col).agg(
+        latest_at(t_old).alias("o"), latest_at(t_new).alias("n")
+    )
+    old_state = F.col("o")[state_col]
+    new_state = F.col("n")[state_col]
+    change = (
+        F.when(old_state.isNull() & new_state.isNotNull(), "added")
+        .when(old_state.isNotNull() & new_state.isNull(), "removed")
+        .when(old_state != new_state, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        agg.filter(F.col("o").isNotNull() | F.col("n").isNotNull())
+        .select(
+            key_col,
+            old_state.alias("old_state"),
+            new_state.alias("new_state"),
+            change.alias("change"),
+        )
+        .orderBy(key_col)
     )

@@ -27,7 +27,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -145,4 +145,71 @@ def export_shards(
             F.sum(fingerprint.cast("long")).alias("ids_md5"),
         )
         .orderBy("shard")
+    )
+
+
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def length_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-bucketed batch assignment — the padding-waste minimizer
+    training loaders use: documents are grouped into power-of-two
+    token-length buckets, then dealt into fixed-size batches in a
+    deterministic hash order, and each batch reports its padding waste
+    against the bucket boundary. Sits beside pack_documents (which
+    CONCATENATES into a token budget); this keeps documents whole and
+    pads, the sequence-classification / SFT shape.
+
+    Determinism + scale share one mechanism: batches never cross
+    (bucket, shard) cells, where shard = pmod(md5-hash(id), n_shards).
+    The row_number that deals batches therefore runs per-cell — every
+    cell sorts independently in parallel, so there is no global (or
+    even per-bucket) single-task sort at 100 TB; n_shards is the
+    parallelism knob and the assignment replays bit-identically under
+    any partitioning (pure hash order, no rand()).
+
+    One exchange on (bucket, shard); the batch aggregate reuses it.
+    """
+    from .sampling import hash_bucket
+
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    bucket = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS[:-1]):
+        bucket = F.when(F.col("n_tokens") <= b, b).otherwise(bucket)
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        n_tokens.alias("n_tokens"),
+        F.pmod(hash_bucket(id_col, "lenbatch"), F.lit(n_shards)).alias("shard"),
+    ).withColumn("bucket_len", bucket)
+    w = Window.partitionBy("bucket_len", "shard").orderBy(
+        hash_bucket("id", "lenbatch"), "id"
+    )
+    dealt = d.withColumn(
+        "batch", F.floor((F.row_number().over(w) - 1) / batch_size).cast("int")
+    )
+    return (
+        dealt.groupBy("bucket_len", "shard", "batch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket_len",
+            F.col("shard").cast("int").alias("shard"),
+            "batch",
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            (F.col("n_docs") * F.col("bucket_len") - F.col("sum_tokens")).alias(
+                "pad_waste"
+            ),
+        )
+        .orderBy("bucket_len", "shard", "batch")
     )

@@ -626,3 +626,105 @@ def test_prefix_filter_join_tight_threshold_prunes_candidates(spark):
     )
     got = {(r.id_a, r.id_b, r.jaccard) for r in prefix_filter_join(docs).collect()}
     assert got == {(2, 3, 1.0)}
+
+
+def test_merge_intervals_fuses_overlaps_and_splits_gaps(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import merge_intervals
+
+    ev = _ev(
+        spark,
+        [
+            (1, "x", "2024-01-01 00:00:00"),  # island 1: 00:00-00:10
+            (1, "x", "2024-01-01 00:05:00"),  # overlaps -> fuses, ends 00:15
+            (1, "x", "2024-01-01 01:00:00"),  # island 2 (gap > 10 min)
+            (2, "x", "2024-01-01 00:00:00"),  # other key untouched
+        ],
+    )
+    out = merge_intervals(ev, duration_s=600).collect()
+    got = [(r.user_id, r.island, r.span_s, r.n_events) for r in out]
+    assert got == [(1, 1, 900, 2), (1, 2, 600, 1), (2, 1, 600, 1)]
+
+
+def test_merge_intervals_early_long_interval_swallows_later(spark):
+    """The cumulative-max (not lag) formulation: an early long interval
+    must keep absorbing short ones that start inside it even when the
+    immediately preceding interval has already ended."""
+    from earthquake_data_pipeline_spark.operators.analytics import merge_intervals
+
+    rows = [
+        (1, "x", "2024-01-01 00:00:00"),  # long: ends 01:00 with 3600 s
+        (1, "x", "2024-01-01 00:01:00"),
+        (1, "x", "2024-01-01 00:30:00"),  # inside the long one
+    ]
+    ev = _ev(spark, rows)
+    # give the FIRST event an hour's duration by merging at 3600 s
+    out = merge_intervals(ev, duration_s=3600).collect()
+    assert len(out) == 1 and out[0].n_events == 3
+
+
+def test_snapshot_diff_classifies_all_branches(spark):
+    from earthquake_data_pipeline_spark.operators.merge import snapshot_diff
+
+    rows = [
+        (1, 10, "a", "2024-01-01"),  # changed: a -> b
+        (1, 20, "b", "2024-01-05"),
+        (2, 30, "a", "2024-01-04"),  # added (first seen after t_old)
+        (3, 40, "a", "2024-01-01"),  # unchanged
+        (4, 50, "a", "2024-01-09"),  # after t_new: invisible entirely
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.user_id: (r.old_state, r.new_state, r.change)
+        for r in snapshot_diff(ev, t_old="2024-01-02", t_new="2024-01-08")
+    .collect()
+    }
+    assert out == {
+        1: ("a", "b", "changed"),
+        2: (None, "a", "added"),
+        3: ("a", "a", "unchanged"),
+    }
+
+
+def test_snapshot_diff_duplicate_ts_tiebreak_is_total(spark):
+    """Two events at the same instant: the higher event_id wins in both
+    snapshots — struct-max on (ts, id, state)."""
+    from earthquake_data_pipeline_spark.operators.merge import snapshot_diff
+
+    rows = [
+        (1, 10, "a", "2024-01-01"),
+        (1, 11, "b", "2024-01-01"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = snapshot_diff(ev, t_old="2024-01-02", t_new="2024-01-03").collect()
+    assert [(r.old_state, r.new_state, r.change) for r in out] == [
+        ("b", "b", "unchanged")
+    ]
+
+
+def test_length_batches_full_batches_and_waste(spark):
+    from earthquake_data_pipeline_spark.operators.packing import length_batches
+
+    docs = _docs(spark, ["w " * n for n in [5, 6, 7, 8, 200, 210]])
+    out = length_batches(docs, n_shards=1, batch_size=2).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket_len, []).append(r)
+    # four short docs -> bucket 16 in two batches of 2; two long -> 256
+    assert sorted(by_bucket) == [16, 256]
+    assert [r.n_docs for r in by_bucket[16]] == [2, 2]
+    for r in out:
+        assert r.pad_waste == r.n_docs * r.bucket_len - r.sum_tokens
+        assert r.max_tokens <= r.bucket_len
+
+
+def test_length_batches_is_partitioning_invariant(spark):
+    from earthquake_data_pipeline_spark.operators.packing import length_batches
+
+    docs = _docs(spark, [f"doc {'tok ' * (i % 40)}" for i in range(60)])
+    a = length_batches(docs, n_shards=4, batch_size=8).collect()
+    b = length_batches(docs.repartition(13), n_shards=4, batch_size=8).collect()
+    assert a == b
