@@ -2155,11 +2155,14 @@ _GATE_FIRST = [
     # r04-bank entry, which keeps its r04-green row and leads the r07
     # head: yearly_stats, window_running, unpivot_measures, top_k_orders,
     # token_stats, string_suite, stats_per_decade, simhash,
-    # severity_buckets, set_ops, semi_anti_join, rollup_agg)
+    # severity_buckets, set_ops, semi_anti_join, rollup_agg,
+    # region_rollup, regex_token_match, ranking_suite, pivot_status —
+    # pricing_summary stays: it is the lineitem sentinel)
     "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
     "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
     "boilerplate_strip", "prefix_filter_join", "interval_merge",
-    "snapshot_diff", "length_batching",
+    "snapshot_diff", "length_batching", "pmi_collocations",
+    "epoch_shuffle", "column_profile", "histogram_drift",
     # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
     #     path in r5 — the gate standard wants a row against shipped code
     "kmeans_clusters",
@@ -2178,9 +2181,7 @@ _GATE_FIRST = [
     # displaced by the round-6 batches; they keep r04 rows)
     "array_suite", "corr_stats", "correlated_subquery", "cube_agg",
     "datetime_suite", "distinct_agg", "fact_fact_join", "max_per_group",
-    "pack_sequences", "percentile_stats", "pivot_status",
-    "pricing_summary", "ranking_suite", "regex_token_match",
-    "region_rollup",
+    "pack_sequences", "percentile_stats", "pricing_summary",
 ]
 
 

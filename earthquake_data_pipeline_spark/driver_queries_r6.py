@@ -1064,3 +1064,183 @@ FROM dealt GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 
 QUERIES_R6["length_batching"] = q_length_batching
 ORACLE_R6["length_batching"] = SQL_LENGTH_BATCHING
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/collocations.py::pmi_collocations):
+    adjacent-pair lift = p(x,y)/(p(x)p(y)) over the token stream —
+    PMI's monotone, log-free form, so selection and ordering stay
+    integer-decided while the lift display column matches the oracle
+    bit-for-bit via the identical expression tree.
+    """
+    _utc(spark)
+    from .operators.collocations import pmi_collocations
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("text"))
+    return pmi_collocations(docs, min_count=50)
+
+
+SQL_PMI_COLLOCATIONS = rf"""
+WITH t AS (
+  SELECT {_TOKS_R6} AS t FROM documents
+), uni AS (
+  SELECT unnest(t) AS w FROM t
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> struct_pack(x := t[i], y := t[i+1]))) AS p
+  FROM t WHERE len(t) >= 2
+), uc AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), totals AS (
+  SELECT (SELECT count(*) FROM uni) AS n_uni,
+         (SELECT count(*) FROM pairs) AS n_bi
+), bc AS (
+  SELECT p.x AS x, p.y AS y, count(*) AS c_xy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 50
+)
+SELECT bc.x || ' ' || bc.y AS bigram,
+       bc.c_xy,
+       cx.c AS c_x,
+       cy.c AS c_y,
+       CAST(round(CAST(
+         (bc.c_xy / totals.n_bi)
+         / ((cx.c / totals.n_uni) * (cy.c / totals.n_uni))
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS lift
+FROM bc
+JOIN uc cx ON cx.w = bc.x
+JOIN uc cy ON cy.w = bc.y
+CROSS JOIN totals
+ORDER BY c_xy DESC, bigram
+"""
+
+QUERIES_R6["pmi_collocations"] = q_pmi_collocations
+ORACLE_R6["pmi_collocations"] = SQL_PMI_COLLOCATIONS
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shuffle (operators/shuffling.py::
+    epoch_shuffle): per-epoch re-salted hash order dealt into shards;
+    the position-sensitive per-cell checksum makes the oracle verify
+    the PERMUTATION, not just membership.
+    """
+    _utc(spark)
+    from .operators.shuffling import epoch_shuffle
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, n_epochs=3, n_shards=8)
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH e AS (
+  SELECT doc_id AS id, unnest(generate_series(0, 2)) AS epoch FROM documents
+), h AS (
+  SELECT id, epoch,
+         ('0x' || substring(md5(id::VARCHAR || '#' || epoch::VARCHAR
+                                || 'shuf'), 1, 8))::BIGINT AS h
+  FROM e
+), p AS (
+  SELECT epoch, h % 8 AS shard, id,
+         row_number() OVER (PARTITION BY epoch, h % 8 ORDER BY h, id) AS pos
+  FROM h
+)
+SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(pos * (id + 1)) AS BIGINT) AS order_checksum
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES_R6["epoch_shuffle"] = q_epoch_shuffle
+ORACLE_R6["epoch_shuffle"] = SQL_EPOCH_SHUFFLE
+
+
+_PROFILE_COLS = {
+    "o_orderkey": "bigint",
+    "o_custkey": "bigint",
+    "o_orderstatus": "string",
+    "o_totalprice": "double",
+    "o_orderdate": "date",
+    "o_orderpriority": "string",
+}
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/profiling.py::column_profile):
+    nulls + exact distinct + min/max per column of orders, every
+    statistic riding a single map-side-combined aggregate. Doubles
+    render via decimal(18,2) so min/max strings are engine-neutral.
+    """
+    _utc(spark)
+    from .operators.profiling import column_profile
+
+    return column_profile(_table(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def _profile_branch(col: str, dtype: str) -> str:
+    lo, hi = f"min({col})", f"max({col})"
+    if dtype == "double":
+        lo = f"CAST({lo} AS DECIMAL(18,2))"
+        hi = f"CAST({hi} AS DECIMAL(18,2))"
+    return f"""
+SELECT '{col}' AS column_name,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST({lo} AS VARCHAR) AS min_value,
+       CAST({hi} AS VARCHAR) AS max_value
+FROM orders"""
+
+
+SQL_COLUMN_PROFILE = (
+    "\nUNION ALL".join(
+        _profile_branch(c, t) for c, t in _PROFILE_COLS.items()
+    )
+    + "\nORDER BY column_name"
+)
+
+
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift census (operators/profiling.py::
+    histogram_drift): per event_type, the integer cross-multiplied L1
+    distance sum|c1*n2 - c2*n1| between the value histograms of the
+    month's two halves — zero iff proportionally identical, no float
+    ever formed.
+    """
+    _utc(spark)
+    from .operators.profiling import histogram_drift
+
+    ev = _table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return histogram_drift(
+        ev, F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+
+
+SQL_HISTOGRAM_DRIFT = """
+WITH b AS (
+  SELECT event_type AS k,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
+           AS half,
+         least(CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          / 200) AS BIGINT), 9) AS bin
+  FROM events
+), g AS (
+  SELECT k, bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM b GROUP BY 1, 2
+), g2 AS (
+  SELECT k, c1, c2,
+         sum(c1) OVER (PARTITION BY k) AS n1,
+         sum(c2) OVER (PARTITION BY k) AS n2
+  FROM g
+)
+SELECT k AS event_type,
+       CAST(max(n1) AS BIGINT) AS n1,
+       CAST(max(n2) AS BIGINT) AS n2,
+       CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS drift_scaled
+FROM g2 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES_R6["column_profile"] = q_column_profile
+ORACLE_R6["column_profile"] = SQL_COLUMN_PROFILE
+QUERIES_R6["histogram_drift"] = q_histogram_drift
+ORACLE_R6["histogram_drift"] = SQL_HISTOGRAM_DRIFT

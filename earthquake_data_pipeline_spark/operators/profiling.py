@@ -1,0 +1,124 @@
+"""Dataset profiling and distribution-drift monitoring.
+
+The data-quality face of a 100 TB pipeline: before training on (or
+merging) a new drop, profile every column in one pass and compare the
+value distribution against the previous drop. Extends the engine's
+quality stack (operators/quality.py expectation suites = assertions
+you already know to write; this module = the discovery pass that tells
+you what to assert) and the reference's notebook-driven null-census /
+domain-exploration workflow (SURVEY §5: exploration notebook cells
+6-8, the manual profiling that became clean_historical.py's filters).
+
+Design for 100 TB:
+- ``column_profile`` is ONE aggregation pass over the table — every
+  per-column statistic (null count, exact distinct, min, max) rides
+  the same map-side-combined aggregate; the wide 1-row result is then
+  exploded to one row per column driver-side-free. Exact
+  count_distinct across k columns is k parallel distinct paths; swap
+  in approx_count_distinct per column when 2% error is acceptable
+  (the approx_distinct operator documents that guarantee pattern).
+- ``histogram_drift`` bins values to integer cents buckets (map-only),
+  counts per (key, half, bin), and scores drift with the
+  cross-multiplied L1 statistic sum|c1·n2 − c2·n1| — integers only,
+  no normalizing float division, exactly replayable. The shuffle is on
+  (key, bin): tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _min_max_str(col: str, dtype: str) -> tuple[Column, Column]:
+    c = F.col(col)
+    if dtype == "double":
+        # double -> decimal(18,2) -> string: engine-neutral rendering
+        # (raw double->string diverges on scientific notation)
+        return (
+            F.min(c).cast("decimal(18,2)").cast("string"),
+            F.max(c).cast("decimal(18,2)").cast("string"),
+        )
+    return F.min(c).cast("string"), F.max(c).cast("string")
+
+
+def column_profile(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """One-pass per-column profile: nulls, exact distinct count, min,
+    max (stringified). ``cols`` maps column name -> type family
+    ('double' gets decimal-mediated rendering).
+    """
+    aggs = []
+    for name in cols:
+        c = F.col(name)
+        aggs.append(
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"nn_{name}")
+        )
+        aggs.append(F.count_distinct(c).alias(f"nd_{name}"))
+        lo, hi = _min_max_str(name, cols[name])
+        aggs.append(lo.alias(f"lo_{name}"))
+        aggs.append(hi.alias(f"hi_{name}"))
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"nn_{name}").cast("long").alias("n_nulls"),
+                F.col(f"nd_{name}").cast("long").alias("n_distinct"),
+                F.col(f"lo_{name}").alias("min_value"),
+                F.col(f"hi_{name}").alias("max_value"),
+            )
+            for name in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(per_col).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+def histogram_drift(
+    events: DataFrame,
+    split_predicate: Column,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bin_cents: int = 200,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Integer-exact distribution drift between the two halves a
+    predicate defines (half 0 where true). Per key: half sizes and the
+    scaled L1 histogram distance sum|c1·n2 − c2·n1| — zero iff the
+    binned distributions are proportionally identical, and equal to
+    n1·n2·(L1 distance between the normalized histograms) without ever
+    forming a float.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    binned = events.select(
+        F.col(key_col).alias("k"),
+        F.when(split_predicate, 0).otherwise(1).alias("half"),
+        F.least(F.floor(cents / bin_cents), F.lit(n_bins - 1))
+        .cast("long")
+        .alias("bin"),
+    )
+    g = binned.groupBy("k", "bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.partitionBy("k")
+    g2 = g.withColumn("n1", F.sum("c1").over(w)).withColumn(
+        "n2", F.sum("c2").over(w)
+    )
+    return (
+        g2.groupBy("k")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+            ).alias("drift_scaled"),
+        )
+        .select(
+            F.col("k").alias(key_col), "n1", "n2", "drift_scaled"
+        )
+        .orderBy(key_col)
+    )

@@ -728,3 +728,110 @@ def test_length_batches_is_partitioning_invariant(spark):
     a = length_batches(docs, n_shards=4, batch_size=8).collect()
     b = length_batches(docs.repartition(13), n_shards=4, batch_size=8).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------- batch 5
+
+
+def test_pmi_collocations_ranks_true_collocation_first(spark):
+    from earthquake_data_pipeline_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    # "new york" always adjacent; "the" pairs with many different
+    # successors, so "the thing" is chance adjacency with low lift
+    docs = _docs(
+        spark,
+        ["the cat and the dog saw new york near the thing by the shore"] * 10,
+    )
+    out = pmi_collocations(docs, min_count=10).collect()
+    by_bigram = {r.bigram: r for r in out}
+    assert by_bigram["new york"].lift > by_bigram["the thing"].lift
+    ny = by_bigram["new york"]
+    assert (ny.c_xy, ny.c_x, ny.c_y) == (10, 10, 10)
+
+
+def test_pmi_lift_value_is_exact(spark):
+    from earthquake_data_pipeline_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    docs = _docs(spark, ["a b a b"])  # bigrams: ab, ba, ab; unigrams 2a+2b
+    out = {r.bigram: r.lift for r in pmi_collocations(docs, min_count=1).collect()}
+    # lift(a,b) = (2/3)/((2/4)*(2/4)) = 8/3; lift(b,a) = (1/3)/(1/4) = 4/3
+    assert out["a b"] == round(8 / 3, 6)
+    assert out["b a"] == round(4 / 3, 6)
+
+
+def test_epoch_shuffle_epochs_differ_and_replay(spark):
+    from earthquake_data_pipeline_spark.operators.shuffling import epoch_shuffle
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = epoch_shuffle(docs, n_epochs=2, n_shards=4).collect()
+    b = epoch_shuffle(docs.repartition(7), n_epochs=2, n_shards=4).collect()
+    assert a == b  # partitioning-invariant
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r.epoch, []).append((r.shard, r.n_docs, r.order_checksum))
+    # each epoch is a different permutation: checksums must not all match
+    assert by_epoch[0] != by_epoch[1]
+    assert sum(n for _, n, _ in by_epoch[0]) == 200
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None)],
+        ["k", "s", "v"],
+    )
+    out = {
+        r.column_name: r
+        for r in column_profile(
+            df, {"k": "bigint", "s": "string", "v": "double"}
+        ).collect()
+    }
+    assert (out["k"].n_nulls, out["k"].n_distinct) == (0, 2)
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
+    assert (out["v"].min_value, out["v"].max_value) == ("1.50", "2.50")
+
+
+def test_column_profile_is_one_scan(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import column_profile
+
+    df = spark.range(10).selectExpr("id AS a", "id * 2 AS b")
+    plan = column_profile(
+        df, {"a": "bigint", "b": "bigint"}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 10") <= 2  # expand-for-distinct, not per-column scans
+
+
+def test_histogram_drift_zero_for_proportional_halves(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import histogram_drift
+
+    rows = []
+    # half 0: 10 low + 10 high; half 1: 5 low + 5 high (same shape, half size)
+    for i in range(10):
+        rows.append(("t", "2024-01-01", 1.0))
+        rows.append(("t", "2024-01-01", 9.0))
+    for i in range(5):
+        rows.append(("t", "2024-01-20", 1.0))
+        rows.append(("t", "2024-01-20", 9.0))
+    ev = spark.createDataFrame(rows, ["event_type", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = histogram_drift(
+        ev, F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    ).collect()
+    assert out[0].drift_scaled == 0
+
+    # now shift half 1 entirely to the high bin: maximal disagreement
+    rows2 = rows[:20] + [("t", "2024-01-20", 9.0)] * 10
+    ev2 = spark.createDataFrame(rows2, ["event_type", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out2 = histogram_drift(
+        ev2, F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    ).collect()
+    # |10*10 - 0*20| + |10*10 - 10*20| = 100 + 100 = 200
+    assert out2[0].drift_scaled == 200
