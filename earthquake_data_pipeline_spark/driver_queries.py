@@ -2124,6 +2124,10 @@ ORACLE.update(ORACLE_STREAM)
 QUERIES.update(QUERIES_R6)
 ORACLE.update(ORACLE_R6)
 
+from .driver_queries_r6 import dedup_keep_list_sql  # noqa: E402
+
+ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
+
 # Gate-window rotation: the driver verifies exactly the FIRST 50 entries
 # of queries() each round. Rotation policy (formalized round 6, VERDICT
 # r5 items 1-2):
@@ -2156,13 +2160,16 @@ _GATE_FIRST = [
     # head: yearly_stats, window_running, unpivot_measures, top_k_orders,
     # token_stats, string_suite, stats_per_decade, simhash,
     # severity_buckets, set_ops, semi_anti_join, rollup_agg,
-    # region_rollup, regex_token_match, ranking_suite, pivot_status —
+    # region_rollup, regex_token_match, ranking_suite, pivot_status,
+    # fact_fact_join, max_per_group, pack_sequences, percentile_stats —
     # pricing_summary stays: it is the lineitem sentinel)
     "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
     "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
     "boilerplate_strip", "prefix_filter_join", "interval_merge",
     "snapshot_diff", "length_batching", "pmi_collocations",
     "epoch_shuffle", "column_profile", "histogram_drift",
+    "exact_substring_dup", "join_explosion", "funnel_windowed",
+    "dedup_keep_list",
     # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
     #     path in r5 — the gate standard wants a row against shipped code
     "kmeans_clusters",
@@ -2180,8 +2187,7 @@ _GATE_FIRST = [
     # top_k_orders / unpivot_measures / window_running / yearly_stats
     # displaced by the round-6 batches; they keep r04 rows)
     "array_suite", "corr_stats", "correlated_subquery", "cube_agg",
-    "datetime_suite", "distinct_agg", "fact_fact_join", "max_per_group",
-    "pack_sequences", "percentile_stats", "pricing_summary",
+    "datetime_suite", "distinct_agg", "pricing_summary",
 ]
 
 

@@ -1244,3 +1244,216 @@ QUERIES_R6["column_profile"] = q_column_profile
 ORACLE_R6["column_profile"] = SQL_COLUMN_PROFILE
 QUERIES_R6["histogram_drift"] = q_histogram_drift
 ORACLE_R6["histogram_drift"] = SQL_HISTOGRAM_DRIFT
+
+
+def q_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (operators/fingerprint.py::
+    exact_substring_pairs — the Lee et al. exact-substring dedup
+    family as a k-gram hash join): complete for shared runs >= 40
+    chars inside the 200-char cap, with per-pair longest-run length
+    (max_run) certifying a verbatim shared substring of
+    k + max_run - 1 chars. The max_df stop-gram guard bounds template
+    boilerplate to C(10,2) pairs per gram.
+    """
+    _utc(spark)
+    from .operators.fingerprint import exact_substring_pairs
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return exact_substring_pairs(
+        docs, k=40, cap=200, max_df=10, min_shared=3
+    ).orderBy("id_a", "id_b")
+
+
+SQL_EXACT_SUBSTRING_DUP = """
+WITH d AS (
+  SELECT doc_id, lower(substring(text, 1, 200)) AS t FROM documents
+), g AS (
+  SELECT doc_id, t, length(t) - 39 AS m FROM d
+), hl AS (
+  SELECT doc_id,
+         CASE WHEN m >= 1 THEN
+           list_transform(generate_series(1, m),
+             i -> struct_pack(pos := i,
+                    h := ('0x' || substring(md5(substring(t, i, 40)), 1, 8))
+                           ::BIGINT))
+         ELSE [] END AS gs
+  FROM g
+), e AS (
+  SELECT doc_id AS doc, unnest(gs).pos AS pos, unnest(gs).h AS h FROM hl
+), keep AS (
+  SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc) BETWEEN 2 AND 10
+), matched AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b, a.pos AS pos_a
+  FROM e a JOIN keep USING (h) JOIN e b USING (h)
+  WHERE a.doc < b.doc
+), runs AS (
+  SELECT id_a, id_b, pos_a,
+         pos_a - row_number() OVER (PARTITION BY id_a, id_b
+                                    ORDER BY pos_a) AS grp
+  FROM matched
+), per_run AS (
+  SELECT id_a, id_b, grp, count(*) AS run_len
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b,
+       CAST(sum(run_len) AS BIGINT) AS n_shared,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(max(run_len) + 39 AS BIGINT) AS dup_chars
+FROM per_run GROUP BY 1, 2
+HAVING sum(run_len) >= 3
+ORDER BY id_a, id_b
+"""
+
+QUERIES_R6["exact_substring_dup"] = q_exact_substring_dup
+ORACLE_R6["exact_substring_dup"] = SQL_EXACT_SUBSTRING_DUP
+
+
+def q_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion audit (operators/profiling.py::
+    join_explosion_audit): the top-10 l_partkey keys by exact join
+    output contribution for a lineitem self-join — per-side
+    multiplicities, c_l*c_r output rows, integer ppm share of the
+    total. The query a 100 TB engine runs before deciding salt vs
+    broadcast vs pre-aggregate.
+    """
+    _utc(spark)
+    from .operators.profiling import join_explosion_audit
+
+    li = _table(spark, sf_dir, "lineitem").select("l_partkey")
+    return join_explosion_audit(li, li, "l_partkey", top_k=10)
+
+
+SQL_JOIN_EXPLOSION = """
+WITH c AS (
+  SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1
+), per_key AS (
+  SELECT k, n AS c_left, n AS c_right, n * n AS out_rows FROM c
+), t AS (
+  SELECT CAST(sum(out_rows) AS BIGINT) AS total_rows FROM per_key
+)
+SELECT k AS l_partkey, c_left, c_right,
+       CAST(out_rows AS BIGINT) AS out_rows,
+       CAST(floor(out_rows * 1000000 / total_rows) AS BIGINT) AS share_ppm,
+       total_rows
+FROM per_key, t
+ORDER BY out_rows DESC, l_partkey
+LIMIT 10
+"""
+
+QUERIES_R6["join_explosion"] = q_join_explosion
+ORACLE_R6["join_explosion"] = SQL_JOIN_EXPLOSION
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window funnel (operators/analytics.py::funnel_steps with
+    within_s): view -> click -> purchase where each conversion must
+    land within 48 h of the previous step — the Amplitude-style
+    variant of funnel_steps, same single-exchange min(CASE) chain with
+    an integer epoch bound folded into each CASE.
+    """
+    _utc(spark)
+    from .operators.analytics import funnel_steps
+
+    ev = _table(spark, sf_dir, "events")
+    return funnel_steps(ev, FUNNEL, within_s=172800)
+
+
+SQL_FUNNEL_WINDOWED = """
+WITH w1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t0
+  FROM events
+), w2 AS (
+  SELECT user_id, event_type, ts, t0,
+         min(CASE WHEN event_type = 'click' AND ts >= t0
+                   AND CAST(floor(epoch(ts)) AS BIGINT)
+                       <= CAST(floor(epoch(t0)) AS BIGINT) + 172800
+                  THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM w1
+), w3 AS (
+  SELECT user_id, t0, t1,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t1
+                   AND CAST(floor(epoch(ts)) AS BIGINT)
+                       <= CAST(floor(epoch(t1)) AS BIGINT) + 172800
+                  THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM w2
+), agg AS (
+  SELECT count(DISTINCT CASE WHEN t0 IS NOT NULL THEN user_id END) AS c0,
+         count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS c1,
+         count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS c2
+  FROM w3
+)
+SELECT 1 AS step_idx, 'view' AS step, c0 AS n_users FROM agg
+UNION ALL SELECT 2, 'click', c1 FROM agg
+UNION ALL SELECT 3, 'purchase', c2 FROM agg
+ORDER BY step_idx
+"""
+
+QUERIES_R6["funnel_windowed"] = q_funnel_windowed
+ORACLE_R6["funnel_windowed"] = SQL_FUNNEL_WINDOWED
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep list (operators/curation.py::
+    dedup_keep_list): the same MinHash-LSH pair graph dedup_components
+    resolves → connected components → keep the highest-n_chars doc per
+    duplicate group (ties: lowest id). The curation POLICY layer over
+    dedup_components' arbitrary min-id canonical pick. (The
+    fingerprint-join pair graph is deliberately NOT used here: on this
+    template corpus its min_shared=2 graph at sf0.1 puts 99% of docs
+    in components — measured 121 s for a policy demo; LSH banding
+    keeps the graph dedup-shaped.)
+    """
+    _utc(spark)
+    from .driver_queries import LSH_BANDS, MINHASH_SEEDS
+    from .operators.curation import dedup_keep_list
+    from .operators.fuzzy_dedup import minhash_lsh_pairs
+
+    docs = _fanout(
+        _table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS
+    )
+    return dedup_keep_list(docs, pairs)
+
+
+def dedup_keep_list_sql(minhash_sql: str) -> str:
+    """Oracle for dedup_keep_list, parameterized on the MinHash pair
+    CTE (defined in driver_queries, which imports this module — passing
+    the fragment in avoids a circular module-level import that would
+    truncate the registries under r6-first import order)."""
+    return rf"""
+WITH RECURSIVE pairs AS (
+{minhash_sql}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id
+), jq AS (
+  SELECT comp.doc_id, comp.component_id, documents.n_chars AS quality
+  FROM comp JOIN documents ON documents.doc_id = comp.doc_id
+), ranked AS (
+  SELECT doc_id, component_id, quality,
+         row_number() OVER (PARTITION BY component_id
+                            ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY component_id) AS nc
+  FROM jq
+)
+SELECT doc_id, component_id, quality,
+       CAST(nc AS BIGINT) AS n_in_component,
+       CAST(rn = 1 AS INT) AS keep
+FROM ranked ORDER BY doc_id
+"""
+
+QUERIES_R6["dedup_keep_list"] = q_dedup_keep_list
+# oracle registered by driver_queries after merge (needs _minhash_sql)

@@ -76,10 +76,13 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_s: int | None = None,
 ) -> DataFrame:
     """Ordered-step funnel: how many users performed step 1, then step 2
     AT OR AFTER their first step-1 event, then step 3 after that, …
-    (the product-analytics conversion query).
+    (the product-analytics conversion query). ``within_s`` bounds each
+    conversion to a window after the previous step (the Amplitude-style
+    "converted within N days" variant); None = unbounded.
 
     Single corpus scan, single hash exchange: each step's
     first-qualifying timestamp is a min(CASE …) window over the user
@@ -99,6 +102,14 @@ def funnel_steps(
         cond = F.col(type_col) == step
         if prev is not None:
             cond = cond & (F.col(ts_col) >= F.col(prev))
+            if within_s is not None:
+                # bounded conversion window (Amplitude-style): step k
+                # must land within within_s seconds of step k-1 —
+                # integer epoch arithmetic, exact in any engine
+                cond = cond & (
+                    F.unix_timestamp(F.col(ts_col))
+                    <= F.unix_timestamp(F.col(prev)) + within_s
+                )
         cur = f"_t{i}"
         df = df.withColumn(
             cur, F.min(F.when(cond, F.col(ts_col))).over(w)

@@ -222,3 +222,50 @@ def top_p_select(
         )
         .orderBy(stratum_col)
     )
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The actionable last mile of the dedup stack: near-dup PAIRS
+    (from MinHash-LSH / fingerprint join / prefix filter) → duplicate
+    GROUPS (connected components) → a KEEP LIST that retains the
+    highest-QUALITY document per group instead of dedup's default
+    arbitrary/min-id survivor — the policy real corpus curation wants
+    ("keep the longest/cleanest copy, drop the rest").
+
+    Output: one row per document that appears in any duplicate group —
+    (doc_id, component_id, quality, n_in_component, keep) with exactly
+    one keep=1 per component (quality desc, id asc — a total order).
+
+    Scale: inherits connected_components' ~log(diameter) rounds over
+    the bounded pair list; the quality join and the per-component
+    window shuffle on component ids — group-count-sized, not
+    corpus-sized.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
+    )
+    j = comp.join(q, "doc_id")
+    w_rank = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), "doc_id"
+    )
+    w_cnt = Window.partitionBy("component_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_in_component", F.count("*").over(w_cnt))
+        .select(
+            "doc_id",
+            "component_id",
+            "quality",
+            "n_in_component",
+            (F.col("rn") == 1).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -26,7 +26,7 @@ chunk_documents) rather than raising the cap.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,4 +150,89 @@ def fingerprint_match_pairs(
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    cap: int = 200,
+    max_df: int = 10,
+    min_shared: int = 3,
+) -> DataFrame:
+    """EXACT duplicated-substring detection (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" exact-
+    substring family, re-expressed as a k-gram hash join instead of a
+    suffix array): for every document pair, the positions in A whose
+    k-character gram occurs verbatim in B — COMPLETE for any shared
+    run of >= k chars (inside the cap), where winnowing
+    (fingerprint_match_pairs) only samples one gram per window.
+
+    Output per pair: ``n_shared`` (distinct matching positions in A),
+    ``max_run`` (longest consecutive position run — a run of r means a
+    verbatim shared substring of k + r - 1 chars), and ``dup_chars``
+    (= k + max_run - 1). Pairs with n_shared >= min_shared.
+
+    Scale: the all-positions explode is m rows per doc (vs winnowing's
+    ~2m/(w+1)) — the price of completeness; the ``max_df`` document-
+    frequency guard is what keeps the hash join linear (a gram shared
+    by a whole template family would otherwise pair the family
+    quadratically — stop-gram removal caps each gram at
+    C(max_df, 2) pairs). The run-length pass is a per-pair window over
+    matched positions — bounded by the match count, never corpus-sized.
+    """
+    t = F.lower(F.substring(F.col(text_col), 1, cap))
+    m = F.length(t) - F.lit(k - 1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"), _gram_hash(t, i, k).alias("h")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    e = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+        .select("doc", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .localCheckpoint(eager=False)
+    )
+    keep = (
+        e.groupBy("h")
+        .agg(F.count_distinct("doc").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("h")
+    )
+    ek = e.join(keep, "h")
+    a = ek.select(F.col("doc").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = ek.select(F.col("doc").alias("id_b"), "h")
+    matched = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a")
+        .distinct()
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("pos_a")
+    runs = matched.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w)
+    )
+    per_run = runs.groupBy("id_a", "id_b", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        per_run.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("run_len").alias("n_shared"),
+            F.max("run_len").alias("max_run"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("max_run").cast("long").alias("max_run"),
+            (F.col("max_run") + F.lit(k - 1)).cast("long").alias("dup_chars"),
+        )
     )

@@ -122,3 +122,48 @@ def histogram_drift(
         )
         .orderBy(key_col)
     )
+
+
+def join_explosion_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join skew/explosion audit — the planning query you run
+    BEFORE a 100 TB join: per-key multiplicities on both sides, the
+    exact output cardinality each key contributes (c_l · c_r), and its
+    parts-per-million share of the total. The top offenders tell you
+    whether to salt (operators/scale.py::salted_join), broadcast, or
+    pre-aggregate; the total is the shuffle-size estimate.
+
+    Cost: two key aggregates (map-side combined) + a key-count join —
+    all on the KEY domain, never the fact rows; the global total is a
+    1-row broadcast. Integer-only arithmetic (share in ppm via integer
+    division), so the audit replays exactly in any engine.
+    """
+    lc = left.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("c_left")
+    )
+    rc = right.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("c_right")
+    )
+    per_key = lc.join(rc, "k").select(
+        "k", "c_left", "c_right", (F.col("c_left") * F.col("c_right")).alias("out_rows")
+    )
+    total = per_key.agg(F.sum("out_rows").alias("total_rows"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").alias(key_col),
+            "c_left",
+            "c_right",
+            "out_rows",
+            F.floor(F.col("out_rows") * 1000000 / F.col("total_rows"))
+            .cast("long")
+            .alias("share_ppm"),
+            "total_rows",
+        )
+        .orderBy(F.desc("out_rows"), key_col)
+        .limit(top_k)
+    )

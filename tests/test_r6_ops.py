@@ -835,3 +835,90 @@ def test_histogram_drift_zero_for_proportional_halves(spark):
     ).collect()
     # |10*10 - 0*20| + |10*10 - 10*20| = 100 + 100 = 200
     assert out2[0].drift_scaled == 200
+
+
+# ---------------------------------------------------------------- batch 6
+
+
+def test_exact_substring_finds_planted_run(spark):
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        exact_substring_pairs,
+    )
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(
+        spark,
+        [
+            "AAAA " + shared + " tail one ......",
+            "BBBBBB " + shared + " other tail ....",
+            "completely different text with no shared forty-char run at all....",
+        ],
+    )
+    out = exact_substring_pairs(docs, k=40, cap=200, max_df=10, min_shared=1).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert set(pairs) == {(0, 1)}
+    r = pairs[(0, 1)]
+    # the true shared run is " " + shared + " " (both docs surround it
+    # with spaces): len + 2 chars => max_run = len + 2 - 40 + 1
+    assert r.dup_chars == len(shared) + 2
+    assert r.max_run == len(shared) + 2 - 39
+
+
+def test_exact_substring_max_df_guards_boilerplate(spark):
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        exact_substring_pairs,
+    )
+
+    boiler = "this exact boilerplate sentence appears in every single document here"
+    # letter prefixes: grams touching the prefix are unique per doc
+    # (df=1), grams inside the boilerplate have df=12 — nothing lands
+    # in the [2, max_df] band
+    docs = _docs(spark, [f"{chr(97 + i)} intro. " + boiler for i in range(12)])
+    out = exact_substring_pairs(docs, k=40, cap=200, max_df=5, min_shared=1).collect()
+    assert out == []  # df=12 > max_df on every shared gram
+
+
+def test_join_explosion_audit_exact_products(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        join_explosion_audit,
+    )
+
+    left = spark.createDataFrame([(1,)] * 3 + [(2,)] * 1, ["k"])
+    right = spark.createDataFrame([(1,)] * 4 + [(2,)] * 5, ["k"])
+    out = {r.k: r for r in join_explosion_audit(left, right, "k").collect()}
+    assert (out[1].c_left, out[1].c_right, out[1].out_rows) == (3, 4, 12)
+    assert (out[2].c_left, out[2].c_right, out[2].out_rows) == (1, 5, 5)
+    assert out[1].total_rows == 17
+    assert out[1].share_ppm == 12 * 1000000 // 17
+
+
+def test_funnel_windowed_drops_late_conversions(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import funnel_steps
+
+    ev = _ev(
+        spark,
+        [
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "click", "2024-01-01 01:00:00"),   # within 2 h
+            (2, "view", "2024-01-01 00:00:00"),
+            (2, "click", "2024-01-01 05:00:00"),   # outside 2 h
+        ],
+    )
+    out = {r.step: r.n_users for r in funnel_steps(ev, ["view", "click"], within_s=7200).collect()}
+    assert out == {"view": 2, "click": 1}
+    unbounded = {r.step: r.n_users for r in funnel_steps(ev, ["view", "click"]).collect()}
+    assert unbounded == {"view": 2, "click": 2}
+
+
+def test_dedup_keep_list_prefers_quality_over_min_id(spark):
+    from earthquake_data_pipeline_spark.operators.curation import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 99), (3, "a", 99), (9, "z", 5)],
+        ["doc_id", "text", "n_chars"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r.doc_id: r for r in dedup_keep_list(docs, pairs).collect()}
+    assert set(out) == {1, 2, 3}  # doc 9 not in any pair
+    assert [out[i].keep for i in (1, 2, 3)] == [0, 1, 0]  # quality 99, min id 2
+    assert out[1].n_in_component == 3
