@@ -2161,7 +2161,8 @@ _GATE_FIRST = [
     # token_stats, string_suite, stats_per_decade, simhash,
     # severity_buckets, set_ops, semi_anti_join, rollup_agg,
     # region_rollup, regex_token_match, ranking_suite, pivot_status,
-    # fact_fact_join, max_per_group, pack_sequences, percentile_stats —
+    # fact_fact_join, max_per_group, pack_sequences, percentile_stats,
+    # array_suite, corr_stats, correlated_subquery, cube_agg —
     # pricing_summary stays: it is the lineitem sentinel)
     "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
     "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
@@ -2169,7 +2170,8 @@ _GATE_FIRST = [
     "snapshot_diff", "length_batching", "pmi_collocations",
     "epoch_shuffle", "column_profile", "histogram_drift",
     "exact_substring_dup", "join_explosion", "funnel_windowed",
-    "dedup_keep_list",
+    "dedup_keep_list", "event_debounce", "cumulative_reach",
+    "event_transitions", "rfm_segments",
     # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
     #     path in r5 — the gate standard wants a row against shipped code
     "kmeans_clusters",
@@ -2186,7 +2188,6 @@ _GATE_FIRST = [
     # (simhash / stats_per_decade / string_suite / token_stats /
     # top_k_orders / unpivot_measures / window_running / yearly_stats
     # displaced by the round-6 batches; they keep r04 rows)
-    "array_suite", "corr_stats", "correlated_subquery", "cube_agg",
     "datetime_suite", "distinct_agg", "pricing_summary",
 ]
 

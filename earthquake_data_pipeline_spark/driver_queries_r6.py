@@ -1457,3 +1457,154 @@ FROM ranked ORDER BY doc_id
 
 QUERIES_R6["dedup_keep_list"] = q_dedup_keep_list
 # oracle registered by driver_queries after merge (needs _minhash_sql)
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce (operators/analytics.py::event_debounce):
+    drop events repeating within 1800 s of their (user, type)
+    predecessor — lag-based, one key exchange; survivors carry their
+    predecessor gap (-1 for firsts).
+    """
+    _utc(spark)
+    from .operators.analytics import event_debounce
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return event_debounce(ev, min_gap_s=1800)
+
+
+SQL_EVENT_DEBOUNCE = """
+WITH w AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id, event_type
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS gap_s
+  FROM events
+)
+SELECT user_id, event_type, event_id, epoch_s,
+       coalesce(gap_s, -1) AS gap_s
+FROM w WHERE gap_s IS NULL OR gap_s >= 1800
+ORDER BY event_id
+"""
+
+
+def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth triplet (operators/analytics.py::cumulative_reach): DAU,
+    new users, cumulative reach per day — cumulative distinct
+    expressed as a running sum of first-seen counts (bounded state),
+    never a cumulative-distinct.
+    """
+    _utc(spark)
+    from .operators.analytics import cumulative_reach
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts")
+    return cumulative_reach(ev)
+
+
+SQL_CUMULATIVE_REACH = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+  FROM events
+), first AS (
+  SELECT u, min(d) AS fd FROM ud GROUP BY u
+), per_day AS (
+  SELECT d, count(DISTINCT ud.u) AS dau,
+         CAST(sum(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+  FROM ud JOIN first ON first.u = ud.u
+  GROUP BY d
+)
+SELECT d * 86400 AS day_s, dau, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_reach
+FROM per_day ORDER BY day_s
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition census (operators/analytics.py::
+    event_transitions): consecutive (from, to) step counts per user
+    sequence + row-normalized transition probabilities — the empirical
+    transition matrix.
+    """
+    _utc(spark)
+    from .operators.analytics import event_transitions
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return event_transitions(ev)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, count(*) AS n_steps
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_steps,
+       CAST(sum(n_steps) OVER (PARTITION BY from_type) AS BIGINT)
+         AS row_total,
+       CAST(round(CAST(n_steps / (sum(n_steps) OVER (PARTITION BY from_type))
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS p
+FROM c ORDER BY from_type, to_type
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/analytics.py::rfm_segments): users
+    quintiled by recency / frequency / purchase cents (total orders —
+    metric desc, user id — so tiles are engine-independent), counted
+    per segment with exact-cents average monetary.
+    """
+    _utc(spark)
+    from .operators.analytics import rfm_segments
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    return rfm_segments(ev)
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_user AS (
+  SELECT user_id AS u,
+         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+         count(*) AS frequency,
+         coalesce(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+           AS monetary_cents
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT u, monetary_cents,
+         ntile(5) OVER (ORDER BY last_day DESC, u) AS r_tile,
+         ntile(5) OVER (ORDER BY frequency DESC, u) AS f_tile,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, u) AS m_tile
+  FROM per_user
+)
+SELECT CAST(r_tile AS INT) AS r_tile, CAST(f_tile AS INT) AS f_tile,
+       CAST(m_tile AS INT) AS m_tile,
+       count(*) AS n_users,
+       CAST(round(CAST(sum(monetary_cents) / (count(*) * 100)
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES_R6["event_debounce"] = q_event_debounce
+ORACLE_R6["event_debounce"] = SQL_EVENT_DEBOUNCE
+QUERIES_R6["cumulative_reach"] = q_cumulative_reach
+ORACLE_R6["cumulative_reach"] = SQL_CUMULATIVE_REACH
+QUERIES_R6["event_transitions"] = q_event_transitions
+ORACLE_R6["event_transitions"] = SQL_EVENT_TRANSITIONS
+QUERIES_R6["rfm_segments"] = q_rfm_segments
+ORACLE_R6["rfm_segments"] = SQL_RFM_SEGMENTS

@@ -269,3 +269,191 @@ def merge_intervals(
         )
         .orderBy(key_col, "island")
     )
+
+
+def event_debounce(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_s: int = 60,
+) -> DataFrame:
+    """Telemetry debounce: drop an event if the PREVIOUS event with the
+    same key fired less than ``min_gap_s`` seconds before it — the
+    double-click / retry / sensor-chatter filter. Lag-based (each event
+    compares to its immediate predecessor, kept or not): the
+    non-chained semantics every SQL debounce uses, O(1) state per row;
+    the chained variant ("gap from last KEPT event") is inherently
+    sequential — that shape lives in streaming/ as stateful dedup.
+
+    One key-partitioned exchange; emits the surviving rows with their
+    predecessor gap (null for each key's first event).
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    base = events.select(
+        *keys, F.col(id_col), F.unix_timestamp(ts_col).alias("epoch_s")
+    )
+    w = Window.partitionBy(*keys).orderBy("epoch_s", id_col)
+    return (
+        base.withColumn(
+            "gap_s", F.col("epoch_s") - F.lag("epoch_s").over(w)
+        )
+        .filter(F.col("gap_s").isNull() | (F.col("gap_s") >= min_gap_s))
+        .withColumn("gap_s", F.coalesce("gap_s", F.lit(-1)))
+        .orderBy(id_col)
+    )
+
+
+def cumulative_reach(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active users, new users, and cumulative reach — the
+    product-growth triplet. DAU is a per-day distinct count; new_users
+    counts users whose FIRST-ever day is that day; cum_reach is the
+    running sum of new_users (= distinct users seen to date, without
+    ever running a cumulative-distinct, which has no bounded-state
+    form).
+
+    Two aggregates (per-(day,user) dedup, then per-day counts) plus a
+    running-sum window over the DAY axis — day cardinality is tiny, so
+    the unpartitioned window is a non-issue at any scale.
+    """
+    day = F.expr(f"unix_timestamp({ts_col}) div 86400")
+    ud = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .groupBy("u", "d")
+        .agg(F.count("*").alias("n"))
+    )
+    first = ud.groupBy("u").agg(F.min("d").alias("fd"))
+    per_day = (
+        ud.join(first, "u")
+        .groupBy("d")
+        .agg(
+            F.count_distinct("u").alias("dau"),
+            F.sum((F.col("d") == F.col("fd")).cast("int")).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.withColumn("cum_reach", F.sum("new_users").over(w))
+        .select(
+            (F.col("d") * 86400).alias("day_s"),
+            "dau",
+            F.col("new_users").cast("long").alias("new_users"),
+            F.col("cum_reach").cast("long").alias("cum_reach"),
+        )
+        .orderBy("day_s")
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition census over per-user event
+    sequences: counts of consecutive (from_type, to_type) steps and the
+    row-normalized transition probability — the "what do users do after
+    X" query, and the empirical transition matrix sequence models start
+    from.
+
+    One user-keyed exchange for the lag; the (from, to) count and the
+    per-from row total (a window over the tiny count frame) are
+    key-domain-sized. Probability is an int/int ratio under the
+    round6x contract.
+    """
+    from ..qcommon import round6x
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.unix_timestamp(ts_col), id_col
+    )
+    steps = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_steps")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n_steps").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_steps",
+            F.col("row_total").cast("long").alias("row_total"),
+            round6x(F.col("n_steps") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    monetary_type: str = "purchase",
+    type_col: str = "event_type",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation: users scored into quintiles by Recency (days
+    since last event), Frequency (event count), Monetary (purchase
+    cents), then counted per (r, f, m) segment — the classic customer-
+    base decomposition.
+
+    Determinism: every ntile orders by (metric, user id) — a total
+    order, so tile boundaries are engine-independent. Scale honesty
+    (the quality_deciles note applies): unpartitioned ntile ranks all
+    users in one task — fine to millions of users per executor; at
+    billions, swap the boundary step for the percentile_approx sketch
+    (approx_quality_bins pattern) and keep the segment aggregate.
+    Monetary is exact integer cents; the segment's avg_monetary is an
+    int/int ratio under the round6x contract.
+    """
+    from ..qcommon import round6x
+
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(F.expr(f"unix_timestamp({ts_col}) div 86400")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.coalesce(
+            F.sum(F.when(F.col(type_col) == monetary_type, cents)), F.lit(0)
+        ).alias("monetary_cents"),
+    )
+    r = F.ntile(n_tiles).over(Window.orderBy(F.desc("last_day"), F.col("u")))
+    f = F.ntile(n_tiles).over(Window.orderBy(F.desc("frequency"), F.col("u")))
+    m = F.ntile(n_tiles).over(
+        Window.orderBy(F.desc("monetary_cents"), F.col("u"))
+    )
+    scored = per_user.select(
+        "u",
+        "monetary_cents",
+        r.alias("r_tile"),
+        f.alias("f_tile"),
+        m.alias("m_tile"),
+    )
+    return (
+        scored.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("monetary_cents").alias("seg_cents"),
+        )
+        .select(
+            "r_tile",
+            "f_tile",
+            "m_tile",
+            "n_users",
+            round6x(F.col("seg_cents") / (F.col("n_users") * 100)).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )

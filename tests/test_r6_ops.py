@@ -922,3 +922,82 @@ def test_dedup_keep_list_prefers_quality_over_min_id(spark):
     assert set(out) == {1, 2, 3}  # doc 9 not in any pair
     assert [out[i].keep for i in (1, 2, 3)] == [0, 1, 0]  # quality 99, min id 2
     assert out[1].n_in_component == 3
+
+
+# ---------------------------------------------------------------- batch 7
+
+
+def _ev4(spark, rows):
+    return spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_event_debounce_lag_semantics(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import event_debounce
+
+    ev = _ev4(
+        spark,
+        [
+            (1, "click", "2024-01-01 00:00:00", 1),  # first: kept, gap -1
+            (1, "click", "2024-01-01 00:00:30", 2),  # 30 s after 1: dropped
+            (1, "click", "2024-01-01 00:00:50", 3),  # 20 s after 2: dropped
+            (1, "click", "2024-01-01 00:02:00", 4),  # 70 s after 3: kept
+            (1, "view", "2024-01-01 00:00:10", 5),   # other type: kept
+        ],
+    )
+    out = event_debounce(ev, min_gap_s=60).collect()
+    assert [r.event_id for r in out] == [1, 4, 5]
+    assert [r.gap_s for r in out] == [-1, 70, -1]
+
+
+def test_cumulative_reach_new_vs_returning(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import cumulative_reach
+
+    ev = _ev(
+        spark,
+        [
+            (1, "x", "2024-01-01"),
+            (2, "x", "2024-01-01"),
+            (1, "x", "2024-01-02"),  # returning
+            (3, "x", "2024-01-02"),  # new
+        ],
+    )
+    out = cumulative_reach(ev).collect()
+    assert [(r.dau, r.new_users, r.cum_reach) for r in out] == [(2, 2, 2), (2, 1, 3)]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import event_transitions
+
+    ev = _ev4(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00", 1),
+            (1, "b", "2024-01-01 00:01:00", 2),
+            (1, "a", "2024-01-01 00:02:00", 3),
+            (1, "c", "2024-01-01 00:03:00", 4),
+        ],
+    )
+    out = {(r.from_type, r.to_type): r for r in event_transitions(ev).collect()}
+    assert out[("a", "b")].n_steps == 1 and out[("a", "c")].n_steps == 1
+    assert out[("a", "b")].row_total == 2 and out[("a", "b")].p == 0.5
+    assert out[("b", "a")].p == 1.0
+
+
+def test_rfm_segments_tiles_are_total_and_cents_exact(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import rfm_segments
+
+    rows = []
+    for u in range(10):
+        rows.append((u, "view", f"2024-01-{u + 1:02d} 00:00:00", 0.0))
+        rows.append((u, "purchase", f"2024-01-{u + 1:02d} 01:00:00", float(u)))
+    ev = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rfm_segments(ev, n_tiles=2)
+    rowso = out.collect()
+    assert sum(r.n_users for r in rowso) == 10
+    # replay under different partitioning must be identical
+    ev2 = ev.repartition(7)
+    assert rfm_segments(ev2, n_tiles=2).collect() == rowso
