@@ -2162,8 +2162,11 @@ _GATE_FIRST = [
     # severity_buckets, set_ops, semi_anti_join, rollup_agg,
     # region_rollup, regex_token_match, ranking_suite, pivot_status,
     # fact_fact_join, max_per_group, pack_sequences, percentile_stats,
-    # array_suite, corr_stats, correlated_subquery, cube_agg —
-    # pricing_summary stays: it is the lineitem sentinel)
+    # array_suite, corr_stats, correlated_subquery, cube_agg,
+    # datetime_suite, distinct_agg, text_quality, pricing_summary —
+    # sentinel duty transfers within the head: lineitem+orders ->
+    # fact_reconciliation, documents -> char_diversity et al.,
+    # events -> spatial_join, embeddings -> cosine_topk)
     "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
     "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
     "boilerplate_strip", "prefix_filter_join", "interval_merge",
@@ -2171,7 +2174,8 @@ _GATE_FIRST = [
     "epoch_shuffle", "column_profile", "histogram_drift",
     "exact_substring_dup", "join_explosion", "funnel_windowed",
     "dedup_keep_list", "event_debounce", "cumulative_reach",
-    "event_transitions", "rfm_segments",
+    "event_transitions", "rfm_segments", "char_diversity",
+    "mad_outliers", "hourly_profile", "fact_reconciliation",
     # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
     #     path in r5 — the gate standard wants a row against shipped code
     "kmeans_clusters",
@@ -2182,13 +2186,12 @@ _GATE_FIRST = [
     #     gained the polygon-count guard this round — the one non-head
     #     query whose own code changed (clean_events, unchanged since
     #     its r05 row, banks instead)
-    "spatial_join", "text_quality", "cosine_topk",
+    "spatial_join", "cosine_topk",
     "stream_window_counts", "stream_dedup_days", "stream_running_totals",
     # (4) the 19 remaining r04-banked queries — the oldest green rows
     # (simhash / stats_per_decade / string_suite / token_stats /
     # top_k_orders / unpivot_measures / window_running / yearly_stats
     # displaced by the round-6 batches; they keep r04 rows)
-    "datetime_suite", "distinct_agg", "pricing_summary",
 ]
 
 

@@ -1613,3 +1613,173 @@ QUERIES_R6["event_transitions"] = q_event_transitions
 ORACLE_R6["event_transitions"] = SQL_EVENT_TRANSITIONS
 QUERIES_R6["rfm_segments"] = q_rfm_segments
 ORACLE_R6["rfm_segments"] = SQL_RFM_SEGMENTS
+
+
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson collision-index text quality (operators/quality.py::
+    char_diversity): the integer-exact stand-in for character entropy
+    — collisions = sum c_i*(c_i-1) over characters, diversity in ppm.
+    """
+    _utc(spark)
+    from .operators.quality import char_diversity
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return char_diversity(docs)
+
+
+SQL_CHAR_DIVERSITY = """
+WITH ch AS (
+  SELECT doc_id AS id, length(text) AS n,
+         unnest(list_transform(generate_series(1, length(text)),
+                               i -> substring(text, i, 1))) AS ch
+  FROM documents
+), pc AS (
+  SELECT id, n, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3
+), agg AS (
+  SELECT id, n, CAST(sum(c * (c - 1)) AS BIGINT) AS collisions
+  FROM pc GROUP BY 1, 2
+)
+SELECT id AS doc_id, CAST(n AS BIGINT) AS n_chars, collisions,
+       CAST(CASE WHEN n >= 2 THEN
+         floor(1000000 * (1 - collisions / (n * (n - 1))))
+       ELSE 0 END AS BIGINT) AS diversity_ppm
+FROM agg ORDER BY doc_id
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier census (operators/analytics.py
+    ::mad_outliers): the robust companion to zscore_outliers — exact
+    integer medians at 2x scale via row-number arithmetic, flag
+    |x-med| > 3*MAD, all int64.
+    """
+    _utc(spark)
+    from .operators.analytics import mad_outliers
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    return mad_outliers(ev, k_half=6)
+
+
+SQL_MAD_OUTLIERS = """
+WITH ev AS (
+  SELECT event_type AS k,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         event_id
+  FROM events
+), r AS (
+  SELECT k, x, event_id,
+         row_number() OVER (PARTITION BY k ORDER BY x, event_id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM ev
+), m AS (
+  SELECT *, CAST(sum(CASE WHEN rn = floor((n + 1) / 2)
+                            OR rn = floor((n + 2) / 2)
+                   THEN CASE WHEN n % 2 = 1 THEN x * 2 ELSE x END END)
+             OVER (PARTITION BY k) AS BIGINT) AS med2
+  FROM r
+), d AS (
+  SELECT *, abs(x * 2 - med2) AS dev2,
+         row_number() OVER (PARTITION BY k ORDER BY abs(x * 2 - med2),
+                            event_id) AS rnd
+  FROM m
+), md AS (
+  SELECT *, CAST(sum(CASE WHEN rnd = floor((n + 1) / 2)
+                            OR rnd = floor((n + 2) / 2)
+                   THEN CASE WHEN n % 2 = 1 THEN dev2 * 2 ELSE dev2 END END)
+             OVER (PARTITION BY k) AS BIGINT) AS mad2
+  FROM d
+)
+SELECT k AS event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN dev2 * 2 > 6 * mad2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(max(med2) AS BIGINT) AS median_cents_x2,
+       CAST(max(mad2) AS BIGINT) AS mad_cents_x2
+FROM md GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile (operators/analytics.py::hourly_profile):
+    per-type hour-of-day concentration — peak hour + integer ppm
+    concentration index (0 = uniform, 23e6 = single-hour spike).
+    """
+    _utc(spark)
+    from .operators.analytics import hourly_profile
+
+    ev = _table(spark, sf_dir, "events").select("event_type", "ts")
+    return hourly_profile(ev)
+
+
+SQL_HOURLY_PROFILE = """
+WITH ph AS (
+  SELECT event_type AS k, CAST(hour(ts) AS INT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT k, h, c,
+         row_number() OVER (PARTITION BY k ORDER BY c DESC, h) AS rh
+  FROM ph
+), pk AS (
+  SELECT k, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS ss,
+         CAST(max(CASE WHEN rh = 1 THEN h END) AS INT) AS peak_hour
+  FROM ranked GROUP BY 1
+)
+SELECT k AS event_type, n, peak_hour,
+       CAST(floor((1000000 * (24 * ss - n * n)) / (23 * n * n)) AS BIGINT)
+         AS conc_ppm
+FROM pk ORDER BY 1
+"""
+
+
+def q_fact_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation (operators/quality.py::
+    fact_reconciliation): o_totalprice against the decimal-exact sum
+    of l_extendedprice*(1-l_discount) per order, mismatches bucketed
+    by signed cent difference — the warehouse audit query.
+    """
+    _utc(spark)
+    from .operators.quality import fact_reconciliation
+
+    return fact_reconciliation(
+        _table(spark, sf_dir, "orders"),
+        _fanout(_table(spark, sf_dir, "lineitem")),
+    )
+
+
+SQL_FACT_RECONCILIATION = """
+WITH li AS (
+  SELECT l_orderkey AS okey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(18,4))) AS line_total,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT CAST((CAST(o.o_totalprice AS DECIMAL(18,2))
+              - coalesce(li.line_total, 0)) * 10000 AS BIGINT) AS dc,
+         li.line_total IS NULL AS no_lines
+  FROM orders o LEFT JOIN li ON li.okey = o.o_orderkey
+), b AS (
+  SELECT CASE WHEN no_lines THEN 'no_lines'
+              WHEN dc = 0 THEN 'exact'
+              WHEN abs(dc) <= 10000 THEN 'within_1'
+              WHEN dc > 0 THEN 'header_high'
+              ELSE 'header_low' END AS bucket,
+         dc
+  FROM j
+)
+SELECT bucket, count(*) AS n_orders,
+       CAST(coalesce(sum(abs(dc)), 0) AS BIGINT) AS abs_ten_thousandths
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES_R6["char_diversity"] = q_char_diversity
+ORACLE_R6["char_diversity"] = SQL_CHAR_DIVERSITY
+QUERIES_R6["mad_outliers"] = q_mad_outliers
+ORACLE_R6["mad_outliers"] = SQL_MAD_OUTLIERS
+QUERIES_R6["hourly_profile"] = q_hourly_profile
+ORACLE_R6["hourly_profile"] = SQL_HOURLY_PROFILE
+QUERIES_R6["fact_reconciliation"] = q_fact_reconciliation
+ORACLE_R6["fact_reconciliation"] = SQL_FACT_RECONCILIATION

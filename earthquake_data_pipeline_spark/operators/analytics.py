@@ -457,3 +457,116 @@ def rfm_segments(
         )
         .orderBy("r_tile", "f_tile", "m_tile")
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k_half: int = 6,
+) -> DataFrame:
+    """Robust per-key outlier census via Median Absolute Deviation —
+    the resistant cousin of zscore_outlier_stats (one 500x spike
+    barely moves a median where it drags a mean; MAD flags it without
+    the masking effect). Flag x where |x − med| > (k_half/2)·MAD.
+
+    Exactness: values are integer cents; medians of integers live on
+    the half-integer grid, so everything is computed at 2× scale —
+    med2 = lower middle + upper middle (ROW_NUMBER arithmetic, total
+    order by (cents, id)), mad2 likewise over |2·x − med2| — and the
+    flag predicate |2·x − med2|·2 > k_half·mad2 is pure int64.
+
+    Shape: two key-partitioned window passes (rank for the value
+    median, rank for the deviation median) + the census aggregate —
+    the price of EXACT medians; the sketch path for mega-keys is
+    percentile_approx, as with quality_deciles. Each pass reuses the
+    same key partitioning.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    ev = events.select(
+        F.col(key_col).alias("k"), cents.alias("x"), F.col("event_id")
+    )
+    w_rank = Window.partitionBy("k").orderBy("x", "event_id")
+    w_all = Window.partitionBy("k")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+    lo = (F.col("n") + 1) / 2
+    hi = (F.col("n") + 2) / 2
+    med2 = F.sum(
+        F.when(
+            (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.floor(hi)),
+            F.when(F.col("n") % 2 == 1, F.col("x") * 2).otherwise(F.col("x")),
+        )
+    ).over(w_all)
+    with_med = ranked.withColumn("med2", med2).withColumn(
+        "dev2", F.abs(F.col("x") * 2 - F.col("med2"))
+    )
+    w_rank_d = Window.partitionBy("k").orderBy("dev2", "event_id")
+    ranked_d = with_med.withColumn("rnd", F.row_number().over(w_rank_d))
+    mad2 = F.sum(
+        F.when(
+            (F.col("rnd") == F.floor(lo)) | (F.col("rnd") == F.floor(hi)),
+            F.when(F.col("n") % 2 == 1, F.col("dev2") * 2).otherwise(
+                F.col("dev2")
+            ),
+        )
+    ).over(w_all)
+    flagged = ranked_d.withColumn("mad2", mad2).withColumn(
+        "is_outlier",
+        (F.col("dev2") * 2 > F.lit(k_half) * F.col("mad2")).cast("int"),
+    )
+    return (
+        flagged.groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_outlier").alias("n_outliers"),
+            F.max("med2").alias("med2"),
+            F.max("mad2").alias("mad2"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "n_events",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            F.col("med2").cast("long").alias("median_cents_x2"),
+            F.col("mad2").cast("long").alias("mad_cents_x2"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def hourly_profile(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Seasonality profile: per key, events per hour-of-day plus an
+    integer concentration index — 24·Σc_h² scaled against n² reads as
+    ppm-above-uniform (0 for a flat profile, 10⁶ for a single-hour
+    spike): conc_ppm = ⌊10⁶·(24·Σc² − n²)/(23·n²)⌋.
+    Everything int64 (n ≤ 3·10⁵ per key keeps 24·10⁶·Σc² < 2^63 —
+    beyond that, normalize per-shard and merge).
+
+    One (key, hour) aggregate + a per-key rollup: key-domain-sized.
+    """
+    hour = F.hour(ts_col)
+    per_hour = events.select(
+        F.col(key_col).alias("k"), hour.alias("h")
+    ).groupBy("k", "h").agg(F.count("*").alias("c"))
+    per_key = per_hour.groupBy("k").agg(
+        F.sum("c").alias("n"),
+        F.max_by("h", F.struct("c", (-F.col("h")).alias("nh"))).alias(
+            "peak_hour"
+        ),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    conc = F.floor(
+        (F.lit(1000000) * (24 * F.col("ss") - F.col("n") * F.col("n")))
+        / (23 * F.col("n") * F.col("n"))
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        "n",
+        F.col("peak_hour").cast("int").alias("peak_hour"),
+        conc.cast("long").alias("conc_ppm"),
+    ).orderBy(key_col)

@@ -75,3 +75,118 @@ def expectation_report(df: DataFrame, expectations: list[Expectation]) -> DataFr
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def char_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gibberish/degenerate-text detection via the Simpson collision
+    index — the INTEGER-EXACT cousin of character entropy: over the
+    doc's characters, collisions = Σ c_i·(c_i−1) and pairs = n·(n−1);
+    diversity_ppm = ⌊10⁶·(1 − collisions/pairs)⌋. A one-character spam
+    doc scores 0; natural text sits high. Entropy needs a log (never
+    engine-exact); the collision index ranks the same degenerate tail
+    with pure int64 arithmetic (n ≤ docs are KBs → no overflow), which
+    is why it is the quality-signal face here (alongside the
+    repetition and stopword signals in operators/text.py).
+
+    Shape: explode to (doc, char) → two aggregates. The explode is
+    m rows per doc — scan-bounded, map-side combined into per-(doc,
+    char) counts before the exchange.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col)),
+                lambda i: F.col(text_col).substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    per_char = chars.groupBy("id", "n", "ch").agg(F.count("*").alias("c"))
+    return (
+        per_char.groupBy("id", "n")
+        .agg(F.sum(F.col("c") * (F.col("c") - 1)).alias("collisions"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("collisions").cast("long").alias("collisions"),
+            F.when(
+                F.col("n") >= 2,
+                F.floor(
+                    1000000
+                    * (
+                        F.lit(1)
+                        - F.col("collisions") / (F.col("n") * (F.col("n") - 1))
+                    )
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("diversity_ppm"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def fact_reconciliation(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Cross-table reconciliation — the warehouse audit the reference's
+    dbt layer never codified: does each order's header total agree
+    with the sum of its line amounts? Exact DECIMAL accumulation on
+    both sides (float sums are order-dependent; decimal sums are not),
+    mismatches bucketed by signed cent difference.
+
+    One join on the order key (both sides pre-aggregated to the key,
+    so the join is key-domain-sized), then a tiny census aggregate.
+    The testdata generator does not derive o_totalprice from lineitem,
+    so the interesting output here is the bucket HISTOGRAM shape; on a
+    real warehouse the nonzero buckets are the bug report.
+    """
+    li = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("decimal(18,4)")
+        ).alias("line_total"),
+        F.count("*").alias("n_lines"),
+    )
+    o = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("header_total"),
+    )
+    j = o.join(li, "okey", "left")
+    # scale by 10^4 (the full scale of the line product), so the
+    # decimal is integer-valued BEFORE the long cast — a *100 cast
+    # leaves 2 live decimals, and Spark truncates where DuckDB rounds
+    diff_tt = (
+        (
+            F.col("header_total").cast("decimal(18,4)")
+            - F.coalesce(F.col("line_total"), F.lit(0).cast("decimal(18,4)"))
+        )
+        * 10000
+    ).cast("long")
+    bucket = (
+        F.when(F.col("line_total").isNull(), "no_lines")
+        .when(diff_tt == 0, "exact")
+        .when(F.abs(diff_tt) <= 10000, "within_1")
+        .when(diff_tt > 0, "header_high")
+        .otherwise("header_low")
+    )
+    return (
+        j.select(bucket.alias("bucket"), diff_tt.alias("dc"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.coalesce(F.sum(F.abs(F.col("dc"))), F.lit(0))
+            .cast("long")
+            .alias("abs_ten_thousandths"),
+        )
+        .orderBy("bucket")
+    )

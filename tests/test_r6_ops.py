@@ -1001,3 +1001,80 @@ def test_rfm_segments_tiles_are_total_and_cents_exact(spark):
     # replay under different partitioning must be identical
     ev2 = ev.repartition(7)
     assert rfm_segments(ev2, n_tiles=2).collect() == rowso
+
+
+# ---------------------------------------------------------------- batch 8
+
+
+def test_char_diversity_degenerate_vs_natural(spark):
+    from earthquake_data_pipeline_spark.operators.quality import char_diversity
+
+    docs = _docs(spark, ["aaaaaaaaaa", "abcdefghij", "ab"])
+    out = {r.doc_id: r for r in char_diversity(docs).collect()}
+    assert out[0].diversity_ppm == 0          # single char: collisions = pairs
+    assert out[1].diversity_ppm == 1000000    # all distinct: zero collisions
+    assert out[2].diversity_ppm == 1000000
+    assert out[0].collisions == 90            # 10*9
+
+
+def test_mad_outliers_resists_the_spike_zscore_feels(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import mad_outliers
+
+    # 20 values at 10.00, one at 500.00: MAD = 0 -> spike flagged;
+    # median pinned at 10
+    rows = [("a", 10.0, i) for i in range(20)] + [("a", 500.0, 99)]
+    ev = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    r = mad_outliers(ev).collect()[0]
+    assert r.median_cents_x2 == 2 * 1000
+    assert r.mad_cents_x2 == 0
+    assert r.n_outliers == 1
+
+
+def test_mad_even_count_half_integer_median(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import mad_outliers
+
+    rows = [("a", 1.0, 1), ("a", 2.0, 2), ("a", 3.0, 3), ("a", 4.0, 4)]
+    ev = spark.createDataFrame(rows, ["event_type", "value", "event_id"])
+    r = mad_outliers(ev).collect()[0]
+    assert r.median_cents_x2 == 100 + 200 + 200  # (200+300) at cents... x2 scale: 200+300
+    # median of [100,200,300,400] cents = 250 -> x2 = 500
+    assert r.median_cents_x2 == 500
+    # deviations x2: |2x-500| = [300,100,100,300]; median = 200 -> mad2 = 400
+    assert r.mad_cents_x2 == 400
+
+
+def test_hourly_profile_concentration_bounds(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import hourly_profile
+
+    flat = [("flat", f"2024-01-01 {h:02d}:00:00") for h in range(24)]
+    spike = [("spike", "2024-01-01 09:00:00")] * 24
+    ev = spark.createDataFrame(flat + spike, ["event_type", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.event_type: r for r in hourly_profile(ev).collect()}
+    assert out["flat"].conc_ppm == 0
+    assert out["spike"].conc_ppm == 1000000 * 23 // 23 * 1  # = 1e6 * (24*n^2-n^2)/(23 n^2)
+    assert out["spike"].conc_ppm == 1000000
+    assert out["spike"].peak_hour == 9
+
+
+def test_fact_reconciliation_buckets(spark):
+    from earthquake_data_pipeline_spark.operators.quality import fact_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 50.0), (4, 10.0)],
+        ["o_orderkey", "o_totalprice"],
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0),     # exact
+            (2, 100.5, 0.0),     # header low by 0.5
+            (3, 30.0, 0.0),      # header high by 20
+        ],
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    out = {r.bucket: r for r in fact_reconciliation(orders, lineitem).collect()}
+    assert out["exact"].n_orders == 1
+    assert out["within_1"].n_orders == 1 and out["within_1"].abs_ten_thousandths == 5000
+    assert out["header_high"].n_orders == 1 and out["header_high"].abs_ten_thousandths == 200000
+    assert out["no_lines"].n_orders == 1
