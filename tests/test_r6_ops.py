@@ -1078,3 +1078,83 @@ def test_fact_reconciliation_buckets(spark):
     assert out["within_1"].n_orders == 1 and out["within_1"].abs_ten_thousandths == 5000
     assert out["header_high"].n_orders == 1 and out["header_high"].abs_ten_thousandths == 200000
     assert out["no_lines"].n_orders == 1
+
+
+# ------------------------------------------------------- plan-shape pins
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_debounce_single_key_exchange(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import event_debounce
+
+    ev = _ev4(spark, [(1, "a", "2024-01-01", 1)])
+    plan = _plan(event_debounce(ev).limit(1))
+    assert plan.count("hashpartitioning") == 1  # the (user, type) window
+
+
+def test_snapshot_diff_is_joinless_single_aggregate(spark):
+    from earthquake_data_pipeline_spark.operators.merge import snapshot_diff
+
+    ev = _ev4(spark, [(1, "a", "2024-01-01", 1)]).withColumnRenamed(
+        "event_type", "event_type"
+    )
+    ev = ev.selectExpr("user_id", "ts", "event_type", "event_id")
+    plan = _plan(snapshot_diff(ev, t_old="2024-01-02", t_new="2024-01-03"))
+    # both as-of states from ONE aggregate: no Join anywhere, one
+    # partial+final aggregate pair (struct-max plans as SortAggregate
+    # or ObjectHashAggregate, never hash)
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"(SortAggregate|ObjectHashAggregate)", plan)) == 2
+
+
+def test_similarity_joins_are_never_all_pairs(spark):
+    """prefix_filter_join and exact_substring_pairs must plan hash
+    equi-joins — a CartesianProduct or nested-loop join would mean the
+    filter chain degraded to all-pairs."""
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        exact_substring_pairs,
+    )
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_filter_join,
+    )
+
+    docs = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta x"])
+    for df in (
+        prefix_filter_join(docs, threshold_num=1, threshold_den=2),
+        exact_substring_pairs(docs, k=8, cap=200, min_shared=1),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_drift_is_joinless(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import histogram_drift
+
+    ev = spark.createDataFrame(
+        [("t", "2024-01-01", 1.0)], ["event_type", "ts", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = _plan(
+        histogram_drift(ev, F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    )
+    assert "Join" not in plan  # bin census + window, never a self-join
+
+
+def test_join_explosion_audit_stays_on_key_domain(spark):
+    """The audit joins per-key COUNT frames, never the fact rows: the
+    join inputs must both be aggregates."""
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        join_explosion_audit,
+    )
+
+    left = spark.createDataFrame([(1,)], ["k"])
+    plan = _plan(join_explosion_audit(left, left, "k"))
+    # the equi-join sits above two HashAggregate pairs (4 nodes), and
+    # the only other join is the 1-row broadcast of the total
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastExchange" in plan
