@@ -1071,13 +1071,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-pair lift = p(x,y)/(p(x)p(y)) over the token stream —
     PMI's monotone, log-free form, so selection and ordering stay
     integer-decided while the lift display column matches the oracle
-    bit-for-bit via the identical expression tree.
+    bit-for-bit via the identical expression tree. min_count=8 keeps
+    the selection populated at the sf0.01 gate scale (min_count=50
+    returned zero rows there — a zero-row hash match proves nothing).
     """
     _utc(spark)
     from .operators.collocations import pmi_collocations
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("text"))
-    return pmi_collocations(docs, min_count=50)
+    return pmi_collocations(docs, min_count=8)
 
 
 SQL_PMI_COLLOCATIONS = rf"""
@@ -1096,7 +1098,7 @@ WITH t AS (
          (SELECT count(*) FROM pairs) AS n_bi
 ), bc AS (
   SELECT p.x AS x, p.y AS y, count(*) AS c_xy
-  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 50
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 8
 )
 SELECT bc.x || ' ' || bc.y AS bigram,
        bc.c_xy,

@@ -43,7 +43,13 @@ def pmi_collocations(
     Output: one row per bigram with c_xy >= min_count, counts + lift,
     ordered by (c_xy desc, bigram) — a total, integer-decided order.
     """
-    toks = docs.select(tokens_of(text_col).alias("t"))
+    # the token-array subtree is referenced by four consumers (unigram
+    # agg, unigram total, pair agg, pair total) — Catalyst reuses
+    # exchanges, not arbitrary subtrees, so without a checkpoint the
+    # corpus is scanned and tokenized 5x (plan-audited); with it, once
+    toks = docs.select(tokens_of(text_col).alias("t")).localCheckpoint(
+        eager=False
+    )
     uni = toks.select(F.explode("t").alias("w"))
     pairs = toks.select(
         F.explode(

@@ -145,12 +145,25 @@ def join_explosion_audit(
     lc = left.groupBy(F.col(key_col).alias("k")).agg(
         F.count("*").alias("c_left")
     )
-    rc = right.groupBy(F.col(key_col).alias("k")).agg(
-        F.count("*").alias("c_right")
-    )
-    per_key = lc.join(rc, "k").select(
-        "k", "c_left", "c_right", (F.col("c_left") * F.col("c_right")).alias("out_rows")
-    )
+    if left is right:
+        # self-audit fast path: one aggregate, no key join — halves the
+        # fact scans (plan-audited: 4 -> 2 FileScans)
+        per_key = lc.select(
+            "k",
+            "c_left",
+            F.col("c_left").alias("c_right"),
+            (F.col("c_left") * F.col("c_left")).alias("out_rows"),
+        )
+    else:
+        rc = right.groupBy(F.col(key_col).alias("k")).agg(
+            F.count("*").alias("c_right")
+        )
+        per_key = lc.join(rc, "k").select(
+            "k",
+            "c_left",
+            "c_right",
+            (F.col("c_left") * F.col("c_right")).alias("out_rows"),
+        )
     total = per_key.agg(F.sum("out_rows").alias("total_rows"))
     return (
         per_key.crossJoin(F.broadcast(total))
