@@ -2124,6 +2124,11 @@ ORACLE.update(ORACLE_STREAM)
 QUERIES.update(QUERIES_R6)
 ORACLE.update(ORACLE_R6)
 
+from .driver_queries_r7 import ORACLE_R7, QUERIES_R7  # noqa: E402
+
+QUERIES.update(QUERIES_R7)
+ORACLE.update(ORACLE_R7)
+
 from .driver_queries_r6 import dedup_keep_list_sql  # noqa: E402
 
 ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())

@@ -570,3 +570,65 @@ def hourly_profile(
         F.col("peak_hour").cast("int").alias("peak_hour"),
         conc.cast("long").alias("conc_ppm"),
     ).orderBy(key_col)
+
+
+def rate_limit_flags(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 86400,
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-key rate limiting, both admission disciplines an ingest edge
+    runs (reference parity: the reference's API extractor self-throttles
+    with request chunking — extract_historical.py:49-120 pages by month
+    to stay under the USGS result cap; this is the same policy surface
+    applied to the stored event stream):
+
+    - ``n_in_window``: events from the SAME key in the trailing
+      ``window_s`` seconds INCLUDING this one — a RANGE frame
+      ``[ts - window_s + 1, ts]``, so second-resolution ties are peers
+      and share one count (the only tie rule both a range frame and a
+      replayed oracle can agree on).
+    - ``admitted_sliding``: n_in_window <= max_n. Sliding-window limit
+      WITHOUT admission feedback (the count includes throttled events) —
+      the stateless form every engine can compute in one window pass.
+      The admission-feedback form (counting only admitted events) is
+      inherently sequential per key; see
+      streaming/ratelimit.py::admit_token_bucket for that face.
+    - ``admitted_fixed``: first ``max_n`` events per (key, calendar
+      window) by (ts, id) order — the fixed-window discipline (row_number
+      over an epoch-quotient bucket).
+
+    100 TB: both flags come from windows partitioned by the key — one
+    hash shuffle on ``key_col``, no global ordering anywhere; the RANGE
+    frame is a single forward scan per key partition. Skewed keys (one
+    bot user with millions of events) are the real hazard: the per-key
+    partition is processed by one task, so pre-split hot keys on
+    (key, epoch-day) first — the fixed-window flag stays exact under
+    that split because the bucket is part of the partition key; the
+    sliding count needs a day of overlap carried across splits.
+    """
+    ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    e = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("k"),
+        ts_s.alias("ts_s"),
+    )
+    sliding = (
+        Window.partitionBy("k")
+        .orderBy("ts_s")
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    fixed = Window.partitionBy(
+        "k", F.floor(F.col("ts_s") / window_s)
+    ).orderBy("ts_s", "id")
+    return e.select(
+        F.col("id").alias(id_col),
+        F.col("k").alias(key_col),
+        "ts_s",
+        F.count("*").over(sliding).alias("n_in_window"),
+        (F.count("*").over(sliding) <= max_n).alias("admitted_sliding"),
+        (F.row_number().over(fixed) <= max_n).alias("admitted_fixed"),
+    )

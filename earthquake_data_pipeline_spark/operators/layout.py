@@ -129,3 +129,56 @@ def write_zordered(
         .mode("overwrite")
         .save(path)
     )
+
+
+def zone_maps(
+    df: DataFrame,
+    file_col: Column,
+    value_col: Column,
+) -> DataFrame:
+    """Per-file zone maps (min/max/count of a sort-relevant column) —
+    the file-statistics table every lake format (Parquet footers, Delta
+    `stats`, Iceberg manifests) keeps so the planner can prune files
+    without opening them. `file_col` simulates the writer's file
+    assignment (a date-range layout, a hash layout, a z-order bucket —
+    see write_zordered); at 100 TB the real writer emits these stats
+    for free, this derivation is the audit-side reconstruction.
+
+    One hash aggregate keyed by file id: stats-table-sized output
+    (#files rows), never the data.
+    """
+    return df.select(
+        file_col.alias("file_id"), value_col.alias("v")
+    ).groupBy("file_id").agg(
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def skip_audit(zm: DataFrame, predicates: list[tuple[int, int, int]]) -> DataFrame:
+    """Data-skipping audit: for each closed range predicate
+    ``(pred_id, lo, hi)``, how many files the zone maps let the scanner
+    skip (`v_max < lo OR v_min > hi`) and how many rows the surviving
+    files still force it to read. The gap between `rows_scanned` and
+    the true match count is the scan amplification a bad layout costs —
+    the quantitative argument for zorder/clustering at 100 TB.
+
+    Predicates are a handful of literals: they broadcast-cross the
+    stats table (#files × #preds rows), never touch the data.
+    """
+    preds = zm.sparkSession.createDataFrame(
+        predicates, "pred_id int, lo bigint, hi bigint"
+    )
+    hit = ~((F.col("v_max") < F.col("lo")) | (F.col("v_min") > F.col("hi")))
+    return (
+        zm.crossJoin(F.broadcast(preds))
+        .groupBy("pred_id", "lo", "hi")
+        .agg(
+            F.count("*").cast("long").alias("files_total"),
+            F.sum(hit.cast("long")).cast("long").alias("files_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_scanned"),
+        )
+    )

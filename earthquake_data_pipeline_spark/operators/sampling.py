@@ -152,3 +152,30 @@ def assign_splits(
         cond = bucket < F.lit(hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def weighted_bernoulli(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    max_weight: int,
+    salt: str = "wb",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: keep each
+    row with probability weight/max_weight, decided purely by the key's
+    hash — the quality-weighted curation primitive (sample high-quality
+    documents at full rate, low-quality at a fraction, reproducibly).
+
+    The admission test is pure integer cross-multiplication,
+    ``bucket * max_weight < weight * 2^32`` — no division, no float, so
+    the boundary row is decided identically everywhere (same property
+    split_assignment needed floor() discipline for). Weights must be
+    integers in [0, max_weight]; weight 0 never admits, max_weight
+    always admits. Map-only: zero shuffle at any scale.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    admit = (
+        hash_bucket(key_col, salt) * F.lit(max_weight)
+        < w.cast("long") * F.lit(_HASH_SPACE)
+    )
+    return df.withColumn("admitted", admit)

@@ -1,0 +1,190 @@
+"""Round-7 operator tests: rate limiting, inverted index, zone-map
+skipping, weight-proportional sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from earthquake_data_pipeline_spark.operators.analytics import rate_limit_flags
+from earthquake_data_pipeline_spark.operators.indexing import inverted_index
+from earthquake_data_pipeline_spark.operators.layout import skip_audit, zone_maps
+from earthquake_data_pipeline_spark.operators.sampling import (
+    _HASH_SPACE,
+    hash_bucket,
+    weighted_bernoulli,
+)
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s"])
+    return df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+# ---------- rate_limit_flags ----------
+
+
+def test_sliding_count_includes_self_and_window_edge(spark):
+    # window 10 s, max 2: events at t=0, 5, 9, 10 — [t-9, t] inclusive
+    ev = _events(
+        spark, [(1, 7, 0), (2, 7, 5), (3, 7, 9), (4, 7, 10)]
+    )
+    out = {
+        r["event_id"]: (r["n_in_window"], r["admitted_sliding"])
+        for r in rate_limit_flags(ev, window_s=10, max_n=2).collect()
+    }
+    # t=9 sees {0,5,9}=3; t=10 sees {5,9,10}=3 (0 aged out exactly)
+    assert out == {
+        1: (1, True),
+        2: (2, True),
+        3: (3, False),
+        4: (3, False),
+    }
+
+
+def test_sliding_ties_are_peers(spark):
+    # two events same user same second: RANGE peers share one count
+    ev = _events(spark, [(1, 3, 100), (2, 3, 100)])
+    out = rate_limit_flags(ev, window_s=60, max_n=1).collect()
+    assert {r["n_in_window"] for r in out} == {2}
+    assert not any(r["admitted_sliding"] for r in out)
+
+
+def test_fixed_window_admits_first_n_by_ts_then_id(spark):
+    # window 100 s: bucket 0 = [0,100), bucket 1 = [100,200)
+    ev = _events(
+        spark,
+        [(5, 1, 10), (4, 1, 10), (6, 1, 50), (7, 1, 150), (8, 2, 10)],
+    )
+    out = {
+        r["event_id"]: r["admitted_fixed"]
+        for r in rate_limit_flags(ev, window_s=100, max_n=2).collect()
+    }
+    # user 1 bucket 0: ties at ts=10 break by id (4 then 5), 6 is third
+    assert out == {4: True, 5: True, 6: False, 7: True, 8: True}
+
+
+def test_rate_limit_keys_are_independent(spark):
+    ev = _events(spark, [(1, 1, 0), (2, 2, 0), (3, 3, 0)])
+    out = rate_limit_flags(ev, window_s=1000, max_n=1).collect()
+    assert all(r["admitted_sliding"] and r["admitted_fixed"] for r in out)
+
+
+# ---------- inverted_index ----------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_inverted_index_positions_and_counts(spark):
+    docs = _docs(spark, [(1, "a b a"), (2, "b c"), (3, "a")])
+    out = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert out["a"]["df"] == 2 and out["a"]["tf"] == 3
+    assert out["a"]["postings"] == "1:1,3;3:1"
+    assert out["b"]["postings"] == "1:2;2:1"
+    assert out["c"]["df"] == 1 and out["c"]["postings"] == "2:2"
+
+
+def test_inverted_index_postings_lexicographic_and_df_bounds(spark):
+    # doc ids 2 and 10: lexicographic posting order puts "10:" first
+    docs = _docs(spark, [(2, "x"), (10, "x y"), (11, "y"), (12, "y")])
+    out = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert out["x"]["postings"] == "10:1;2:1"
+    bounded = {
+        r["term"]
+        for r in inverted_index(docs, min_df=2, max_df=2).collect()
+    }
+    assert bounded == {"x"}  # y has df=3 > max_df
+
+
+def test_inverted_index_blank_tokens_dropped(spark):
+    docs = _docs(spark, [(1, "  a   b  "), (2, "")])
+    terms = {r["term"] for r in inverted_index(docs).collect()}
+    assert terms == {"a", "b"}
+
+
+# ---------- zone_maps / skip_audit ----------
+
+
+def test_zone_maps_minmax_per_file(spark):
+    df = spark.createDataFrame(
+        [(0, 5), (0, 9), (1, 100), (1, 101)], ["f", "v"]
+    )
+    zm = {
+        r["file_id"]: (r["v_min"], r["v_max"], r["n_rows"])
+        for r in zone_maps(df, F.col("f"), F.col("v")).collect()
+    }
+    assert zm == {0: (5, 9, 2), 1: (100, 101, 2)}
+
+
+def test_skip_audit_prunes_disjoint_files(spark):
+    df = spark.createDataFrame(
+        [(0, 5), (0, 9), (1, 100), (1, 101), (2, 200)], ["f", "v"]
+    )
+    zm = zone_maps(df, F.col("f"), F.col("v"))
+    out = {
+        r["pred_id"]: (r["files_total"], r["files_scanned"], r["rows_scanned"])
+        for r in skip_audit(
+            zm, [(1, 0, 10), (2, 90, 150), (3, 300, 400), (4, 9, 100)]
+        ).collect()
+    }
+    assert out[1] == (3, 1, 2)  # only file 0 overlaps
+    assert out[2] == (3, 1, 2)  # only file 1
+    assert out[3] == (3, 0, 0)  # nothing overlaps
+    assert out[4] == (3, 2, 4)  # boundary-inclusive: files 0 and 1
+
+
+def test_skip_audit_boundary_touch_is_scanned(spark):
+    df = spark.createDataFrame([(0, 10)], ["f", "v"])
+    zm = zone_maps(df, F.col("f"), F.col("v"))
+    out = skip_audit(zm, [(1, 10, 10)]).collect()[0]
+    assert out["files_scanned"] == 1
+
+
+# ---------- weighted_bernoulli ----------
+
+
+def test_weighted_bernoulli_extremes(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i in range(50) for w in (0, 256)], ["k", "w"]
+    )
+    out = weighted_bernoulli(df, "k", "w", 256).collect()
+    for r in out:
+        assert r["admitted"] == (r["w"] == 256)
+
+
+def test_weighted_bernoulli_matches_threshold_exactly(spark):
+    # admit iff bucket * max_w < w * 2^32 — replay the rule row by row
+    df = spark.createDataFrame([(i, 64) for i in range(200)], ["k", "w"])
+    got = {
+        r["k"]: r["admitted"]
+        for r in weighted_bernoulli(df, "k", "w", 256).collect()
+    }
+    buckets = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket("k", "wb").alias("b")).collect()
+    }
+    for k, b in buckets.items():
+        assert got[k] == (b * 256 < 64 * _HASH_SPACE)
+    # weight 64/256 admits roughly a quarter
+    n_adm = sum(got.values())
+    assert 20 <= n_adm <= 80
+
+
+def test_weighted_bernoulli_monotone_in_weight(spark):
+    # same key at two weights: higher weight can only add admissions
+    df_lo = spark.createDataFrame([(i, 32) for i in range(100)], ["k", "w"])
+    df_hi = spark.createDataFrame([(i, 128) for i in range(100)], ["k", "w"])
+    lo = {
+        r["k"]
+        for r in weighted_bernoulli(df_lo, "k", "w", 256)
+        .filter("admitted")
+        .collect()
+    }
+    hi = {
+        r["k"]
+        for r in weighted_bernoulli(df_hi, "k", "w", 256)
+        .filter("admitted")
+        .collect()
+    }
+    assert lo <= hi
