@@ -302,3 +302,255 @@ QUERIES_R7["zone_skipping"] = q_zone_skipping
 ORACLE_R7["zone_skipping"] = SQL_ZONE_SKIPPING
 QUERIES_R7["weighted_sample"] = q_weighted_sample
 ORACLE_R7["weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket admission (operators/admission.py): burst 2, refill
+    1 token / 12 h, integer 1/43200-token units. The admission-feedback
+    recurrence is sequential per key — applyInPandas on user_id, one
+    hash shuffle — and the oracle replays it exactly with a recursive
+    CTE over the same (ts, id) total order.
+    """
+    _utc(spark)
+    from .operators.admission import token_bucket_admit
+
+    ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return token_bucket_admit(
+        ev, burst=2, refill_num=1, refill_den=43200
+    ).orderBy("user_id", "ts_s", "event_id")
+
+
+SQL_TOKEN_BUCKET = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                     event_id) AS i
+  FROM events
+), rec AS (
+  SELECT user_id, i, ts_s, event_id,
+         CAST(86400 AS BIGINT) AS units_before,
+         CAST(86400 - 43200 AS BIGINT) AS units_after
+  FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.ts_s, e.event_id,
+         least(86400, rec.units_after + (e.ts_s - rec.ts_s)) AS ub,
+         least(86400, rec.units_after + (e.ts_s - rec.ts_s))
+           - CASE WHEN least(86400, rec.units_after + (e.ts_s - rec.ts_s))
+                       >= 43200 THEN 43200 ELSE 0 END
+  FROM rec JOIN e ON e.user_id = rec.user_id AND e.i = rec.i + 1
+)
+SELECT event_id, user_id, ts_s,
+       units_before, (units_before >= 43200) AS admitted
+FROM rec
+ORDER BY user_id, ts_s, event_id
+"""
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min sketches
+    (operators/sketches.py::cms_join_size): |orders ⋈ lineitem on
+    calendar day| estimated from two 3×512 grids vs the exact size —
+    the statistics pass a cost-based planner runs before committing to
+    a shuffle join. Grid-sized frames end-to-end except the two
+    one-pass sketch builds.
+    """
+    _utc(spark)
+    from .operators.sketches import cms_join_size, cms_sketch
+
+    day_o = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    day_l = F.datediff(
+        F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    orders = _table(spark, sf_dir, "orders").select(day_o.alias("d"))
+    li = _table(spark, sf_dir, "lineitem").select(day_l.alias("d"))
+    ska = cms_sketch(orders, "d", depth=3, width=512)
+    skb = cms_sketch(li, "d", depth=3, width=512)
+    est = cms_join_size(ska, skb)
+    ca = orders.groupBy("d").agg(F.count("*").alias("ca"))
+    cb = li.groupBy("d").agg(F.count("*").alias("cb"))
+    exact = (
+        ca.join(cb, "d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_size"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("j").cast("long").alias("j"),
+            "row_est",
+            "join_size_est",
+            "exact_size",
+            F.floor(
+                F.lit(1000000)
+                * (F.col("join_size_est") - F.col("exact_size"))
+                / F.col("exact_size")
+            )
+            .cast("long")
+            .alias("over_ppm"),
+        )
+        .orderBy("j")
+    )
+
+
+SQL_CMS_JOIN_SIZE = """
+WITH js AS (
+  SELECT unnest(generate_series(0, 2)) AS j
+), oa AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+), lb AS (
+  SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM lineitem
+), ga AS (
+  SELECT j,
+         ('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|'
+             || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+         count(*) AS na
+  FROM oa, js GROUP BY 1, 2
+), gb AS (
+  SELECT j,
+         ('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|'
+             || CAST(d AS VARCHAR)), 1, 8))::BIGINT % 512 AS bucket,
+         count(*) AS nb
+  FROM lb, js GROUP BY 1, 2
+), per_row AS (
+  SELECT j, CAST(sum(na * nb) AS BIGINT) AS row_est
+  FROM ga JOIN gb USING (j, bucket) GROUP BY 1
+), est AS (
+  SELECT j, row_est, min(row_est) OVER () AS join_size_est FROM per_row
+), ex AS (
+  SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_size FROM
+    (SELECT d, count(*) ca FROM oa GROUP BY 1) a
+    JOIN (SELECT d, count(*) cb FROM lb GROUP BY 1) b USING (d)
+)
+SELECT j, row_est, join_size_est, exact_size,
+       CAST(floor(1000000 * (join_size_est - exact_size)
+                  / exact_size) AS BIGINT) AS over_ppm
+FROM est, ex ORDER BY j
+"""
+
+
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS drift detection
+    (operators/analytics.py::trend_fit): integer-moment least squares
+    of event value (milli-units) against elapsed hours — slope,
+    intercept, r², all sealed by exact int64 sums with only final
+    int/int divisions in float. One key-partitioned window + one
+    aggregate on the same key.
+    """
+    _utc(spark)
+    from .operators.analytics import trend_fit
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return trend_fit(ev).orderBy("user_id")
+
+
+SQL_TREND_FIT = """
+WITH base AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 1000) AS BIGINT) AS y
+  FROM events
+), xy AS (
+  SELECT k,
+         CAST(floor((ts_s - min(ts_s) OVER (PARTITION BY k)) / 3600)
+              AS BIGINT) AS x,
+         y
+  FROM base
+), m AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY 1
+)
+SELECT k AS user_id, n AS n_events,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST(round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+              AS DECIMAL(18,12)), 6) AS DOUBLE) END AS slope_milli_per_hr,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         CAST(round(CAST((sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+              AS DECIMAL(18,12)), 6) AS DOUBLE) END AS intercept_milli,
+       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+         CAST(round(CAST(
+           ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+           * ((n * sxy - sx * sy) / (n * syy - sy * sy))
+              AS DECIMAL(18,12)), 6) AS DOUBLE) END AS r2
+FROM m ORDER BY user_id
+"""
+
+
+_BM25_TERMS = ["hash", "join", "filter"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (operators/indexing.py::bm25_scores) of
+    the whole corpus against a 3-term query, top 50 by (score desc,
+    doc_id). Per-term scores cast to DECIMAL(18,9) before the Σ_t so
+    the sum is order-free; the single ln(rational) is the one
+    transcendental (verified engine-identical on this corpus at both
+    gate scales).
+    """
+    _utc(spark)
+    from .operators.indexing import bm25_scores
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = bm25_scores(docs, _BM25_TERMS)
+    return (
+        scored.select(
+            F.col("doc").alias("doc_id"),
+            "n_terms_matched",
+            F.round(F.col("score_dec"), 6).cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+
+
+SQL_BM25_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id AS doc, t.term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(toks) AS term) t
+  WHERE t.term <> ''
+), dl AS (
+  SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('hash', 'join', 'filter') GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc,
+         CAST(ln((totals.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * totals.n_docs)
+                                       / totals.sum_dl))
+              AS DECIMAL(18,9)) AS term_score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc), totals
+), agg AS (
+  SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+         CAST(round(sum(term_score), 6) AS DOUBLE) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_terms_matched, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+QUERIES_R7["token_bucket"] = q_token_bucket
+ORACLE_R7["token_bucket"] = SQL_TOKEN_BUCKET
+QUERIES_R7["cms_join_size"] = q_cms_join_size
+ORACLE_R7["cms_join_size"] = SQL_CMS_JOIN_SIZE
+QUERIES_R7["trend_fit"] = q_trend_fit
+ORACLE_R7["trend_fit"] = SQL_TREND_FIT
+QUERIES_R7["bm25_topk"] = q_bm25_topk
+ORACLE_R7["bm25_topk"] = SQL_BM25_TOPK

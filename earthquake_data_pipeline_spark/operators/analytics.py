@@ -632,3 +632,68 @@ def rate_limit_flags(
         (F.count("*").over(sliding) <= max_n).alias("admitted_sliding"),
         (F.row_number().over(fixed) <= max_n).alias("admitted_fixed"),
     )
+
+
+def trend_fit(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend: slope/intercept/r² of the
+    value series against elapsed hours since the key's first event —
+    the drift detector a curation pipeline runs per source/domain
+    (is this feed's quality score trending down?).
+
+    Exactness discipline: x is integer hours (elapsed//3600), y is
+    integer milli-units (floor(value*1000)), so the five OLS moment
+    sums are exact int64 (magnitudes bounded: with n ≤ 2e3 rows/key,
+    x ≤ 1e3 h, |y| ≤ 5e5 milli, every moment product stays < 2^63;
+    beyond that, pre-center y per key or accumulate in decimals). The only
+    doubles are the final int/int divisions — engine-identical, sealed
+    with round6x. Spark's built-in regr_slope aggregates FLOATS in
+    shuffle order (run-to-run drift); the integer-moment formulation is
+    the deterministic equivalent.
+
+    One key-partitioned window (first-event timestamp) + one aggregate
+    on the same key: a single hash exchange end-to-end.
+    """
+    ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        ts_s.alias("ts_s"),
+        F.floor(F.col(value_col) * 1000).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("k")
+    xy = base.select(
+        "k",
+        F.floor((F.col("ts_s") - F.min("ts_s").over(w)) / 3600)
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    m = xy.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    from ..qcommon import round6x
+
+    return m.select(
+        F.col("k").alias(key_col),
+        F.col("n").alias("n_events"),
+        F.when(denx != 0, round6x(num / denx)).alias("slope_milli_per_hr"),
+        F.when(
+            denx != 0,
+            round6x((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / denx),
+        ).alias("intercept_milli"),
+        F.when(
+            (denx != 0) & (deny != 0), round6x((num / denx) * (num / deny))
+        ).alias("r2"),
+    )

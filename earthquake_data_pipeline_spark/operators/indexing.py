@@ -83,3 +83,68 @@ def inverted_index(
     if max_df is not None:
         cond = cond & (F.col("df") <= max_df)
     return idx.filter(cond)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_tenths: int = 12,
+    b_hundredths: int = 75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson & Spärck Jones probabilistic relevance framework; the
+    Okapi BM25 form): Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)).
+
+    Determinism discipline: tf, df, dl are exact integers; avgdl enters
+    only via the rational dl·N/Σdl (int/int in doubles); k1 and b are
+    passed as integer tenths/hundredths so the constants are exact
+    decimals; idf uses ln — the ONE transcendental in the repo's
+    oracle-paired surface — applied to a rational argument, and the
+    per-term score is cast to DECIMAL(18,9) BEFORE the Σ_t so the sum
+    is order-free (float summation in shuffle order is not), then the
+    decimal total rounds once at the end.
+
+    Plan: the term filter is an isin on a literal list → the explode is
+    pruned to query-term rows only; df and the doc-length table are two
+    small aggregates; everything joins on term (|Q| rows broadcast) and
+    doc. At 100 TB this is the scatter-gather a search engine runs
+    against the inverted_index above — here expressed directly over the
+    corpus so the whole scoring pass stays three keyed aggregates.
+    """
+    k1 = k1_tenths / 10.0
+    b = b_hundredths / 100.0
+    tok = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_of(text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc").agg(F.count("*").cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    qt = tok.filter(F.col("term").isin(query_terms))
+    tf = qt.groupBy("doc", "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") * F.col("n_docs")) / F.col("sum_dl")
+    )
+    term_score = (
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    ).cast("decimal(18,9)")
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.sum(term_score).alias("score_dec"),
+        )
+    )

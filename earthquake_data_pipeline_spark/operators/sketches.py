@@ -28,7 +28,7 @@ cost is O(distinct-per-batch), not O(rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,4 +171,34 @@ def cms_point_estimates(
         coords.join(F.broadcast(sketch), ["j", "bucket"])
         .groupBy(key_col)
         .agg(F.min("n").alias("cms_est"))
+    )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame
+) -> DataFrame:
+    """Equi-join cardinality estimation from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005, §4.2 inner-product estimation): for
+    each row j, est_j = Σ_bucket a[j][bucket]·b[j][bucket]; the final
+    estimate is min_j est_j. Upper-bounds the true join size (every
+    colliding pair of DISTINCT keys adds spurious product mass, never
+    removes any), with overshoot ≤ εNaNb, ε ≈ e/width per row.
+
+    This is how a cost-based planner sizes a shuffle join from
+    statistics it can maintain in one streaming pass per table — at
+    100 TB you cannot count the join to decide whether to run it. Both
+    sketches are depth×width cells regardless of input size, so this
+    entire estimator runs on grid-sized frames: an equi-join on
+    (j, bucket) then a depth-sized aggregate.
+    """
+    a = sketch_a.select("j", "bucket", F.col("n").alias("na"))
+    b = sketch_b.select("j", "bucket", F.col("n").alias("nb"))
+    per_row = (
+        a.join(b, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("row_est"))
+    )
+    w = Window.partitionBy()  # depth rows total — trivially small
+    return per_row.select(
+        "j", "row_est", F.min("row_est").over(w).alias("join_size_est")
     )

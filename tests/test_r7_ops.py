@@ -188,3 +188,144 @@ def test_weighted_bernoulli_monotone_in_weight(spark):
         .collect()
     }
     assert lo <= hi
+
+
+# ---------- token_bucket_admit ----------
+
+
+def test_token_bucket_spends_and_refills(spark):
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+
+    # burst 2, 1 token / 10 s (den=10): events at t=0,1,2,25
+    ev = _events(spark, [(1, 9, 0), (2, 9, 1), (3, 9, 2), (4, 9, 25)])
+    out = {
+        r["event_id"]: (r["units_before"], r["admitted"])
+        for r in token_bucket_admit(
+            ev, burst=2, refill_num=1, refill_den=10
+        ).collect()
+    }
+    # t=0: full 20, admit -> 10; t=1: 10+1=11, admit -> 1;
+    # t=2: 1+1=2 < 10 deny; t=25: min(20, 2+23)=20 admit
+    assert out == {
+        1: (20, True),
+        2: (11, True),
+        3: (2, False),
+        4: (20, True),
+    }
+
+
+def test_token_bucket_cap_never_exceeded_and_keys_isolated(spark):
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+
+    ev = _events(spark, [(1, 1, 0), (2, 1, 10_000_000), (3, 2, 0)])
+    out = token_bucket_admit(
+        ev, burst=3, refill_num=1, refill_den=5
+    ).collect()
+    assert all(r["units_before"] <= 15 for r in out)
+    assert all(r["admitted"] for r in out)
+
+
+def test_token_bucket_tie_order_by_id(spark):
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+
+    # burst 1: two events same second — lower id wins the only token
+    ev = _events(spark, [(7, 4, 100), (6, 4, 100)])
+    out = {
+        r["event_id"]: r["admitted"]
+        for r in token_bucket_admit(
+            ev, burst=1, refill_num=1, refill_den=1000
+        ).collect()
+    }
+    assert out == {6: True, 7: False}
+
+
+# ---------- cms_join_size ----------
+
+
+def test_cms_join_size_overestimates_and_min_rule(spark):
+    from earthquake_data_pipeline_spark.operators.sketches import (
+        cms_join_size,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(i % 5,) for i in range(50)], ["k"])
+    est = cms_join_size(
+        cms_sketch(a, "k", depth=3, width=64),
+        cms_sketch(b, "k", depth=3, width=64),
+    ).collect()
+    exact = 100 * 50 // 5  # each key: 20*10 pairs, 5 keys
+    final = {r["join_size_est"] for r in est}
+    assert len(final) == 1
+    (f,) = final
+    assert f >= exact  # one-sided: inner product only adds collision mass
+    assert f == min(r["row_est"] for r in est)
+
+
+# ---------- trend_fit ----------
+
+
+def test_trend_fit_exact_line(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import trend_fit
+
+    # y = 2.5 + 0.001*hours -> y_milli = 2500 + 1*x
+    rows = [
+        (1, h * 3600, 2.5 + 0.001 * h) for h in range(10)
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    out = trend_fit(ev).collect()[0]
+    assert out["slope_milli_per_hr"] == 1.0
+    assert out["intercept_milli"] == 2500.0
+    assert out["r2"] == 1.0
+
+
+def test_trend_fit_degenerate_x_gives_nulls(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import trend_fit
+
+    ev = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 200, 7.0)], ["user_id", "ts_s", "value"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = trend_fit(ev).collect()[0]  # both events in hour 0
+    assert out["slope_milli_per_hr"] is None and out["r2"] is None
+
+
+# ---------- bm25_scores ----------
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    from earthquake_data_pipeline_spark.operators.indexing import bm25_scores
+
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare"),
+            (2, "common x"),
+            (3, "common y"),
+            (4, "common z"),
+        ],
+    )
+    out = {
+        r["doc"]: float(r["score_dec"])
+        for r in bm25_scores(docs, ["common", "rare"]).collect()
+    }
+    # doc 1 matches both terms, and rare carries higher idf
+    assert out[1] > out[2] == out[3] == out[4]
+
+
+def test_bm25_length_normalization_penalizes_long_docs(spark):
+    from earthquake_data_pipeline_spark.operators.indexing import bm25_scores
+
+    docs = _docs(spark, [(1, "q"), (2, "q " + "pad " * 50)])
+    out = {
+        r["doc"]: float(r["score_dec"])
+        for r in bm25_scores(docs, ["q"]).collect()
+    }
+    assert out[1] > out[2]
