@@ -554,3 +554,179 @@ QUERIES_R7["trend_fit"] = q_trend_fit
 ORACLE_R7["trend_fit"] = SQL_TREND_FIT
 QUERIES_R7["bm25_topk"] = q_bm25_topk
 ORACLE_R7["bm25_topk"] = SQL_BM25_TOPK
+
+
+def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-ppm PageRank (operators/graph.py::pagerank_ppm) over the
+    corpus token-bigram graph: nodes = tokens, edge weight = bigram
+    count, 3 iterations, damping 0.85 — every transfer an integer DIV,
+    so the fixed-point loop replays exactly in three unrolled CTEs.
+    """
+    _utc(spark)
+    from .operators.graph import pagerank_ppm
+    from .operators.text import tokens_of
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.posexplode(tokens_of("text")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(
+            F.col("a.term").alias("src"), F.col("b.term").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return (
+        pagerank_ppm(edges, iterations=3)
+        .select(F.col("node").alias("term"), "rank_ppm")
+        .orderBy(F.desc("rank_ppm"), "term")
+    )
+
+
+SQL_PAGERANK_TOKENS = r"""
+WITH tok0 AS (
+  SELECT doc_id AS doc, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+), tok AS (SELECT * FROM tok0 WHERE term <> ''),
+edges AS (
+  SELECT a.term AS s, b.term AS d, CAST(count(*) AS BIGINT) AS w
+  FROM tok a JOIN tok b ON a.doc = b.doc AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), ew AS (
+  SELECT e.s, e.d, e.w, o.wout
+  FROM edges e JOIN (SELECT s, sum(w) AS wout FROM edges GROUP BY 1) o
+    USING (s)
+), nodes AS (
+  SELECT DISTINCT node FROM
+    (SELECT s AS node FROM edges UNION ALL SELECT d FROM edges)
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1000000 // (SELECT n FROM nn) AS rank_ppm FROM nodes
+), i1 AS (
+  SELECT n2.node,
+         (150000 // (SELECT n FROM nn))
+         + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS rank_ppm
+  FROM nodes n2
+  LEFT JOIN (
+    SELECT ew.d AS node, sum((r.rank_ppm * ew.w) // ew.wout) AS in_sum
+    FROM ew JOIN r0 r ON r.node = ew.s GROUP BY 1
+  ) c ON c.node = n2.node
+), i2 AS (
+  SELECT n2.node,
+         (150000 // (SELECT n FROM nn))
+         + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS rank_ppm
+  FROM nodes n2
+  LEFT JOIN (
+    SELECT ew.d AS node, sum((r.rank_ppm * ew.w) // ew.wout) AS in_sum
+    FROM ew JOIN i1 r ON r.node = ew.s GROUP BY 1
+  ) c ON c.node = n2.node
+), i3 AS (
+  SELECT n2.node,
+         (150000 // (SELECT n FROM nn))
+         + (850000 * coalesce(c.in_sum, 0)) // 1000000 AS rank_ppm
+  FROM nodes n2
+  LEFT JOIN (
+    SELECT ew.d AS node, sum((r.rank_ppm * ew.w) // ew.wout) AS in_sum
+    FROM ew JOIN i2 r ON r.node = ew.s GROUP BY 1
+  ) c ON c.node = n2.node
+)
+SELECT node AS term, CAST(rank_ppm AS BIGINT) AS rank_ppm
+FROM i3 ORDER BY rank_ppm DESC, term
+"""
+
+
+def q_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance linkage
+    (operators/linkage.py::blocked_edit_join): document pairs in the
+    same (lang, n_chars DIV 32) block whose 64-char heads are within
+    8 edits — character-level near-dup detection, pair work bounded by
+    the block sizes instead of the corpus square.
+    """
+    _utc(spark)
+    from .operators.linkage import blocked_edit_join
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    return blocked_edit_join(
+        docs,
+        "doc_id",
+        "text",
+        [F.col("lang"), F.expr("n_chars DIV 32")],
+        max_dist=8,
+    ).orderBy("id_a", "id_b")
+
+
+SQL_FUZZY_BLOCKED_JOIN = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 32 AS lb,
+         substring(text, 1, 64) AS head
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+ORDER BY id_a, id_b
+"""
+
+
+def q_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic winsorize + min-max scaling per event_type
+    (operators/analytics.py::robust_scale): percentile_disc semantics
+    (value at rank ceil(p·n/100)) make both engines pick the same
+    element; output is clamped ppm in [0, 1e6].
+    """
+    _utc(spark)
+    from .operators.analytics import robust_scale
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return robust_scale(ev).orderBy("event_type", "event_id")
+
+
+SQL_ROBUST_SCALING = """
+WITH base AS (
+  SELECT event_type AS k, value AS v, event_id AS id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), pcts AS (
+  SELECT k,
+         min(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS p_lo,
+         min(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p_hi
+  FROM base GROUP BY 1
+)
+SELECT b.id AS event_id, b.k AS event_type, b.v AS value,
+       p.p_lo, p.p_hi,
+       CASE WHEN p.p_hi > p.p_lo THEN
+         CAST(floor(1000000 * (least(greatest(b.v, p.p_lo), p.p_hi) - p.p_lo)
+                    / (p.p_hi - p.p_lo)) AS BIGINT) END AS scaled_ppm
+FROM base b JOIN pcts p USING (k)
+ORDER BY event_type, event_id
+"""
+
+
+QUERIES_R7["pagerank_tokens"] = q_pagerank_tokens
+ORACLE_R7["pagerank_tokens"] = SQL_PAGERANK_TOKENS
+QUERIES_R7["fuzzy_blocked_join"] = q_fuzzy_blocked_join
+ORACLE_R7["fuzzy_blocked_join"] = SQL_FUZZY_BLOCKED_JOIN
+QUERIES_R7["robust_scaling"] = q_robust_scaling
+ORACLE_R7["robust_scaling"] = SQL_ROBUST_SCALING

@@ -697,3 +697,64 @@ def trend_fit(
             (denx != 0) & (deny != 0), round6x((num / denx) * (num / deny))
         ).alias("r2"),
     )
+
+
+def robust_scale(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorize + min-max scale using EXACT order statistics
+    — the feature-normalization pass a training pipeline runs per
+    source/type, made engine-replayable by avoiding interpolation
+    entirely: the p-th percentile is the value at 1-based sorted rank
+    ceil(p·n/100) (percentile_disc semantics), an integer row
+    selection, so both engines pick the SAME element; the only float
+    math is the final (v-lo)/(hi-lo) ratio of two selected values,
+    floored to ppm.
+
+    Values are clamped to [p_lo, p_hi] (winsorized) before scaling, so
+    scaled_ppm ∈ [0, 1e6]; degenerate groups (p_hi == p_lo) yield null.
+
+    One window + one aggregate + one join, all keyed by the group — a
+    single hash exchange lineage. The window sort is per-group; skewed
+    groups sort within one task (the exact-order-statistic cost; the
+    approx path for scale is approx_stats' KLL-style guarantee).
+    """
+    w = Window.partitionBy("k").orderBy("v", "id")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("id"),
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("k"))
+    ).localCheckpoint(eager=False)  # referenced by pcts AND the join back
+    k_lo = F.expr(f"(n * {lo_pct} + 99) DIV 100")
+    k_hi = F.expr(f"(n * {hi_pct} + 99) DIV 100")
+    pcts = (
+        base.groupBy("k")
+        .agg(
+            F.min(F.when(F.col("rn") == k_lo, F.col("v"))).alias("p_lo"),
+            F.min(F.when(F.col("rn") == k_hi, F.col("v"))).alias("p_hi"),
+        )
+    )
+    joined = base.join(pcts, "k")
+    wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    scaled = F.when(
+        F.col("p_hi") > F.col("p_lo"),
+        F.floor(
+            F.lit(1000000) * (wv - F.col("p_lo"))
+            / (F.col("p_hi") - F.col("p_lo"))
+        ).cast("long"),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("k").alias(key_col),
+        F.col("v").alias(value_col),
+        F.col("p_lo"),
+        F.col("p_hi"),
+        scaled.alias("scaled_ppm"),
+    )

@@ -1,0 +1,88 @@
+"""Graph operators: integer-exact PageRank over an edge list.
+
+Iterative algorithms are where engine-neutral determinism usually dies:
+float mass summed in shuffle order drifts run to run. This PageRank
+keeps every rank in integer ppm (parts-per-million of total mass) and
+every transfer as integer DIV — the whole fixed-point loop is exactly
+replayable by a SQL oracle with one unrolled CTE per iteration.
+
+Semantics (documented deviations from the textbook real-valued form,
+both deterministic and conservative):
+- per-edge transfer is (rank(s) * w) DIV wout(s): each edge floors,
+  so a node's emitted mass can undershoot rank(s) by < outdeg(s) ppm;
+- dangling nodes (no out-edges) leak their mass instead of
+  redistributing it (the standard sparse-implementation shortcut).
+
+100 TB: the rank table is node-sized, edges are edge-sized; each
+iteration is one join (edges × ranks, shuffled or broadcast by
+Catalyst on the rank side's stats) + one aggregate keyed by dst —
+exactly the Pregel-style plan GraphX/GraphFrames runs. Iterations are
+a fixed small count, so the lineage stays bounded without
+checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def pagerank_ppm(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """Weighted PageRank in integer ppm after ``iterations`` rounds.
+
+    rank_0(v) = PPM DIV n for all nodes;
+    rank_{k+1}(v) = (PPM - damping) DIV n
+                    + (damping * Σ_{(s,v,w)} (rank_k(s)*w) DIV wout(s))
+                      DIV PPM.
+
+    Overflow bounds: ranks ≤ PPM, weights ≤ ~2^40 keeps every product
+    under 2^63.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    wout = e.groupBy("s").agg(F.sum("w").alias("wout"))
+    ew = e.join(wout, "s").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # node count: one scalar action up front
+    base = (PPM - damping_ppm) // n
+    ranks = nodes.select("node", (F.lit(PPM // n)).alias("rank_ppm"))
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks, ew["s"] == ranks["node"])
+            .select(
+                F.col("d").alias("node"),
+                F.expr("(rank_ppm * w) DIV wout").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_ppm} * coalesce(in_sum, 0)) DIV {PPM}"
+                    )
+                ).cast("long").alias("rank_ppm"),
+            )
+        )
+    return ranks

@@ -329,3 +329,118 @@ def test_bm25_length_normalization_penalizes_long_docs(spark):
         for r in bm25_scores(docs, ["q"]).collect()
     }
     assert out[1] > out[2]
+
+
+# ---------- pagerank_ppm ----------
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    from earthquake_data_pipeline_spark.operators.graph import pagerank_ppm
+
+    # a -> b -> c -> a, equal weights: ranks stay uniform
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], ["src", "dst", "w"]
+    )
+    out = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(e).collect()}
+    assert len(set(out.values())) == 1
+    # 1e6/3 = 333333 init; fixed point: 50000 + 850000*333333//1e6 = 333333
+    assert out["a"] == 333333
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    from earthquake_data_pipeline_spark.operators.graph import pagerank_ppm
+
+    # a and b both point at c; c points at a: c accumulates
+    e = spark.createDataFrame(
+        [("a", "c", 1), ("b", "c", 1), ("c", "a", 1)], ["src", "dst", "w"]
+    )
+    out = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(e).collect()}
+    assert out["c"] > out["a"] > out["b"]
+
+
+def test_pagerank_weighted_edge_split(spark):
+    from earthquake_data_pipeline_spark.operators.graph import pagerank_ppm
+
+    # a splits 3:1 between b and c (one iteration, no back-edges):
+    # b gets 3x c's incoming transfer
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], ["src", "dst", "w"]
+    )
+    out = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank_ppm(e, iterations=1).collect()
+    }
+    base = 150000 // 3
+    init = 1000000 // 3
+    assert out["b"] == base + (850000 * ((init * 3) // 4)) // 1000000
+    assert out["c"] == base + (850000 * ((init * 1) // 4)) // 1000000
+
+
+# ---------- blocked_edit_join ----------
+
+
+def test_blocked_edit_join_blocks_and_verifies(spark):
+    from earthquake_data_pipeline_spark.operators.linkage import (
+        blocked_edit_join,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "the quick brown fix", "en"),  # 1 edit from doc 1
+            (3, "the quick brown fox", "de"),  # identical but other block
+            (4, "completely different", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in blocked_edit_join(
+            df, "doc_id", "text", [F.col("lang")], max_dist=2
+        ).collect()
+    }
+    assert out == {(1, 2): 1}  # cross-block identical pair NOT found
+
+
+def test_blocked_edit_join_head_cap(spark):
+    from earthquake_data_pipeline_spark.operators.linkage import (
+        blocked_edit_join,
+    )
+
+    # identical 8-char heads, wildly different tails: head_chars=8
+    # declares them 0 edits apart — the documented cap semantics
+    df = spark.createDataFrame(
+        [(1, "prefix00" + "a" * 50, "x"), (2, "prefix00" + "b" * 99, "x")],
+        ["doc_id", "text", "lang"],
+    )
+    out = blocked_edit_join(
+        df, "doc_id", "text", [F.col("lang")], max_dist=0, head_chars=8
+    ).collect()
+    assert len(out) == 1 and out[0]["edit_dist"] == 0
+
+
+# ---------- robust_scale ----------
+
+
+def test_robust_scale_winsorizes_and_scales(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import robust_scale
+
+    # 100 values 1..100 in one group: p5 = 5th value = 5, p95 = 95
+    rows = [(i, "t", float(i)) for i in range(1, 101)]
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = {r["event_id"]: r for r in robust_scale(ev).collect()}
+    assert out[1]["p_lo"] == 5.0 and out[1]["p_hi"] == 95.0
+    assert out[1]["scaled_ppm"] == 0  # clamped below p5
+    assert out[100]["scaled_ppm"] == 1000000  # clamped above p95
+    assert out[50]["scaled_ppm"] == 500000  # (50-5)/90 = 0.5
+    assert out[5]["scaled_ppm"] == 0 and out[95]["scaled_ppm"] == 1000000
+
+
+def test_robust_scale_degenerate_group_is_null(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import robust_scale
+
+    ev = spark.createDataFrame(
+        [(1, "t", 7.0), (2, "t", 7.0)], ["event_id", "event_type", "value"]
+    )
+    out = robust_scale(ev).collect()
+    assert all(r["scaled_ppm"] is None for r in out)
