@@ -174,8 +174,8 @@ def q_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("rows_matched"))
     )
     return (
-        a_range.join(a_hash, "pred_id")
-        .join(matched, "pred_id", "left")
+        a_range.join(F.broadcast(a_hash), "pred_id")
+        .join(F.broadcast(matched), "pred_id", "left")
         .withColumn(
             "rows_matched", F.coalesce("rows_matched", F.lit(0).cast("long"))
         )

@@ -184,3 +184,51 @@ def test_bigram_lm_score_single_corpus_scan(spark):
     plan = plan_of(spark, "bigram_lm_score")
     assert "FileScan" not in plan
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_rate_limit_single_hash_exchange(spark):
+    # both rate-limit windows partition on user_id: one hash exchange
+    # feeds both (plus the final presentation sort) — no per-flag
+    # re-shuffle
+    plan = plan_of(spark, "rate_limit")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") == 2  # + the ORDER BY range exchange
+
+
+def test_inverted_index_two_keyed_aggregates(spark):
+    # (term, doc) then (term): two hash exchanges, no window, no Python
+    plan = plan_of(spark, "inverted_index")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan and "Python" not in plan
+
+
+def test_token_bucket_one_shuffle_one_python_stage(spark):
+    # the sequential recurrence costs exactly one hash exchange on the
+    # key and one Arrow-batched Python stage — nothing else
+    plan = plan_of(spark, "token_bucket")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_trend_fit_window_and_agg_share_partitioning(spark):
+    # min-ts window and moment aggregate both key on user_id: Catalyst
+    # reuses one hash exchange for both
+    plan = plan_of(spark, "trend_fit")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_robust_scaling_single_hash_exchange(spark):
+    # window, percentile aggregate, and join-back all key on the group:
+    # one hash exchange + broadcast join back
+    plan = plan_of(spark, "robust_scaling")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_map_only_before_final_agg(spark):
+    # hash admission is pure codegen: one scan, one aggregate exchange,
+    # no window, no Python
+    plan = plan_of(spark, "weighted_sample")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "Window" not in plan
