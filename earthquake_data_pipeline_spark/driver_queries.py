@@ -2124,10 +2124,11 @@ ORACLE.update(ORACLE_STREAM)
 QUERIES.update(QUERIES_R6)
 ORACLE.update(ORACLE_R6)
 
-from .driver_queries_r7 import ORACLE_R7, QUERIES_R7  # noqa: E402
+from .driver_queries_r7 import ORACLE_R7, QUERIES_R7, lsh_recall_sql  # noqa: E402
 
 QUERIES.update(QUERIES_R7)
 ORACLE.update(ORACLE_R7)
+ORACLE["lsh_recall_audit"] = lsh_recall_sql(_minhash_sql())
 
 from .driver_queries_r6 import dedup_keep_list_sql  # noqa: E402
 

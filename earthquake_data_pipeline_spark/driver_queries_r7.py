@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .qcommon import _table, _utc, round6x
+from .qcommon import _fanout, _table, _utc, round6x
 
 QUERIES_R7: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_R7: dict[str, str] = {}
@@ -730,3 +730,337 @@ QUERIES_R7["fuzzy_blocked_join"] = q_fuzzy_blocked_join
 ORACLE_R7["fuzzy_blocked_join"] = SQL_FUZZY_BLOCKED_JOIN
 QUERIES_R7["robust_scaling"] = q_robust_scaling
 ORACLE_R7["robust_scaling"] = SQL_ROBUST_SCALING
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square + Cramér's V between documents.lang and
+    documents.source (operators/profiling.py::chi2_independence):
+    integer identity (o·n − r·c)²/(n·r·c) per cell, decimal-summed;
+    absent cells folded in via the closed form n − Σ_present r·c/n.
+    """
+    _utc(spark)
+    from .operators.profiling import chi2_independence
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "source")
+    return chi2_independence(docs, "lang", "source")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT a) AS BIGINT) AS nr,
+         CAST(count(DISTINCT b) AS BIGINT) AS nc
+  FROM cells
+), pres AS (
+  SELECT sum(CAST((cells.o * tot.n - ra.r * cb.c)
+                  * (cells.o * tot.n - ra.r * cb.c)
+                  / (tot.n * ra.r * cb.c) AS DECIMAL(28,12)))
+           AS chi2_present,
+         sum(CAST((ra.r * cb.c) / tot.n AS DECIMAL(28,12))) AS e_present,
+         first(tot.n) AS n, first(tot.nr) AS nr, first(tot.nc) AS nc
+  FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+)
+SELECT CAST(n AS BIGINT) AS n_rows, CAST(nr AS BIGINT) AS n_rowcats,
+       CAST(nc AS BIGINT) AS n_colcats,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       CAST(round(CAST(CAST(chi2_present AS DOUBLE)
+            + (CAST(n AS DOUBLE) - CAST(e_present AS DOUBLE))
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS chi2,
+       CAST(round(CAST(sqrt((CAST(chi2_present AS DOUBLE)
+            + (CAST(n AS DOUBLE) - CAST(e_present AS DOUBLE)))
+            / (n * least(nr - 1, nc - 1)))
+            AS DECIMAL(18,12)), 6) AS DOUBLE) AS cramers_v
+FROM pres
+"""
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of l_extendedprice
+    (operators/profiling.py::equidepth_histogram): boundaries from the
+    cumulative DISTINCT-VALUE histogram — integer bucket selection
+    ((cum−1)·8 DIV n), the CBO stat next to zone_maps.
+    """
+    _utc(spark)
+    from .operators.profiling import equidepth_histogram
+
+    li = _table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return equidepth_histogram(li, "l_extendedprice", 8).orderBy("bucket")
+
+
+SQL_EQUIDEPTH_HISTOGRAM = """
+WITH h AS (
+  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+), c AS (
+  SELECT v, cnt,
+         sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         (SELECT CAST(sum(cnt) AS BIGINT) FROM h) AS n
+  FROM h
+)
+SELECT CAST(((cum - 1) * 8) // n AS BIGINT) AS bucket,
+       min(v) AS lo, max(v) AS hi,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of value per event_type
+    (operators/analytics.py::trimmed_mean): exact rank cuts, decimal
+    accumulation for the order-free mean.
+    """
+    _utc(spark)
+    from .operators.analytics import trimmed_mean
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return trimmed_mean(ev).orderBy("event_type")
+
+
+SQL_TRIMMED_MEAN = """
+WITH base AS (
+  SELECT event_type AS k, value AS v, event_id AS id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), kept AS (
+  SELECT * FROM base
+  WHERE rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100
+)
+SELECT k AS event_type, CAST(first(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       min(v) AS min_kept, max(v) AS max_kept,
+       CAST(round(CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS trimmed_mean
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality.py::k_anonymity_audit) of
+    customer quasi-identifiers (nationkey, mktsegment) at k=10, sliced
+    per nation — the release-gate privacy census beside pii_redact.
+    """
+    _utc(spark)
+    from .operators.quality import k_anonymity_audit
+
+    cust = _table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=10, by_col="c_nationkey"
+    ).orderBy("c_nationkey")
+
+
+SQL_K_ANONYMITY = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS cls_n
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN cls_n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(min(cls_n) AS BIGINT) AS min_class,
+       CAST(sum(cls_n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN cls_n < 10 THEN cls_n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST((sum(CASE WHEN cls_n < 10 THEN cls_n ELSE 0 END) * 1000000)
+            // sum(cls_n) AS BIGINT) AS risk_ppm
+FROM classes GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (operators/indexing.py::boolean_search): docs
+    containing 'hash' AND 'join' but NOT 'slow', with per-term tf —
+    one pruned explode + one doc-keyed aggregate.
+    """
+    _utc(spark)
+    from .operators.indexing import boolean_search
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        boolean_search(docs, ["hash", "join"], ["slow"])
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("tf_0").alias("tf_hash"),
+            F.col("tf_1").alias("tf_join"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_BOOLEAN_SEARCH = r"""
+WITH tok AS (
+  SELECT doc_id AS doc, t.term
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(toks) AS term) t
+  WHERE t.term IN ('hash', 'join', 'slow')
+), flags AS (
+  SELECT doc,
+         CAST(sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_hash,
+         CAST(sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_join,
+         CAST(sum(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tf_slow
+  FROM tok GROUP BY 1
+)
+SELECT doc AS doc_id, tf_hash, tf_join
+FROM flags WHERE tf_hash > 0 AND tf_join > 0 AND tf_slow = 0
+ORDER BY doc_id
+"""
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: measured precision/recall of the MinHash-
+    LSH candidate generator (12 hashes, 4 bands) against EXACT shingle-
+    Jaccard ≥ 2/3 ground truth from the prefix filter
+    (fuzzy_dedup.py::prefix_filter_join with shingles_of — exact, no
+    false negatives), plus the banding-theory expected recall
+    E[1−(1−J³)⁴] evaluated polynomially (no pow), decimal-accumulated.
+    The audit a pipeline runs before trusting probabilistic dedup at
+    100 TB: both sides are the documented scale plans, never all-pairs.
+    """
+    _utc(spark)
+    from .operators.fuzzy_dedup import (
+        minhash_lsh_pairs,
+        prefix_filter_join,
+        shingles_of,
+    )
+
+    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    exact = prefix_filter_join(
+        docs, threshold_num=2, threshold_den=3,
+        tokens_expr=shingles_of("text"),
+    ).select("id_a", "id_b", "n_inter", "n_union")
+    lsh = minhash_lsh_pairs(docs, num_hashes=12, num_bands=4).select(
+        "id_a", "id_b", F.lit(True).alias("in_lsh")
+    )
+    joined = exact.join(lsh, ["id_a", "id_b"], "full")
+    j = F.col("n_inter") / F.col("n_union")
+    y = F.lit(1.0) - j * j * j
+    p_detect = F.lit(1.0) - y * y * y * y
+    is_exact = F.col("n_inter").isNotNull()
+    tp = (is_exact & F.col("in_lsh").isNotNull()).cast("long")
+    return joined.agg(
+        F.sum(is_exact.cast("long")).cast("long").alias("n_exact"),
+        F.sum(F.col("in_lsh").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_lsh"),
+        F.sum(tp).cast("long").alias("tp"),
+        (F.sum(F.col("in_lsh").isNotNull().cast("long")) - F.sum(tp))
+        .cast("long")
+        .alias("fp"),
+        (F.sum(is_exact.cast("long")) - F.sum(tp)).cast("long").alias("fn"),
+        round6x(F.sum(tp) / F.sum(F.col("in_lsh").isNotNull().cast("long")))
+        .alias("precision"),
+        round6x(F.sum(tp) / F.sum(is_exact.cast("long"))).alias("recall"),
+        round6x(
+            F.sum(
+                F.when(is_exact, p_detect.cast("decimal(18,12)"))
+            ).cast("double")
+            / F.sum(is_exact.cast("long"))
+        ).alias("expected_recall"),
+    )
+
+
+def lsh_recall_sql(minhash_sql: str) -> str:
+    """Oracle for lsh_recall_audit, parameterized on the MinHash pair
+    fragment (same import-order reason as dedup_keep_list_sql). The
+    exact side is the brute-force all-pairs shingle join — a hash match
+    proves the Spark prefix-filter ground truth loses nothing."""
+    return rf"""
+WITH lshp AS (
+{minhash_sql}
+), toks2 AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+             generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM toks2
+), ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_inter,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+              AS INT) AS n_union
+  FROM sh2 a JOIN sh2 b
+    ON a.doc_id < b.doc_id
+   AND least(len(a.sh), len(b.sh)) * 3 >= greatest(len(a.sh), len(b.sh)) * 2
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 3
+        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 2
+), lsh AS (
+  SELECT doc_a AS id_a, doc_b AS id_b, TRUE AS in_lsh FROM lshp
+), joined AS (
+  SELECT coalesce(e.id_a, l.id_a) AS id_a,
+         coalesce(e.id_b, l.id_b) AS id_b,
+         e.n_inter, e.n_union, l.in_lsh
+  FROM ex e FULL OUTER JOIN lsh l
+    ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT CAST(sum(CASE WHEN n_inter IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(sum(CASE WHEN in_lsh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lsh,
+       CAST(sum(CASE WHEN n_inter IS NOT NULL AND in_lsh IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN in_lsh IS NOT NULL THEN 1 ELSE 0 END)
+            - sum(CASE WHEN n_inter IS NOT NULL AND in_lsh IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN n_inter IS NOT NULL THEN 1 ELSE 0 END)
+            - sum(CASE WHEN n_inter IS NOT NULL AND in_lsh IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(round(CAST(
+         sum(CASE WHEN n_inter IS NOT NULL AND in_lsh IS NOT NULL
+                  THEN 1 ELSE 0 END)
+         / sum(CASE WHEN in_lsh IS NOT NULL THEN 1 ELSE 0 END)
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS precision,
+       CAST(round(CAST(
+         sum(CASE WHEN n_inter IS NOT NULL AND in_lsh IS NOT NULL
+                  THEN 1 ELSE 0 END)
+         / sum(CASE WHEN n_inter IS NOT NULL THEN 1 ELSE 0 END)
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS recall,
+       CAST(round(CAST(CAST(
+         sum(CASE WHEN n_inter IS NOT NULL THEN CAST(
+           1.0 - (1.0 - (n_inter / n_union) * (n_inter / n_union)
+                        * (n_inter / n_union))
+               * (1.0 - (n_inter / n_union) * (n_inter / n_union)
+                        * (n_inter / n_union))
+               * (1.0 - (n_inter / n_union) * (n_inter / n_union)
+                        * (n_inter / n_union))
+               * (1.0 - (n_inter / n_union) * (n_inter / n_union)
+                        * (n_inter / n_union))
+           AS DECIMAL(18,12)) END) AS DOUBLE)
+         / sum(CASE WHEN n_inter IS NOT NULL THEN 1 ELSE 0 END)
+         AS DECIMAL(18,12)), 6) AS DOUBLE) AS expected_recall
+FROM joined
+"""
+
+
+QUERIES_R7["chi2_independence"] = q_chi2_independence
+ORACLE_R7["chi2_independence"] = SQL_CHI2_INDEPENDENCE
+QUERIES_R7["equidepth_histogram"] = q_equidepth_histogram
+ORACLE_R7["equidepth_histogram"] = SQL_EQUIDEPTH_HISTOGRAM
+QUERIES_R7["trimmed_mean"] = q_trimmed_mean
+ORACLE_R7["trimmed_mean"] = SQL_TRIMMED_MEAN
+QUERIES_R7["k_anonymity"] = q_k_anonymity
+ORACLE_R7["k_anonymity"] = SQL_K_ANONYMITY
+QUERIES_R7["boolean_search"] = q_boolean_search
+ORACLE_R7["boolean_search"] = SQL_BOOLEAN_SEARCH
+QUERIES_R7["lsh_recall_audit"] = q_lsh_recall_audit

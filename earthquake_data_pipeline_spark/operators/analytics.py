@@ -758,3 +758,43 @@ def robust_scale(
         F.col("p_hi"),
         scaled.alias("scaled_ppm"),
     )
+
+
+def trimmed_mean(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest ``trim_pct``
+    percent of rows by value (exact rank cut, ties broken by id — the
+    same percentile_disc discipline robust_scale uses), then average
+    the middle with DECIMAL accumulation so the mean is order-free.
+
+    The robust location estimate to pair with mad_outliers' robust
+    spread: one window + one aggregate on the group key.
+    """
+    w = Window.partitionBy("k").orderBy("v", "id")
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("id"),
+    ).withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("k"))
+    )
+    k_lo = F.expr(f"(n * {trim_pct}) DIV 100")  # drop ranks <= k_lo
+    k_hi = F.expr(f"n - (n * {trim_pct}) DIV 100")  # drop ranks > k_hi
+    kept = base.filter((F.col("rn") > k_lo) & (F.col("rn") <= k_hi))
+    from ..qcommon import round6x
+
+    return kept.groupBy("k").agg(
+        F.first("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_kept"),
+        F.min("v").alias("min_kept"),
+        F.max("v").alias("max_kept"),
+        round6x(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("trimmed_mean"),
+    ).withColumnRenamed("k", key_col)

@@ -293,6 +293,7 @@ def prefix_filter_join(
     text_col: str = "text",
     threshold_num: int = 1,
     threshold_den: int = 2,
+    tokens_expr: Column | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity self-join via prefix
     filtering (the AllPairs/PPJoin family — Bayardo et al., WWW'07;
@@ -317,6 +318,10 @@ def prefix_filter_join(
       membership; t is the rational num/den, and ceil(t*|x|) is
       computed as the integer floor((|x|*num + den - 1) / den)).
 
+    ``tokens_expr`` overrides the default whitespace tokenization with
+    any array<string> Column (e.g. shingles_of for shingle-set
+    similarity) — the filter chain is tokenization-agnostic.
+
     100 TB design: the document-frequency aggregate and the prefix
     equi-join shuffle on TOKENS (heavily reduced: one row per prefix
     token, prefixes are (1-t) of each doc); the verification join
@@ -328,11 +333,12 @@ def prefix_filter_join(
     from ..qcommon import round6x
 
     num, den = threshold_num, threshold_den
+    base_tokens = tokens_of(text_col) if tokens_expr is None else tokens_expr
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
             F.array_distinct(
-                F.filter(tokens_of(text_col), lambda x: x != "")
+                F.filter(base_tokens, lambda x: x != "")
             ).alias("toks"),
         )
         .withColumn("sz", F.size("toks"))

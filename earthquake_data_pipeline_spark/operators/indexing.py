@@ -148,3 +148,44 @@ def bm25_scores(
             F.sum(term_score).alias("score_dec"),
         )
     )
+
+
+def boolean_search(
+    docs: DataFrame,
+    must: list[str],
+    must_not: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval (AND over ``must``, NOT over ``must_not``) with
+    per-term match counts — the query side of inverted_index, expressed
+    directly over the corpus as one pruned explode + one doc-keyed
+    aggregate (the isin literal filter cuts the token stream to query
+    terms before any shuffle).
+
+    Returns matching docs with tf per must-term (tf_0.. in must order).
+    """
+    terms = list(must) + list(must_not or [])
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens_of(text_col)).alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    aggs = [
+        F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+        for i, t in enumerate(must)
+    ] + [
+        F.sum((F.col("term") == t).cast("long")).alias(f"not_{i}")
+        for i, t in enumerate(must_not or [])
+    ]
+    flags = tok.groupBy("doc").agg(*aggs)
+    cond = F.lit(True)
+    for i in range(len(must)):
+        cond = cond & (F.col(f"tf_{i}") > 0)
+    for i in range(len(must_not or [])):
+        cond = cond & (F.col(f"not_{i}") == 0)
+    return flags.filter(cond).drop(
+        *[f"not_{i}" for i in range(len(must_not or []))]
+    )

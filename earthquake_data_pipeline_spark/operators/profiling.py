@@ -180,3 +180,120 @@ def join_explosion_audit(
         .orderBy(F.desc("out_rows"), key_col)
         .limit(top_k)
     )
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square independence test between two categorical
+    columns — the feature/label leakage probe a curation pipeline runs
+    before trusting a metadata column (is `source` informative of
+    `lang`?).
+
+    Exactness: each cell's term is computed from the INTEGER identity
+    (o·n − r·c)² / (n·r·c) — observed o, margins r,c and total n are
+    exact counts, so the numerator is exact int64; the only float is
+    the per-cell division, cast to DECIMAL(28,12) before the Σ so the
+    sum is order-free. Cramér's V uses sqrt, which IEEE 754 rounds
+    correctly — the one engine-identical transcendental.
+
+    Shape: one (a,b) aggregate + two margin aggregates joined back —
+    contingency-table-sized frames after the first pass, so the test
+    costs one scan regardless of input size.
+    """
+    cells = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
+    cells = cells.localCheckpoint(eager=False)  # margins + join reuse it
+    ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("a").alias("nr"),
+        F.count_distinct("b").alias("nc"),
+    )
+    term = (
+        (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+        / (F.col("n") * F.col("r") * F.col("c"))
+    ).cast("decimal(28,12)")
+    # absent cells (o=0) contribute r*c/n each: total the closed form
+    # Σ_all e − Σ_present e = n − Σ_present r·c/n, folded in below
+    present = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(term).alias("chi2_present"),
+            F.sum(
+                ((F.col("r") * F.col("c")) / F.col("n")).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("e_present"),
+            F.first("n").alias("n"),
+            F.first("nr").alias("nr"),
+            F.first("nc").alias("nc"),
+        )
+    )
+    from ..qcommon import round6x
+
+    chi2 = (
+        F.col("chi2_present").cast("double")
+        + (F.col("n").cast("double") - F.col("e_present").cast("double"))
+    )
+    dof = (F.col("nr") - 1) * (F.col("nc") - 1)
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n")
+            * F.least(F.col("nr") - 1, F.col("nc") - 1)
+        )
+    )
+    return present.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("nr").cast("long").alias("n_rowcats"),
+        F.col("nc").cast("long").alias("n_colcats"),
+        dof.cast("long").alias("dof"),
+        round6x(chi2).alias("chi2"),
+        round6x(v).alias("cramers_v"),
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, buckets: int = 8
+) -> DataFrame:
+    """Equi-depth histogram — the CBO statistic that complements
+    zone_maps: bucket boundaries chosen so each bucket holds ~n/buckets
+    rows, computed EXACTLY from the cumulative value histogram.
+
+    A value's rows land in the bucket of their LAST cumulative position
+    (((cum−1)·buckets) DIV n) — pure integer selection, so ties never
+    straddle engines differently; heavy values may span fewer distinct
+    buckets (a value with > n/buckets rows swallows its bucket — the
+    standard histogram-skew signal, visible as n_rows imbalance).
+
+    Scale shape: the groupBy collapses rows to DISTINCT VALUES before
+    the cumulative window, so the single-partition sort the window
+    needs runs on the value domain, not the data (same trade
+    percentile_stats makes; for a domain too large for one task, range
+    partition and offset per-partition cumsums).
+    """
+    h = df.select(F.col(value_col).alias("v")).groupBy("v").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "v", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(
+        F.broadcast(h.agg(F.sum("cnt").cast("long").alias("n")))
+    )
+    b = F.expr(f"((cum - 1) * {buckets}) DIV n")
+    return (
+        cum.groupBy(b.cast("long").alias("bucket"))
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+    )

@@ -190,3 +190,38 @@ def fact_reconciliation(
         )
         .orderBy("bucket")
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 10,
+    by_col: str | None = None,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: a row is
+    re-identifiable if its QI equivalence class holds fewer than ``k``
+    rows. Reports, per ``by_col`` slice (or one global row), the class
+    census and the suppression rate a k-anonymizer would pay —
+    the privacy gate a dataset release runs next to the PII redaction
+    pass (operators/text.py::redact_pii).
+
+    Two aggregates: rows → QI classes (data-sized shuffle, the QI tuple
+    is the key) → slice census (class-domain-sized). rate_ppm is exact
+    integer arithmetic.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("cls_n"))
+    group = [F.col(by_col)] if by_col else [F.lit(0).alias("all_rows")]
+    violating = F.col("cls_n") < k
+    return classes.groupBy(*group).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(violating.cast("long")).cast("long").alias("n_violating"),
+        F.min("cls_n").cast("long").alias("min_class"),
+        F.sum("cls_n").cast("long").alias("n_rows"),
+        F.sum(F.when(violating, F.col("cls_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.expr(
+            f"CAST((sum(CASE WHEN cls_n < {k} THEN cls_n ELSE 0 END)"
+            " * 1000000) DIV sum(cls_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

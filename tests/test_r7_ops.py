@@ -444,3 +444,145 @@ def test_robust_scale_degenerate_group_is_null(spark):
     )
     out = robust_scale(ev).collect()
     assert all(r["scaled_ppm"] is None for r in out)
+
+
+# ---------- chi2_independence ----------
+
+
+def test_chi2_independent_columns_zero(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        chi2_independence,
+    )
+
+    # perfectly balanced 2x2: chi2 exactly 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")] * 5
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert out["chi2"] == 0.0 and out["cramers_v"] == 0.0
+    assert out["dof"] == 1 and out["n_rows"] == 20
+
+
+def test_chi2_perfect_association(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        chi2_independence,
+    )
+
+    # u determines v: chi2 = n, Cramér's V = 1
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert out["chi2"] == 20.0 and out["cramers_v"] == 1.0
+
+
+def test_chi2_absent_cells_counted(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        chi2_independence,
+    )
+
+    # textbook 2x2 with a zero cell: [[4,0],[2,2]]
+    # margins r=(4,4) c=(6,2) n=8; e=(3,1,3,1)
+    # chi2 = 1/3 + 1 + 1/3 + 1 = 8/3
+    rows = [("a", "x")] * 4 + [("b", "x")] * 2 + [("b", "y")] * 2
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert abs(out["chi2"] - 8 / 3) < 1e-6
+
+
+# ---------- equidepth_histogram ----------
+
+
+def test_equidepth_uniform_buckets(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(80)], ["x"])
+    out = {
+        r["bucket"]: (r["lo"], r["hi"], r["n_rows"])
+        for r in equidepth_histogram(df, "x", 8).collect()
+    }
+    assert len(out) == 8
+    assert all(v[2] == 10 for v in out.values())
+    assert out[0] == (0.0, 9.0, 10) and out[7] == (70.0, 79.0, 10)
+
+
+def test_equidepth_heavy_value_swallows_bucket(spark):
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        equidepth_histogram,
+    )
+
+    # one value holds half the rows: it lands in ONE bucket (ties never
+    # split), so bucket sizes are skewed — the histogram-skew signal
+    rows = [(1.0,)] * 50 + [(float(i),) for i in range(2, 52)]
+    df = spark.createDataFrame(rows, ["x"])
+    out = equidepth_histogram(df, "x", 4).collect()
+    total = sum(r["n_rows"] for r in out)
+    assert total == 100
+    big = max(out, key=lambda r: r["n_rows"])
+    assert big["n_rows"] >= 50 and big["lo"] == 1.0
+
+
+# ---------- trimmed_mean ----------
+
+
+def test_trimmed_mean_drops_tails(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import trimmed_mean
+
+    # 10 values incl. two wild outliers; 10% trim drops exactly the
+    # lowest and highest single rows
+    vals = [-1000.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]
+    ev = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(vals)],
+        ["event_id", "event_type", "value"],
+    )
+    out = trimmed_mean(ev).collect()[0]
+    assert out["n"] == 10 and out["n_kept"] == 8
+    assert out["min_kept"] == 2.0 and out["max_kept"] == 9.0
+    assert out["trimmed_mean"] == 5.5
+
+
+# ---------- k_anonymity_audit ----------
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    from earthquake_data_pipeline_spark.operators.quality import (
+        k_anonymity_audit,
+    )
+
+    rows = [("us", "A")] * 10 + [("us", "B")] * 2 + [("de", "A")] * 5
+    df = spark.createDataFrame(rows, ["nation", "seg"])
+    out = {
+        r["nation"]: r
+        for r in k_anonymity_audit(
+            df, ["nation", "seg"], k=5, by_col="nation"
+        ).collect()
+    }
+    us = out["us"]
+    assert us["n_classes"] == 2 and us["n_violating"] == 1
+    assert us["rows_at_risk"] == 2 and us["risk_ppm"] == 2 * 1000000 // 12
+    de = out["de"]
+    assert de["n_violating"] == 0 and de["rows_at_risk"] == 0
+
+
+# ---------- boolean_search ----------
+
+
+def test_boolean_search_and_not(spark):
+    from earthquake_data_pipeline_spark.operators.indexing import (
+        boolean_search,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x y z"),
+            (2, "x y bad"),  # excluded by NOT
+            (3, "x z"),  # missing y
+            (4, "y x x"),  # matches, tf_x=2
+        ],
+    )
+    out = {
+        r["doc"]: (r["tf_0"], r["tf_1"])
+        for r in boolean_search(docs, ["x", "y"], ["bad"]).collect()
+    }
+    assert out == {1: (1, 1), 4: (2, 1)}
