@@ -1064,3 +1064,215 @@ ORACLE_R7["k_anonymity"] = SQL_K_ANONYMITY
 QUERIES_R7["boolean_search"] = q_boolean_search
 ORACLE_R7["boolean_search"] = SQL_BOOLEAN_SEARCH
 QUERIES_R7["lsh_recall_audit"] = q_lsh_recall_audit
+
+
+def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance
+    (operators/merge.py::incremental_join_agg): orders x lineitem
+    join-aggregate view refreshed via the delta identity
+    Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, with ~10% hash-split deltas on
+    each side. The oracle recomputes the view from scratch — a hash
+    match IS the IVM correctness proof.
+    """
+    _utc(spark)
+    from .operators.merge import incremental_join_agg
+    from .operators.sampling import hash_bucket
+
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    o_delta = hash_bucket("o_orderkey", "ivm") < F.lit(429496729)
+    l_delta = (
+        hash_bucket(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_extendedprice").cast("string"),
+            ),
+            "ivm",
+        )
+        < F.lit(429496729)
+    )
+    view = incremental_join_agg(
+        orders.filter(~o_delta),
+        orders.filter(o_delta),
+        li.filter(~l_delta),
+        li.filter(l_delta),
+        "o_orderkey",
+        "l_extendedprice",
+    )
+    return view.select(
+        "o_orderkey",
+        "n_pairs",
+        (F.col("total") * 100).cast("long").alias("total_cents"),
+    ).orderBy("o_orderkey")
+
+
+SQL_INCREMENTAL_JOIN_VIEW = """
+SELECT o.o_orderkey,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS total_cents
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (operators/analytics.py::pareto_frontier_2d)
+    of orders maximizing (o_totalprice, order day): the non-dominated
+    set via the sort-filter algorithm — one domain-sized window, one
+    join back, never the quadratic dominance self-join.
+    """
+    _utc(spark)
+    from .operators.analytics import pareto_frontier_2d
+
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day"),
+    )
+    return (
+        pareto_frontier_2d(orders, "price", "day", "o_orderkey")
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.col("x").alias("price"),
+            F.col("y").alias("day"),
+        )
+        .orderBy(F.desc("price"), "day", "o_orderkey")
+    )
+
+
+SQL_PARETO_FRONTIER = """
+WITH base AS (
+  SELECT o_orderkey AS id, o_totalprice AS x,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+  FROM orders
+), gx AS (
+  SELECT x, max(y) AS gy FROM base GROUP BY 1
+), gx2 AS (
+  SELECT x, gy,
+         max(gy) OVER (ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS my
+  FROM gx
+)
+SELECT b.id AS o_orderkey, b.x AS price, b.y AS day
+FROM base b JOIN gx2 g USING (x)
+WHERE b.y = g.gy AND (g.my IS NULL OR b.y > g.my)
+ORDER BY price DESC, day, o_orderkey
+"""
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit
+    (operators/quality.py::fk_integrity_audit): lineitem.l_suppkey
+    against the supplier dim RESTRICTED to s_suppkey < 90 (a simulated
+    decommissioned-supplier window), so the orphan path is exercised:
+    keys 90..99 surface as orphans with row counts and ppm.
+    """
+    _utc(spark)
+    from .operators.quality import fk_integrity_audit
+
+    li = _table(spark, sf_dir, "lineitem").select("l_suppkey")
+    supp = _table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") < 90
+    )
+    return fk_integrity_audit(li, "l_suppkey", supp, "s_suppkey")
+
+
+SQL_FK_INTEGRITY = """
+WITH fkc AS (
+  SELECT l_suppkey AS fk, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+), dim AS (
+  SELECT DISTINCT s_suppkey AS fk FROM supplier WHERE s_suppkey < 90
+), orphans AS (
+  SELECT f.fk, f.n FROM fkc f
+  WHERE f.fk IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM dim d WHERE d.fk = f.fk)
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN fk IS NULL THEN n ELSE 0 END) AS BIGINT)
+           AS n_null_fk,
+         CAST(count(CASE WHEN fk IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_fk_values
+  FROM fkc
+), o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphan_keys,
+         CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orphan_rows
+  FROM orphans
+)
+SELECT n_rows, n_null_fk, n_fk_values, n_orphan_keys, n_orphan_rows,
+       CAST((n_orphan_rows * 1000000) // n_rows AS BIGINT) AS orphan_ppm
+FROM t, o
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (operators/merge.py::golden_record)
+    per user over events with two fields deterministically masked to
+    null ('click' types; values < 50) so field-level recency genuinely
+    differs per field: each field takes the LATEST non-null value,
+    (ts, id)-total tie order, with per-field source timestamps.
+    """
+    _utc(spark)
+    from .operators.merge import golden_record
+
+    ev = _table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+        F.expr("nullif(event_type, 'click')").alias("etype"),
+        F.expr("CASE WHEN value < 50 THEN NULL ELSE value END").alias("val"),
+    )
+    return (
+        golden_record(ev, "user_id", "ts_s", "event_id", ["etype", "val"])
+        .orderBy("user_id")
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         nullif(event_type, 'click') AS etype,
+         CASE WHEN value < 50 THEN NULL ELSE value END AS val
+  FROM events
+), t_e AS (
+  SELECT user_id, etype, ts_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_s DESC, event_id DESC) AS rn
+  FROM e WHERE etype IS NOT NULL
+), t_v AS (
+  SELECT user_id, val, ts_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_s DESC, event_id DESC) AS rn
+  FROM e WHERE val IS NOT NULL
+), nv AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions
+  FROM e GROUP BY 1
+)
+SELECT nv.user_id,
+       te.etype, te.ts_s AS etype_ts,
+       tv.val, tv.ts_s AS val_ts,
+       nv.n_versions
+FROM nv
+LEFT JOIN (SELECT * FROM t_e WHERE rn = 1) te USING (user_id)
+LEFT JOIN (SELECT * FROM t_v WHERE rn = 1) tv USING (user_id)
+ORDER BY nv.user_id
+"""
+
+
+QUERIES_R7["incremental_join_view"] = q_incremental_join_view
+ORACLE_R7["incremental_join_view"] = SQL_INCREMENTAL_JOIN_VIEW
+QUERIES_R7["pareto_frontier"] = q_pareto_frontier
+ORACLE_R7["pareto_frontier"] = SQL_PARETO_FRONTIER
+QUERIES_R7["fk_integrity"] = q_fk_integrity
+ORACLE_R7["fk_integrity"] = SQL_FK_INTEGRITY
+QUERIES_R7["golden_record"] = q_golden_record
+ORACLE_R7["golden_record"] = SQL_GOLDEN_RECORD

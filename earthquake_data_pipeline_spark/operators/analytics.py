@@ -798,3 +798,47 @@ def trimmed_mean(
             / F.count("*")
         ).alias("trimmed_mean"),
     ).withColumnRenamed("k", key_col)
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row — maximizing both x and y, where B dominates A iff B.x >= A.x,
+    B.y >= A.y and B is strictly better on at least one axis.
+
+    The sort-filter formulation: collapse to the per-distinct-x max y
+    (domination within an x group), run one x-DESC window for the max y
+    among STRICTLY larger x (the distinct-x frame makes "strictly
+    larger" a ROWS frame, immune to arbitrary float gaps), then keep
+    rows whose y tops their own x group and strictly beats that running
+    max — instead of the naive quadratic self-join.
+
+    Ties: equal (x, y) rows dominate each other only under 'strictly
+    better somewhere', so ALL of an equal-point group survive together.
+
+    100 TB: the x-distinct frame is domain-sized; its global window is
+    the same single-sort trade equidepth_histogram documents. The
+    data-sized work is one groupBy(x) and one join back on x.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    gx = base.groupBy("x").agg(F.max("y").alias("gy"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gx2 = gx.withColumn("my", F.max("gy").over(w))
+    return (
+        base.join(gx2, "x")
+        .filter(
+            (F.col("y") == F.col("gy"))
+            & (F.col("my").isNull() | (F.col("y") > F.col("my")))
+        )
+        .select("id", "x", "y")
+    )

@@ -331,3 +331,81 @@ def snapshot_diff(
         )
         .orderBy(key_col)
     )
+
+
+def incremental_join_agg(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    key: str,
+    agg_col: str,
+) -> DataFrame:
+    """Incremental maintenance of a join-aggregate view — the delta
+    identity Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB applied to
+    ``SELECT key, count(*), sum(agg) FROM A JOIN B USING (key)``:
+    the new view equals old-view ⊎ the three delta joins, merged by
+    ADDING counts/sums (the standard IVM plan for SPJA views; sums ride
+    DECIMAL so merge order can't drift them).
+
+    Why it matters at 100 TB: re-joining two petabyte tables to refresh
+    a view is the cost IVM avoids — the three delta joins touch only
+    delta-sized inputs on the big sides' partitioning. Here the old
+    view is recomputed from base (the test fixture IS the proof: the
+    incremental result must hash-equal the full recompute the oracle
+    runs).
+    """
+    def view(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, key)
+            .groupBy(key)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col(agg_col).cast("decimal(18,2)")).alias("s"),
+            )
+        )
+
+    parts = [
+        view(base_a, base_b),
+        view(delta_a, base_b),
+        view(base_a, delta_b),
+        view(delta_a, delta_b),
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy(key).agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        F.sum("s").cast("decimal(18,2)").alias("total"),
+    )
+
+
+def golden_record(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Survivorship / golden-record construction (the MDM merge step):
+    per key, each field independently takes its value from the LATEST
+    row where that field is non-null — ties on the timestamp break by
+    id, so the winner is total and engine-replayable (DuckDB arg_max
+    breaks ties arbitrarily; the oracle must use the same explicit
+    (ts, id) struct-max instead).
+
+    One aggregate per key: max_by(field, struct(ts, id)) over the
+    non-null rows of that field — field-level recency without N
+    self-joins. Output carries per-field source timestamps so lineage
+    is auditable.
+    """
+    aggs = []
+    for c in value_cols:
+        pick = F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i")),
+        )
+        aggs.append(F.max_by(F.col(c), pick).alias(c))
+        aggs.append(F.max(pick).getField("t").alias(f"{c}_ts"))
+    aggs.append(F.count("*").cast("long").alias("n_versions"))
+    return df.groupBy(key_col).agg(*aggs)

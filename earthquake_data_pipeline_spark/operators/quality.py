@@ -225,3 +225,53 @@ def k_anonymity_audit(
             " * 1000000) DIV sum(cls_n) AS BIGINT)"
         ).alias("risk_ppm"),
     )
+
+
+def fk_integrity_audit(
+    fact: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    pk_col: str,
+) -> DataFrame:
+    """Referential-integrity census: how many fact rows carry a foreign
+    key with no parent (left anti semantics), how many are null, and
+    the orphan-key domain size — the warehouse-health check every load
+    (operators/merge.py's upsert path) should gate on.
+
+    One aggregate-then-anti-join: the fact side collapses to its FK
+    domain FIRST (groupBy fk → count), so the anti-join runs on
+    key-domain-sized frames — at 100 TB you audit the domain, not the
+    rows.
+    """
+    fk_counts = (
+        fact.groupBy(F.col(fk_col).alias("fk"))
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # referenced by totals + anti-join
+    )
+    keys = dim.select(F.col(pk_col).alias("fk")).distinct()
+    orphans = fk_counts.filter(F.col("fk").isNotNull()).join(
+        keys, "fk", "left_anti"
+    )
+    totals = fk_counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("fk").isNull(), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_null_fk"),
+        F.count(F.when(F.col("fk").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("n_fk_values"),
+    )
+    osum = orphans.agg(
+        F.count("*").cast("long").alias("n_orphan_keys"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+    )
+    return totals.crossJoin(osum).select(
+        "n_rows",
+        "n_null_fk",
+        "n_fk_values",
+        "n_orphan_keys",
+        "n_orphan_rows",
+        F.expr("(n_orphan_rows * 1000000) DIV n_rows")
+        .cast("long")
+        .alias("orphan_ppm"),
+    )

@@ -586,3 +586,125 @@ def test_boolean_search_and_not(spark):
         for r in boolean_search(docs, ["x", "y"], ["bad"]).collect()
     }
     assert out == {1: (1, 1), 4: (2, 1)}
+
+
+# ---------- incremental_join_agg ----------
+
+
+def test_incremental_join_agg_equals_full_recompute(spark):
+    from earthquake_data_pipeline_spark.operators.merge import (
+        incremental_join_agg,
+    )
+
+    a = [(k, float(k * 10)) for k in range(20)]
+    b = [(k % 10, float(k)) for k in range(40)]
+    A = spark.createDataFrame(a, ["k", "va"])
+    B = spark.createDataFrame(b, ["k", "vb"])
+    # arbitrary splits
+    inc = incremental_join_agg(
+        A.filter("k % 3 != 0"), A.filter("k % 3 = 0"),
+        B.filter("vb < 20"), B.filter("vb >= 20"),
+        "k", "vb",
+    )
+    full = (
+        A.join(B, "k")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("vb").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+    got = {r["k"]: (r["n_pairs"], str(r["total"])) for r in inc.collect()}
+    want = {r["k"]: (r["n_pairs"], str(r["total"])) for r in full.collect()}
+    assert got == want and len(got) == 10
+
+
+# ---------- pareto_frontier_2d ----------
+
+
+def test_pareto_frontier_basic_dominance(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        pareto_frontier_2d,
+    )
+
+    pts = [(1, 1.0, 10), (2, 2.0, 5), (3, 3.0, 1), (4, 1.5, 3), (5, 0.5, 12)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    # frontier: 5 (0.5,12), 1 (1,10), 2 (2,5), 3 (3,1); 4 dominated by 2
+    ids = {r["id"] for r in pareto_frontier_2d(df, "x", "y", "id").collect()}
+    assert ids == {1, 2, 3, 5}
+
+
+def test_pareto_frontier_ties_survive_together(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        pareto_frontier_2d,
+    )
+
+    pts = [(1, 2.0, 5), (2, 2.0, 5), (3, 2.0, 4), (4, 1.0, 6)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    ids = {r["id"] for r in pareto_frontier_2d(df, "x", "y", "id").collect()}
+    # equal points 1,2 both survive; 3 dominated within its x group;
+    # 4 survives (higher y than every larger-x point)
+    assert ids == {1, 2, 4}
+
+
+# ---------- fk_integrity_audit ----------
+
+
+def test_fk_integrity_counts_orphans_and_nulls(spark):
+    from earthquake_data_pipeline_spark.operators.quality import (
+        fk_integrity_audit,
+    )
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,), (None,)], ["fk"]
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    out = fk_integrity_audit(fact, "fk", dim, "pk").collect()[0]
+    assert out["n_rows"] == 7 and out["n_null_fk"] == 1
+    assert out["n_orphan_keys"] == 1 and out["n_orphan_rows"] == 3
+    assert out["orphan_ppm"] == 3 * 1000000 // 7
+
+
+def test_fk_integrity_clean_table_zeroes(spark):
+    from earthquake_data_pipeline_spark.operators.quality import (
+        fk_integrity_audit,
+    )
+
+    fact = spark.createDataFrame([(1,), (2,)], ["fk"])
+    dim = spark.createDataFrame([(1,), (2,)], ["pk"])
+    out = fk_integrity_audit(fact, "fk", dim, "pk").collect()[0]
+    assert out["n_orphan_rows"] == 0 and out["orphan_ppm"] == 0
+
+
+# ---------- golden_record ----------
+
+
+def test_golden_record_field_level_recency(spark):
+    from earthquake_data_pipeline_spark.operators.merge import golden_record
+
+    rows = [
+        # (user, id, ts, name, score) — newest name is at t=30 but its
+        # score is null; newest score is at t=20
+        (1, 1, 10, "old", 5.0),
+        (1, 2, 20, None, 7.0),
+        (1, 3, 30, "new", None),
+        (2, 4, 10, None, None),
+    ]
+    df = spark.createDataFrame(rows, ["u", "id", "ts", "name", "score"])
+    out = {
+        r["u"]: r
+        for r in golden_record(df, "u", "ts", "id", ["name", "score"]).collect()
+    }
+    assert out[1]["name"] == "new" and out[1]["name_ts"] == 30
+    assert out[1]["score"] == 7.0 and out[1]["score_ts"] == 20
+    assert out[1]["n_versions"] == 3
+    assert out[2]["name"] is None and out[2]["name_ts"] is None
+
+
+def test_golden_record_ts_tie_breaks_by_id(spark):
+    from earthquake_data_pipeline_spark.operators.merge import golden_record
+
+    rows = [(1, 1, 10, "a"), (1, 2, 10, "b")]
+    df = spark.createDataFrame(rows, ["u", "id", "ts", "name"])
+    out = golden_record(df, "u", "ts", "id", ["name"]).collect()[0]
+    assert out["name"] == "b"  # higher id wins the ts tie
