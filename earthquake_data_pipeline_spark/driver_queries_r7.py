@@ -659,8 +659,10 @@ def q_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.linkage import blocked_edit_join
 
-    docs = _table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "n_chars"
+    docs = _fanout(
+        _table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
     )
     return blocked_edit_join(
         docs,
@@ -926,7 +928,7 @@ ORDER BY doc_id
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-quality audit: measured precision/recall of the MinHash-
     LSH candidate generator (12 hashes, 4 bands) against EXACT shingle-
-    Jaccard ≥ 2/3 ground truth from the prefix filter
+    Jaccard ≥ 4/5 ground truth from the prefix filter
     (fuzzy_dedup.py::prefix_filter_join with shingles_of — exact, no
     false negatives), plus the banding-theory expected recall
     E[1−(1−J³)⁴] evaluated polynomially (no pow), decimal-accumulated.
@@ -942,7 +944,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     exact = prefix_filter_join(
-        docs, threshold_num=2, threshold_den=3,
+        docs, threshold_num=4, threshold_den=5,
         tokens_expr=shingles_of("text"),
     ).select("id_a", "id_b", "n_inter", "n_union")
     lsh = minhash_lsh_pairs(docs, num_hashes=12, num_bands=4).select(
@@ -1001,10 +1003,10 @@ WITH lshp AS (
               AS INT) AS n_union
   FROM sh2 a JOIN sh2 b
     ON a.doc_id < b.doc_id
-   AND least(len(a.sh), len(b.sh)) * 3 >= greatest(len(a.sh), len(b.sh)) * 2
+   AND least(len(a.sh), len(b.sh)) * 5 >= greatest(len(a.sh), len(b.sh)) * 4
   WHERE len(a.sh) > 0 AND len(b.sh) > 0
-    AND len(list_intersect(a.sh, b.sh)) * 3
-        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 2
+    AND len(list_intersect(a.sh, b.sh)) * 5
+        >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4
 ), lsh AS (
   SELECT doc_a AS id_a, doc_b AS id_b, TRUE AS in_lsh FROM lshp
 ), joined AS (

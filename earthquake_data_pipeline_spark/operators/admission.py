@@ -58,18 +58,23 @@ def token_bucket_admit(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["ts_s", id_col], ignore_index=True)
+        ts_arr = pdf["ts_s"].to_numpy()
+        n = len(ts_arr)
+        before = np.empty(n, dtype=np.int64)
+        admitted = np.empty(n, dtype=bool)
         units = cap
         prev_ts = None
-        before = []
-        admitted = []
-        for ts in pdf["ts_s"]:
+        for i in range(n):
+            ts = ts_arr[i]
             if prev_ts is not None:
                 units = min(cap, units + (ts - prev_ts) * refill_num)
             prev_ts = ts
-            before.append(units)
+            before[i] = units
             ok = units >= refill_den
-            admitted.append(ok)
+            admitted[i] = ok
             if ok:
                 units -= refill_den
         return pd.DataFrame(

@@ -54,10 +54,10 @@ def blocked_edit_join(
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
         a.join(b, on)
-        .filter(dist <= max_dist)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             dist.cast("int").alias("edit_dist"),
         )
+        .filter(F.col("edit_dist") <= max_dist)
     )
