@@ -315,9 +315,12 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.admission import token_bucket_admit
 
     ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    return token_bucket_admit(
-        ev, burst=2, refill_num=1, refill_den=43200
-    ).orderBy("user_id", "ts_s", "event_id")
+    out = token_bucket_admit(ev, burst=2, refill_num=1, refill_den=43200)
+    # localCheckpoint: the ORDER BY's range partitioner samples its
+    # child — without this the applyInPandas stage runs twice
+    return out.localCheckpoint(eager=False).orderBy(
+        "user_id", "ts_s", "event_id"
+    )
 
 
 SQL_TOKEN_BUCKET = """

@@ -204,11 +204,31 @@ def test_inverted_index_two_keyed_aggregates(spark):
 
 def test_token_bucket_one_shuffle_one_python_stage(spark):
     # the sequential recurrence costs exactly one hash exchange on the
-    # key and one Arrow-batched Python stage — nothing else
-    plan = plan_of(spark, "token_bucket")
+    # key and one Arrow-batched Python stage — checked on the raw
+    # operator (the query checkpoints before its ORDER BY, so the
+    # Python subtree hides behind a Scan ExistingRDD there)
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+    from earthquake_data_pipeline_spark.qcommon import _table
+
+    ev = _table(spark, SF, "events").select("event_id", "user_id", "ts")
+    plan = (
+        token_bucket_admit(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "BatchEvalPython" not in plan
+    # and the query's sort samples the CHECKPOINTED output, not a
+    # second run of the Python stage
+    qplan = plan_of(spark, "token_bucket")
+    assert "Scan ExistingRDD" in qplan
+    assert "FlatMapGroupsInPandas" not in qplan
 
 
 def test_trend_fit_window_and_agg_share_partitioning(spark):
