@@ -337,3 +337,182 @@ def test_cohort_month_index_roundtrip(y, m):
     to exactly (y, m) via (idx // 12, idx % 12 + 1)."""
     idx = y * 12 + m - 1
     assert (idx // 12, idx % 12 + 1) == (y, m)
+
+
+# ---------- continuation-window operator math ----------
+
+
+def _pareto_brute(points):
+    out = set()
+    for i, (idx, x, y) in enumerate(points):
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (_, x2, y2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.add(idx)
+    return out
+
+
+def _pareto_sortfilter(points):
+    """Pure-python mirror of operators/analytics.py::pareto_frontier_2d:
+    per-distinct-x max y, running max over strictly larger x, filter."""
+    gx = {}
+    for _, x, y in points:
+        gx[x] = max(gx.get(x, y), y)
+    my = {}
+    best = None
+    for x in sorted(gx, reverse=True):
+        my[x] = best
+        best = gx[x] if best is None else max(best, gx[x])
+    return {
+        idx
+        for idx, x, y in points
+        if y == gx[x] and (my[x] is None or y > my[x])
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pareto_sortfilter_equals_brute_force(xy):
+    points = [(i, x, y) for i, (x, y) in enumerate(xy)]
+    assert _pareto_sortfilter(points) == _pareto_brute(points)
+
+
+def _bucket_replay(ts_list, burst, num, den):
+    cap = burst * den
+    units, prev, out = cap, None, []
+    for t in ts_list:
+        if prev is not None:
+            units = min(cap, units + (t - prev) * num)
+        prev = t
+        ok = units >= den
+        out.append(ok)
+        if ok:
+            units -= den
+        assert 0 <= units <= cap  # invariant: never negative, never over
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=120),
+    st.integers(1, 5),
+    st.integers(1, 60),
+)
+def test_token_bucket_rate_bound(ts, burst, den):
+    """Admissions in ANY span [a, b] never exceed burst + refill + 1 —
+    the guarantee a rate limiter exists to provide (refill_num=1)."""
+    ts = sorted(ts)
+    admitted = _bucket_replay(ts, burst, 1, den)
+    adm_ts = [t for t, ok in zip(ts, admitted) if ok]
+    for i, a in enumerate(adm_ts):
+        for j in range(i, len(adm_ts)):
+            b = adm_ts[j]
+            window_admits = j - i + 1
+            assert window_admits <= burst + (b - a) // den + 1
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), max_size=60),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 9)), max_size=60),
+    st.integers(0, 7),
+)
+def test_ivm_delta_identity(a_rows, b_rows, split_seed):
+    """Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB: the union of the four split
+    joins aggregates to exactly the full join's (count, sum) per key —
+    the algebra operators/merge.py::incremental_join_agg relies on."""
+    import collections
+
+    def view(a, b):
+        out = collections.defaultdict(lambda: [0, 0])
+        bk = collections.defaultdict(list)
+        for k, v in b:
+            bk[k].append(v)
+        for k, _ in a:
+            for v in bk.get(k, []):
+                out[k][0] += 1
+                out[k][1] += v
+        return out
+
+    def split(rows, bit):
+        base = [r for i, r in enumerate(rows) if (i + split_seed) % 3 != bit]
+        delta = [r for i, r in enumerate(rows) if (i + split_seed) % 3 == bit]
+        return base, delta
+
+    ab, ad = split(a_rows, 0)
+    bb, bd = split(b_rows, 1)
+    import itertools
+
+    merged = collections.defaultdict(lambda: [0, 0])
+    for part in (view(ab, bb), view(ad, bb), view(ab, bd), view(ad, bd)):
+        for k, (n, s) in part.items():
+            merged[k][0] += n
+            merged[k][1] += s
+    full = view(a_rows, b_rows)
+    assert {k: tuple(v) for k, v in merged.items()} == {
+        k: tuple(v) for k, v in full.items()
+    }
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(0, 30), min_size=1, max_size=200), st.integers(2, 9))
+def test_equidepth_bucket_bounds(vals, k):
+    """Replay of operators/profiling.py::equidepth_histogram's bucket
+    rule: buckets partition the rows; a bucket exceeds n/k only by
+    tie-mass (a single heavy value), never by construction error."""
+    import collections
+
+    n = len(vals)
+    cnt = collections.Counter(vals)
+    cum = 0
+    sizes = collections.defaultdict(int)
+    maxmult = max(cnt.values())
+    for v in sorted(cnt):
+        cum += cnt[v]
+        b = ((cum - 1) * k) // n
+        assert 0 <= b < k
+        sizes[b] += cnt[v]
+    assert sum(sizes.values()) == n
+    for b, s in sizes.items():
+        assert s <= n // k + 1 + maxmult  # slack only from tie mass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pagerank_ppm_mass_and_bounds(edges):
+    """Pure-python replay of operators/graph.py::pagerank_ppm: ranks
+    stay in [base, PPM] and total mass never exceeds PPM + n (floor
+    losses only shrink mass; the +n covers per-node base rounding)."""
+    import collections
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    wout = collections.defaultdict(int)
+    for s, _, w in edges:
+        wout[s] += w
+    base = 150000 // n
+    rank = {v: 1000000 // n for v in nodes}
+    for _ in range(3):
+        in_sum = collections.defaultdict(int)
+        for s, d, w in edges:
+            in_sum[d] += (rank[s] * w) // wout[s]
+        rank = {
+            v: base + (850000 * in_sum.get(v, 0)) // 1000000 for v in nodes
+        }
+        assert all(base <= r <= 1000000 for r in rank.values())
+        assert sum(rank.values()) <= 1000000 + n
