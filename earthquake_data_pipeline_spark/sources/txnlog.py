@@ -1,0 +1,217 @@
+"""Minimal versioned-table commit log: snapshot reads + time travel.
+
+The reference loads into BigQuery and leans on the warehouse for
+atomicity (earthquake_batch_pipeline.py's MERGE step); on a data lake
+the equivalent is a table FORMAT — a transaction log naming exactly
+which parquet files constitute each version, so readers never see a
+half-written commit and old versions stay queryable (the mechanism
+behind Delta/Iceberg, reduced to its single-writer core).
+
+Layout:
+    <table>/data/<commit-uuid>-<n>.parquet   immutable data files
+    <table>/_log/<version 12-digit>.json     one manifest per commit
+
+A manifest lists the files its commit ADDS and the files it REMOVES
+from the live set (append: removes nothing; overwrite: removes all
+prior live files). Commits become visible via an atomic rename of the
+manifest into _log/ — a reader listing _log/ sees only whole commits,
+in version order, and reconstructs any version's live set by replaying
+manifests. Readers never list data/; unreferenced files are invisible
+garbage until vacuumed.
+
+Concurrency contract (documented, like Delta's early versions): ONE
+writer at a time — version numbers are assigned by listing _log/, so
+two racing writers could mint the same version; the exclusive
+os.link publish refuses to clobber an existing manifest, so the race
+is detectable (FileExistsError) — retry policy is the caller's.
+Readers are always safe.
+
+100 TB: the log is manifest-sized (file names, not data); snapshot
+reads pass an explicit file list to the parquet scan, so partition
+pruning/pushdown work unchanged and time travel costs nothing extra.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_log"
+_DATA = "data"
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, _LOG)
+
+
+def _versions(table_path: str) -> list[int]:
+    d = _log_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+    )
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(table_path), f"{version:012d}.json")) as f:
+        return json.load(f)
+
+
+def live_files(table_path: str, version: int | None = None) -> list[str]:
+    """Replay manifests up to ``version`` (latest if None) and return
+    the live data-file paths, sorted for determinism."""
+    versions = _versions(table_path)
+    if version is not None:
+        versions = [v for v in versions if v <= version]
+    live: set[str] = set()
+    for v in versions:
+        m = _read_manifest(table_path, v)
+        live -= set(m["removed"])
+        live |= set(m["added"])
+    return sorted(os.path.join(table_path, _DATA, f) for f in live)
+
+
+def _commit(
+    table_path: str,
+    added: list[str],
+    removed: list[str],
+    version: int | None = None,
+) -> int:
+    """Write one manifest. ``version`` pins the slot an optimistic
+    writer computed earlier (read-modify-write); None assigns the next
+    free slot. Either way the exclusive link below is the collision
+    tripwire."""
+    os.makedirs(_log_dir(table_path), exist_ok=True)
+    if version is None:
+        version = (_versions(table_path) or [-1])[-1] + 1
+    manifest = {"version": version, "added": added, "removed": removed}
+    tmp = os.path.join(
+        table_path, f".tmp-manifest-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(_log_dir(table_path), f"{version:012d}.json")
+    # exclusive link: fails (instead of clobbering) if a racing writer
+    # minted the same version — the single-writer contract's tripwire
+    os.link(tmp, final)
+    os.unlink(tmp)
+    return version
+
+
+def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
+    """Write df's rows as immutable parquet files under data/ with a
+    commit-unique prefix; returns the bare file names."""
+    staging = os.path.join(table_path, f".stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    data_dir = os.path.join(table_path, _DATA)
+    os.makedirs(data_dir, exist_ok=True)
+    prefix = uuid.uuid4().hex
+    names = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        name = f"{prefix}-{len(names)}.parquet"
+        os.rename(os.path.join(staging, f), os.path.join(data_dir, name))
+        names.append(name)
+    for leftover in os.listdir(staging):
+        os.unlink(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    return names
+
+
+def commit_append(df: DataFrame, table_path: str) -> int:
+    """Append df as a new version; prior versions keep reading the old
+    live set. Returns the committed version number."""
+    return _commit(table_path, _write_data_files(df, table_path), [])
+
+
+def commit_overwrite(df: DataFrame, table_path: str) -> int:
+    """Replace the live set with df (logical overwrite): old files stay
+    on disk for time travel, the new manifest removes them from the
+    live set."""
+    current = [os.path.basename(p) for p in live_files(table_path)]
+    return _commit(table_path, _write_data_files(df, table_path), current)
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific version (latest if None) as a DataFrame. An
+    empty live set yields an empty frame ONLY if some version exists
+    (schema comes from any logged file); an unknown table raises."""
+    if not _versions(table_path):
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    files = live_files(table_path, version)
+    if not files:
+        # empty live set: derive schema from the newest logged file
+        all_added = []
+        for v in _versions(table_path):
+            all_added += _read_manifest(table_path, v)["added"]
+        probe = os.path.join(table_path, _DATA, all_added[-1])
+        return spark.read.parquet(probe).limit(0)
+    return spark.read.parquet(*files)
+
+
+def vacuum(table_path: str, keep_after_version: int) -> list[str]:
+    """Delete data files not live in ANY version > keep_after_version,
+    and drop the obsolete manifests. Returns deleted file names."""
+    versions = _versions(table_path)
+    keep_versions = [v for v in versions if v > keep_after_version]
+    needed: set[str] = set()
+    for v in keep_versions:
+        needed |= set(os.path.basename(p) for p in live_files(table_path, v))
+    # files referenced only by vacuumed history
+    data_dir = os.path.join(table_path, _DATA)
+    deleted = []
+    if os.path.isdir(data_dir):
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet") and f not in needed:
+                os.unlink(os.path.join(data_dir, f))
+                deleted.append(f)
+    # squash vacuumed manifests into a base manifest at the cut
+    cut = [v for v in versions if v <= keep_after_version]
+    if cut:
+        base_live = [
+            os.path.basename(p)
+            for p in live_files(table_path, keep_after_version)
+            if os.path.basename(p) in needed
+        ]
+        for v in cut:
+            os.unlink(os.path.join(_log_dir(table_path), f"{v:012d}.json"))
+        manifest = {
+            "version": keep_after_version,
+            "added": base_live,
+            "removed": [],
+        }
+        with open(
+            os.path.join(
+                _log_dir(table_path), f"{keep_after_version:012d}.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(manifest, f)
+    return deleted
+
+
+def merge_commit(
+    updates: DataFrame,
+    table_path: str,
+    keys: list[str],
+) -> int:
+    """Transactional MERGE: upsert ``updates`` into the table's latest
+    snapshot (update-on-match, insert-when-absent — the reference's
+    BigQuery MERGE, earthquake_batch_pipeline.py:171-196, replayed on
+    the lake) and publish the result as one new version. Readers of the
+    previous version are untouched; a crash before the manifest link
+    leaves only invisible garbage.
+    """
+    from ..operators.merge import upsert_merge
+
+    current = read_snapshot(updates.sparkSession, table_path)
+    return commit_overwrite(upsert_merge(current, updates, keys), table_path)

@@ -486,3 +486,129 @@ def test_write_read_table_orc_and_jsonl_roundtrip(spark, tmp_path):
         back = read_table(spark, path, fmt=fmt, schema=df.schema)
         assert back.schema == df.schema
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------- txnlog: versioned table commit log ----------
+
+
+def _tlog(spark, tmp_path, rows, cols=("k", "v")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def test_txnlog_append_and_time_travel(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    v0 = commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)
+    v1 = commit_append(_tlog(spark, tmp_path, [(3, "c")]), t)
+    assert (v0, v1) == (0, 1)
+    assert read_snapshot(spark, t).count() == 3
+    assert read_snapshot(spark, t, version=0).count() == 2
+    assert {r.k for r in read_snapshot(spark, t, 1).collect()} == {1, 2, 3}
+
+
+def test_txnlog_overwrite_keeps_history(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)
+    commit_overwrite(_tlog(spark, tmp_path, [(9, "z")]), t)
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9}
+    assert {r.k for r in read_snapshot(spark, t, 0).collect()} == {1, 2}
+
+
+def test_txnlog_reader_never_sees_partial_commit(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        live_files,
+        read_snapshot,
+    )
+    import os
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)
+    # simulate a crashed writer: data file exists but no manifest
+    stray = os.path.join(t, "data", "deadbeef-0.parquet")
+    real = live_files(t)[0]
+    import shutil
+
+    shutil.copy(real, stray)
+    assert read_snapshot(spark, t).count() == 1  # stray file invisible
+    assert stray not in live_files(t)
+
+
+def test_txnlog_version_collision_raises(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        _commit,
+        commit_append,
+    )
+    import os
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)
+    # two optimistic writers both computed "next version = 1"; the
+    # first lands, the second's exclusive link must refuse to clobber
+    nxt = os.path.join(t, "_log", f"{1:012d}.json")
+    with open(nxt, "w") as f:
+        f.write('{"version": 1, "added": [], "removed": []}')
+    with _pytest.raises(OSError):
+        _commit(t, ["x.parquet"], [], version=1)
+
+
+def test_txnlog_vacuum_drops_dead_files_keeps_live_history(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)  # v0
+    commit_overwrite(_tlog(spark, tmp_path, [(9, "z")]), t)  # v1
+    commit_append(_tlog(spark, tmp_path, [(10, "y")]), t)  # v2
+    deleted = vacuum(t, keep_after_version=0)
+    assert deleted  # v0's overwritten files are gone
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9, 10}
+    assert {r.k for r in read_snapshot(spark, t, 1).collect()} == {9}
+
+
+def test_txnlog_empty_overwrite_reads_empty_with_schema(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)
+    commit_overwrite(
+        spark.createDataFrame([], "k long, v string"), t
+    )
+    snap = read_snapshot(spark, t)
+    assert snap.count() == 0 and set(snap.columns) == {"k", "v"}
+
+
+def test_txnlog_merge_commit_is_versioned_upsert(spark, tmp_path):
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        merge_commit,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)
+    v = merge_commit(_tlog(spark, tmp_path, [(2, "B"), (3, "c")]), t, ["k"])
+    assert v == 1
+    latest = {r.k: r.v for r in read_snapshot(spark, t).collect()}
+    assert latest == {1: "a", 2: "B", 3: "c"}  # update 2, insert 3
+    old = {r.k: r.v for r in read_snapshot(spark, t, 0).collect()}
+    assert old == {1: "a", 2: "b"}  # time travel unaffected
