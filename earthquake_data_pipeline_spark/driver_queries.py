@@ -2130,6 +2130,10 @@ QUERIES.update(QUERIES_R7)
 ORACLE.update(ORACLE_R7)
 ORACLE["lsh_recall_audit"] = lsh_recall_sql(_minhash_sql())
 
+from .driver_queries_r7 import cluster_purity_sql  # noqa: E402
+
+ORACLE["cluster_purity"] = cluster_purity_sql(ORACLE_EXT["kmeans_clusters"])
+
 from .driver_queries_r6 import dedup_keep_list_sql  # noqa: E402
 
 ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())

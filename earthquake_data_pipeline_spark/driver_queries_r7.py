@@ -1281,3 +1281,111 @@ QUERIES_R7["fk_integrity"] = q_fk_integrity
 ORACLE_R7["fk_integrity"] = SQL_FK_INTEGRITY
 QUERIES_R7["golden_record"] = q_golden_record
 ORACLE_R7["golden_record"] = SQL_GOLDEN_RECORD
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity — the clustering-quality eval next to
+    kmeans_clusters: after the same two decimal-exact Lloyd iterations
+    (k=8, vec_id<k init), each cluster's majority embedding label,
+    majority share in integer ppm, and label entropy stand-in (Simpson
+    collision ppm, integer-exact). Same assignment subtree the
+    kmeans_clusters oracle replays (its a2 CTE) — the purity aggregate
+    rides on top, labels joined from the same table.
+    """
+    _utc(spark)
+    from pyspark.sql import Window
+    from .operators.clustering import _update_centroids, assign_clusters
+
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    k = 8
+    init = pts.filter(F.col("id") < k).collect()
+    centroids = {int(r["id"]): list(r["v"]) for r in init}
+    u1 = _update_centroids(assign_clusters(pts, centroids)).collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in u1:
+        by_cid.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = r["c"]
+    centroids = {
+        cid: [comps[p] for p in sorted(comps)]
+        for cid, comps in sorted(by_cid.items())
+    }
+    assigned = assign_clusters(pts, centroids).select("id", "cluster_id")
+    labeled = assigned.join(
+        emb.select(F.col("vec_id").alias("id"), "label"), "id"
+    )
+    per_label = labeled.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    ranked = per_label.withColumn("rn", F.row_number().over(w))
+    stats = per_label.groupBy("cluster_id").agg(
+        F.sum("c").cast("long").alias("n_points"),
+        F.count("*").cast("long").alias("n_labels"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    top = ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("label").alias("majority_label"),
+        F.col("c").cast("long").alias("n_majority"),
+    )
+    return (
+        stats.join(top, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_points",
+            "n_labels",
+            "majority_label",
+            "n_majority",
+            F.expr("(n_majority * 1000000) DIV n_points")
+            .cast("long")
+            .alias("purity_ppm"),
+            F.expr("(ss * 1000000) DIV (n_points * n_points)")
+            .cast("long")
+            .alias("simpson_ppm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def cluster_purity_sql(kmeans_sql: str) -> str:
+    """Oracle for cluster_purity: reuse SQL_KMEANS_CLUSTERS' replay up
+    to its final-assignment CTE (a2) and aggregate label purity on top
+    — one source of truth for the Lloyd-iteration replay."""
+    prefix = kmeans_sql.split(")\nSELECT cluster_id,")[0] + ")"
+    return (
+        prefix
+        + """
+, lab AS (
+  SELECT a2.cluster_id, emb.label
+  FROM a2 JOIN embeddings emb ON emb.vec_id = a2.id
+), pl AS (
+  SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS c
+  FROM lab GROUP BY 1, 2
+), ranked AS (
+  SELECT cluster_id, label, c,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM pl
+), stats AS (
+  SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_points,
+         CAST(count(*) AS BIGINT) AS n_labels,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM pl GROUP BY 1
+)
+SELECT s.cluster_id, s.n_points, s.n_labels,
+       r.label AS majority_label, r.c AS n_majority,
+       CAST((r.c * 1000000) // s.n_points AS BIGINT) AS purity_ppm,
+       CAST((s.ss * 1000000) // (s.n_points * s.n_points) AS BIGINT)
+         AS simpson_ppm
+FROM stats s JOIN ranked r ON r.cluster_id = s.cluster_id AND r.rn = 1
+ORDER BY s.cluster_id
+"""
+    )
+
+
+QUERIES_R7["cluster_purity"] = q_cluster_purity

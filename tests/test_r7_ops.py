@@ -708,3 +708,30 @@ def test_golden_record_ts_tie_breaks_by_id(spark):
     df = spark.createDataFrame(rows, ["u", "id", "ts", "name"])
     out = golden_record(df, "u", "ts", "id", ["name"]).collect()[0]
     assert out["name"] == "b"  # higher id wins the ts tie
+
+
+# ---------- cluster purity (query-level logic) ----------
+
+
+def test_cluster_purity_majority_and_simpson(spark):
+    """Purity math on a hand-built assignment: majority tie breaks by
+    smallest label; Simpson collision ppm is integer-exact."""
+    from pyspark.sql import Window
+
+    pl = spark.createDataFrame(
+        [(0, "a", 2), (0, "b", 2), (0, "c", 1), (1, "z", 4)],
+        ["cluster_id", "label", "c"],
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        pl.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    )
+    by = {r["cluster_id"]: r["label"] for r in top}
+    assert by == {0: "a", 1: "z"}  # tie a/b -> a
+    stats = pl.groupBy("cluster_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    ).collect()
+    s0 = next(r for r in stats if r["cluster_id"] == 0)
+    assert (s0["ss"] * 1000000) // (s0["n"] * s0["n"]) == 9 * 1000000 // 25
