@@ -1389,3 +1389,56 @@ ORDER BY s.cluster_id
 
 
 QUERIES_R7["cluster_purity"] = q_cluster_purity
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution
+    (operators/analytics.py::last_touch_attribution): purchases
+    credited to the user's most recent click/view within 7 days, 'none'
+    otherwise — channel rollup with integer delay stats.
+    """
+    _utc(spark)
+    from .operators.analytics import last_touch_attribution
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return last_touch_attribution(
+        ev, ["click", "view"], "purchase"
+    ).orderBy("channel")
+
+
+SQL_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id AS k, event_id AS id, event_type AS etype,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), carried AS (
+  SELECT k, id, etype, ts_s,
+         last_value(CASE WHEN etype IN ('click', 'view') THEN ts_s END
+                    IGNORE NULLS) OVER w AS lt_ts,
+         last_value(CASE WHEN etype IN ('click', 'view') THEN etype END
+                    IGNORE NULLS) OVER w AS lt_type
+  FROM e
+  WINDOW w AS (PARTITION BY k ORDER BY ts_s, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), conv AS (
+  SELECT k,
+         CASE WHEN lt_ts IS NOT NULL AND ts_s - lt_ts <= 604800
+              THEN lt_type ELSE 'none' END AS channel,
+         CASE WHEN lt_ts IS NOT NULL AND ts_s - lt_ts <= 604800
+              THEN ts_s - lt_ts END AS delay_s
+  FROM carried WHERE etype = 'purchase'
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_users,
+       CAST(coalesce(sum(delay_s), 0) AS BIGINT) AS sum_delay_s,
+       CAST(coalesce(sum(delay_s), 0) // count(*) AS BIGINT)
+         AS avg_delay_s_floor
+FROM conv GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES_R7["attribution"] = q_attribution
+ORACLE_R7["attribution"] = SQL_ATTRIBUTION

@@ -842,3 +842,80 @@ def pareto_frontier_2d(
         )
         .select("id", "x", "y")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    lookback_s: int = 604800,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event credits
+    the key's most recent PRIOR touch event (strictly earlier in the
+    (ts, id) total order) if it falls within ``lookback_s`` seconds,
+    else the 'none' channel — the marketing-analytics face of the
+    funnel/transition family.
+
+    Mechanics: one carry-forward window per key — last(non-null) over
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING of (touch ts, touch type)
+    nulled on non-touch rows. Both carried columns null on exactly the
+    same rows, so they always come from the same touch event — the
+    trick that avoids a struct-typed window (engines disagree on struct
+    window support, not on aligned scalars). One hash exchange on the
+    key; output is conversion-rows-sized before the channel rollup.
+    """
+    ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    e = events.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.col(type_col).alias("etype"),
+        ts_s.alias("ts_s"),
+    )
+    is_touch = F.col("etype").isin(touch_types)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts_s", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = e.select(
+        "k",
+        "id",
+        "etype",
+        "ts_s",
+        F.last(F.when(is_touch, F.col("ts_s")), ignorenulls=True)
+        .over(w)
+        .alias("lt_ts"),
+        F.last(F.when(is_touch, F.col("etype")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+    )
+    conv = carried.filter(F.col("etype") == conversion_type)
+    attributed = F.when(
+        F.col("lt_ts").isNotNull()
+        & (F.col("ts_s") - F.col("lt_ts") <= lookback_s),
+        F.col("lt_type"),
+    ).otherwise(F.lit("none"))
+    return (
+        conv.select(
+            "k",
+            attributed.alias("channel"),
+            F.when(
+                attributed != "none", F.col("ts_s") - F.col("lt_ts")
+            ).alias("delay_s"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.count_distinct("k").cast("long").alias("n_users"),
+            F.coalesce(F.sum("delay_s"), F.lit(0))
+            .cast("long")
+            .alias("sum_delay_s"),
+            F.expr("coalesce(sum(delay_s), 0) DIV count(*)")
+            .cast("long")
+            .alias("avg_delay_s_floor"),
+        )
+    )

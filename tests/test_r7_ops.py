@@ -735,3 +735,48 @@ def test_cluster_purity_majority_and_simpson(spark):
     ).collect()
     s0 = next(r for r in stats if r["cluster_id"] == 0)
     assert (s0["ss"] * 1000000) // (s0["n"] * s0["n"]) == 9 * 1000000 // 25
+
+
+# ---------- last_touch_attribution ----------
+
+
+def test_attribution_credits_latest_touch_within_lookback(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        (1, 1, "click", 100),
+        (2, 1, "view", 200),
+        (3, 1, "purchase", 250),   # credits view (latest touch)
+        (4, 2, "click", 0),
+        (5, 2, "purchase", 9999),  # outside lookback 1000 -> none
+        (6, 3, "purchase", 50),    # no prior touch -> none
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts_s"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = {
+        r["channel"]: (r["n_conversions"], r["sum_delay_s"])
+        for r in last_touch_attribution(
+            ev, ["click", "view"], "purchase", lookback_s=1000
+        ).collect()
+    }
+    assert out == {"view": (1, 50), "none": (2, 0)}
+
+
+def test_attribution_touch_strictly_before_conversion(spark):
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    # touch at the SAME second but higher id than the purchase: the
+    # (ts, id) total order puts it after -> not creditable
+    rows = [(1, 1, "purchase", 100), (2, 1, "click", 100)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts_s"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = last_touch_attribution(
+        ev, ["click"], "purchase", lookback_s=1000
+    ).collect()
+    assert out[0]["channel"] == "none"
