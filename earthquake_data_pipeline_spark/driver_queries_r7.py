@@ -1442,3 +1442,193 @@ FROM conv GROUP BY 1 ORDER BY 1
 
 QUERIES_R7["attribution"] = q_attribution
 ORACLE_R7["attribution"] = SQL_ATTRIBUTION
+
+
+_Z2_PREDS = [
+    (1, 100, 149, 10, 19),   # narrow on both columns
+    (2, 0, 1999, 10, 19),    # suppkey-only predicate
+    (3, 100, 149, 0, 99),    # partkey-only predicate
+]
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured case FOR z-order (completing zone_skipping's 1-D
+    story): the same lineitem rows filed two ways — partkey-sorted
+    ("linear", file = pk DIV 16) vs Morton-interleaved
+    (operators/layout.py::zorder_key over (partkey, suppkey), file =
+    z DIV 32768) — and, per 2-D range predicate, how many files each
+    layout's per-file (pk, sk) min/max stats let the scanner skip.
+    Linear prunes partkey predicates only (every file spans all
+    suppkeys); z-order bounds BOTH columns per file, so suppkey-only
+    predicates prune too. Stats frames are file-count-sized.
+    """
+    _utc(spark)
+    from .operators.layout import zorder_key
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+    )
+    # Morton on RAW values wastes interleaving when column ranges
+    # differ (suppkey's 7 bits would all land in the low positions and
+    # never reach file granularity). Normalize each column to a common
+    # 10-bit scale from its own data-derived range first — the
+    # range-normalization production z-order implementations apply —
+    # then interleave and cut equal-width files: every file then bounds
+    # BOTH columns to ~1/11 of their ranges.
+    bounds = li.agg(
+        F.min("pk").alias("pk_lo"),
+        F.max("pk").alias("pk_hi"),
+        F.min("sk").alias("sk_lo"),
+        F.max("sk").alias("sk_hi"),
+    )
+    norm = (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "pk_n", F.expr("((pk - pk_lo) * 1024) DIV (pk_hi - pk_lo + 1)")
+        )
+        .withColumn(
+            "sk_n", F.expr("((sk - sk_lo) * 1024) DIV (sk_hi - sk_lo + 1)")
+        )
+    )
+    keyed = norm.withColumn(
+        "zk", zorder_key([F.col("pk_n"), F.col("sk_n")], bits=10)
+    )
+    dd = keyed.withColumn(
+        "f_lin", F.expr("((pk - pk_lo) * 125) DIV (pk_hi - pk_lo + 1)")
+    ).withColumn("f_z", F.expr("zk DIV 8192"))  # 2^20 key space / 128
+    preds = spark.createDataFrame(
+        _Z2_PREDS, "pred_id int, plo long, phi long, slo long, shi long"
+    )
+
+    def audit(file_col: str, label: str) -> DataFrame:
+        zm = dd.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("pk").alias("pk_min"),
+            F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"),
+            F.max("sk").alias("sk_max"),
+            F.count("*").alias("n_rows"),
+        )
+        hit = ~(
+            (F.col("pk_max") < F.col("plo"))
+            | (F.col("pk_min") > F.col("phi"))
+        ) & ~(
+            (F.col("sk_max") < F.col("slo"))
+            | (F.col("sk_min") > F.col("shi"))
+        )
+        return (
+            zm.crossJoin(F.broadcast(preds))
+            .groupBy("pred_id")
+            .agg(
+                F.count("*").cast("long").alias("files_total"),
+                F.sum(hit.cast("long")).cast("long").alias("files_scanned"),
+                F.sum(F.when(hit, F.col("n_rows")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias("rows_scanned"),
+            )
+            .withColumn("layout", F.lit(label))
+        )
+
+    matched = (
+        dd.join(
+            F.broadcast(preds),
+            (F.col("pk") >= F.col("plo"))
+            & (F.col("pk") <= F.col("phi"))
+            & (F.col("sk") >= F.col("slo"))
+            & (F.col("sk") <= F.col("shi")),
+        )
+        .groupBy("pred_id")
+        .agg(F.count("*").cast("long").alias("rows_matched"))
+    )
+    both = audit("f_lin", "linear").unionByName(audit("f_z", "zorder"))
+    return (
+        both.join(F.broadcast(matched), "pred_id", "left")
+        .withColumn(
+            "rows_matched", F.coalesce("rows_matched", F.lit(0).cast("long"))
+        )
+        .select(
+            "layout",
+            "pred_id",
+            "files_total",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matched",
+        )
+        .orderBy("layout", "pred_id")
+    )
+
+
+def zorder_skipping_sql() -> str:
+    """Oracle for zorder_skipping: the Morton key arithmetic is
+    generated by the SAME _zorder_sql_expr the zorder_layout oracle
+    uses, so Spark and oracle can never drift on bit layout."""
+    from .driver_queries_ext import _zorder_sql_expr
+
+    zexpr = _zorder_sql_expr("pk_n", "sk_n", 10)
+    return f"""
+WITH preds(pred_id, plo, phi, slo, shi) AS (
+  VALUES (1, 100, 149, 10, 19), (2, 0, 1999, 10, 19),
+         (3, 100, 149, 0, 99)
+), dd AS (
+  SELECT CAST(l_partkey AS BIGINT) AS pk,
+         CAST(l_suppkey AS BIGINT) AS sk
+  FROM lineitem
+), b AS (
+  SELECT min(pk) pk_lo, max(pk) pk_hi, min(sk) sk_lo, max(sk) sk_hi
+  FROM dd
+), nn AS (
+  SELECT pk, sk,
+         ((pk - b.pk_lo) * 1024) // (b.pk_hi - b.pk_lo + 1) AS pk_n,
+         ((sk - b.sk_lo) * 1024) // (b.sk_hi - b.sk_lo + 1) AS sk_n,
+         b.pk_lo, b.pk_hi
+  FROM dd, b
+), keyed AS (
+  SELECT pk, sk,
+         ((pk - pk_lo) * 125) // (pk_hi - pk_lo + 1) AS f_lin,
+         ({zexpr}) // 8192 AS f_z
+  FROM nn
+), zml AS (
+  SELECT f_lin AS file_id, min(pk) pk_min, max(pk) pk_max,
+         min(sk) sk_min, max(sk) sk_max, count(*) n_rows
+  FROM keyed GROUP BY 1
+), zmz AS (
+  SELECT f_z AS file_id, min(pk) pk_min, max(pk) pk_max,
+         min(sk) sk_min, max(sk) sk_max, count(*) n_rows
+  FROM keyed GROUP BY 1
+), al AS (
+  SELECT 'linear' AS layout, pred_id,
+         CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN NOT (pk_max < plo OR pk_min > phi)
+                        AND NOT (sk_max < slo OR sk_min > shi)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         CAST(sum(CASE WHEN NOT (pk_max < plo OR pk_min > phi)
+                        AND NOT (sk_max < slo OR sk_min > shi)
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM zml CROSS JOIN preds GROUP BY 1, 2
+), az AS (
+  SELECT 'zorder' AS layout, pred_id,
+         CAST(count(*) AS BIGINT) AS files_total,
+         CAST(sum(CASE WHEN NOT (pk_max < plo OR pk_min > phi)
+                        AND NOT (sk_max < slo OR sk_min > shi)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         CAST(sum(CASE WHEN NOT (pk_max < plo OR pk_min > phi)
+                        AND NOT (sk_max < slo OR sk_min > shi)
+                       THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+  FROM zmz CROSS JOIN preds GROUP BY 1, 2
+), m AS (
+  SELECT pred_id, CAST(count(*) AS BIGINT) AS rows_matched
+  FROM dd JOIN preds
+    ON pk >= plo AND pk <= phi AND sk >= slo AND sk <= shi
+  GROUP BY 1
+), u AS (
+  SELECT * FROM al UNION ALL SELECT * FROM az
+)
+SELECT u.layout, u.pred_id, u.files_total, u.files_scanned,
+       u.rows_scanned, coalesce(m.rows_matched, 0) AS rows_matched
+FROM u LEFT JOIN m USING (pred_id)
+ORDER BY u.layout, u.pred_id
+"""
+
+
+QUERIES_R7["zorder_skipping"] = q_zorder_skipping
+ORACLE_R7["zorder_skipping"] = zorder_skipping_sql()
