@@ -1632,3 +1632,94 @@ ORDER BY u.layout, u.pred_id
 
 QUERIES_R7["zorder_skipping"] = q_zorder_skipping
 ORACLE_R7["zorder_skipping"] = zorder_skipping_sql()
+
+
+_KCENTER_K = 6
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center exemplar selection
+    (operators/clustering.py::kcenter_select): the k=6 farthest-point
+    traversal over the embeddings — coverage-maximizing subset
+    selection (diversity), the complement of semdedup_prune
+    (redundancy). Output: selection order, chosen vec_id, and the
+    coverage radius once that center is placed; k bounded driver
+    actions, each a linear scan with chosen vectors as literals.
+    """
+    _utc(spark)
+    from .operators.clustering import kcenter_select
+
+    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    rows = kcenter_select(pts, _KCENTER_K)
+    from .qcommon import round6x as _r6
+
+    out = spark.createDataFrame(
+        rows, "sel_rank int, vec_id long, radius_after double"
+    )
+    return out.select(
+        "sel_rank", "vec_id", _r6(F.col("radius_after")).alias("radius_after")
+    ).orderBy("sel_rank")
+
+
+def kcenter_sql(k: int) -> str:
+    """Unrolled-CTE oracle for greedy k-center: selection step i is a
+    row_number over (dmin DESC, id) with dmin = least of the 6dp-rounded
+    list_distances to the i chosen centers (scalar subqueries)."""
+    dist = (
+        "CAST(round(CAST(list_distance(e.v, (SELECT v FROM s{j})) "
+        "AS DECIMAL(18,12)), 6) AS DOUBLE)"
+    )
+
+    def dmin_expr(n: int) -> str:
+        ds = [dist.format(j=j) for j in range(n)]
+        return ds[0] if n == 1 else "least(" + ", ".join(ds) + ")"
+
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s0 AS (
+  SELECT id, v FROM e ORDER BY id LIMIT 1
+)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""", f{i} AS (
+  SELECT e.id, e.v, {dmin_expr(i)} AS dmin,
+         row_number() OVER (ORDER BY {dmin_expr(i)} DESC, e.id) AS rn
+  FROM e
+), s{i} AS (SELECT id, v, dmin FROM f{i} WHERE rn = 1)"""
+        )
+    parts.append(
+        f""", fin AS (
+  SELECT max({dmin_expr(k)}) AS r FROM e
+)"""
+    )
+    selects = ["SELECT 0 AS sel_rank, (SELECT id FROM s0) AS vec_id,"
+               " (SELECT CAST(round(CAST(dmin AS DECIMAL(18,12)), 6)"
+               " AS DOUBLE) FROM s1) AS radius_after"]
+    for i in range(1, k - 1):
+        selects.append(
+            f"SELECT {i}, (SELECT id FROM s{i}),"
+            f" (SELECT CAST(round(CAST(dmin AS DECIMAL(18,12)), 6)"
+            f" AS DOUBLE) FROM s{i + 1})"
+        )
+    selects.append(
+        f"SELECT {k - 1}, (SELECT id FROM s{k - 1}),"
+        " (SELECT CAST(round(CAST(r AS DECIMAL(18,12)), 6) AS DOUBLE)"
+        " FROM fin)"
+    )
+    return (
+        "".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY sel_rank"
+    )
+
+
+QUERIES_R7["kcenter_select"] = q_kcenter_select
+ORACLE_R7["kcenter_select"] = kcenter_sql(_KCENTER_K)

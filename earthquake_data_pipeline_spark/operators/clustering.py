@@ -241,3 +241,66 @@ def split_oversized_clusters(
         .withColumn("sub", (F.col(id_col) % F.col("_n_subs")).cast("long"))
         .drop("_n_subs")
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "v",
+    id_col: str = "id",
+) -> list[tuple[int, int, float | None]]:
+    """Greedy k-center (Gonzalez 1985, farthest-point traversal):
+    coverage-maximizing subset selection — the diversity complement to
+    SemDeDup's redundancy pruning (pick the k exemplars that MINIMIZE
+    the worst point's distance to its nearest exemplar, 2-approx of the
+    optimal k-center radius).
+
+    Deterministic contract: seed = smallest id; each step adds the
+    point with the LARGEST 6dp-rounded euclidean distance to its
+    nearest chosen center (ties -> smallest id) — the same rounded-
+    distance discipline assign_clusters proved oracle-replayable.
+
+    Returns [(sel_rank, id, radius_after)] driver-side: k+1 bounded
+    actions (one TakeOrdered per step + a final max), each a full scan
+    with the chosen vectors as literals — at 100 TB this is k linear
+    passes, the canonical distributed farthest-point shape (and why k
+    stays small; for large k, switch to k-means++ style sampling).
+    ``radius_after`` for rank i is the coverage radius once centers
+    0..i are all placed (max dmin over the corpus).
+    """
+    from ..qcommon import round6x
+
+    seed = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    )
+    chosen: list[tuple[int, list[float]]] = [
+        (int(seed[0]), list(seed[1]))
+    ]
+    radii: list[float] = []  # radii[i] = coverage radius of chosen[0..i]
+    for _ in range(k - 1):
+        dists = [
+            round6x(F.sqrt(_sq_dist(F.col(vec_col), c)))
+            for _, c in chosen
+        ]
+        dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                dmin.alias("dmin"),
+            )
+            .orderBy(F.desc("dmin"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        radii.append(float(far["dmin"]))
+        chosen.append((int(far["id"]), list(far["v"])))
+    # final coverage radius with all k centers placed
+    dists = [
+        round6x(F.sqrt(_sq_dist(F.col(vec_col), c))) for _, c in chosen
+    ]
+    last = df.agg(F.max(F.least(*dists)).alias("r")).collect()[0]["r"]
+    radii.append(float(last))
+    return [
+        (i, cid, radii[i]) for i, (cid, _) in enumerate(chosen)
+    ]

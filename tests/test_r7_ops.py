@@ -780,3 +780,46 @@ def test_attribution_touch_strictly_before_conversion(spark):
         ev, ["click"], "purchase", lookback_s=1000
     ).collect()
     assert out[0]["channel"] == "none"
+
+
+# ---------- kcenter_select ----------
+
+
+def test_kcenter_farthest_point_traversal(spark):
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    # 1-D points embedded in 2-D: 0, 1, 10, 11, 100
+    pts = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [10.0, 0.0]),
+         (3, [11.0, 0.0]), (4, [100.0, 0.0])],
+        ["id", "v"],
+    )
+    out = kcenter_select(pts, 3)
+    # seed = id 0; farthest = 100 (id 4); then farthest from {0,100} is
+    # 10 or 11 (dmin 10 vs 11 -> id 3 at 11... dmin(11)=min(11,89)=11,
+    # dmin(10)=min(10,90)=10 -> id 3 wins)
+    assert [(r[0], r[1]) for r in out] == [(0, 0), (1, 4), (2, 3)]
+    # radius_after(0) = 100 (coverage with just the seed)
+    assert out[0][2] == 100.0
+    # radius_after for all 3 centers: worst point is 10 at dmin 1? no:
+    # centers {0, 100, 11}: dmin(1)=1, dmin(10)=1 -> radius 1
+    assert out[2][2] == 1.0
+
+
+def test_kcenter_radius_monotone_nonincreasing(spark):
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, [rng.uniform(0, 10), rng.uniform(0, 10)]) for i in range(40)],
+        ["id", "v"],
+    )
+    out = kcenter_select(pts, 5)
+    radii = [r[2] for r in out]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
