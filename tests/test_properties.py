@@ -516,3 +516,66 @@ def test_pagerank_ppm_mass_and_bounds(edges):
         }
         assert all(base <= r <= 1000000 for r in rank.values())
         assert sum(rank.values()) <= 1000000 + n
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(-60, 60),
+    st.integers(-60, 60),
+    st.integers(-60, 60),
+    st.integers(-60, 60),
+)
+def test_zone_map_skipping_never_loses_a_match(rows, plo, phi, slo, shi):
+    """Soundness of the skip rule (layout.py::skip_audit and the 2-D
+    zorder_skipping variant): a file pruned by min/max stats contains
+    ZERO rows matching the predicate — skipping is always lossless."""
+    import collections
+
+    files = collections.defaultdict(list)
+    for f, x, y in rows:
+        files[f].append((x, y))
+    for f, pts in files.items():
+        xmin = min(p[0] for p in pts); xmax = max(p[0] for p in pts)
+        ymin = min(p[1] for p in pts); ymax = max(p[1] for p in pts)
+        skipped = (xmax < plo or xmin > phi) or (ymax < slo or ymin > shi)
+        if skipped:
+            assert not any(
+                plo <= x <= phi and slo <= y <= shi for x, y in pts
+            )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 300), st.sampled_from("tc")),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 100),
+)
+def test_attribution_carry_forward_reference(events, lookback):
+    """Pure-python mirror of last_touch_attribution's carry-forward:
+    the credited touch is exactly the latest strictly-prior touch in
+    (ts, id) order, within the lookback — checked against a brute-force
+    scan over all prior events."""
+    evs = sorted(
+        [(ts, i, k) for i, (ts, k) in enumerate(events)],
+        key=lambda e: (e[0], e[1]),
+    )
+    last_touch = None
+    for ts, i, kind in evs:
+        if kind == "c":  # conversion: brute-force the expected credit
+            prior = [e for e in evs if (e[0], e[1]) < (ts, i) and e[2] == "t"]
+            expect = max(prior, key=lambda e: (e[0], e[1])) if prior else None
+            got = last_touch
+            assert got == expect
+            if expect is not None:
+                channel = "t" if ts - expect[0] <= lookback else "none"
+                assert channel in ("t", "none")
+        else:
+            last_touch = (ts, i, kind)
