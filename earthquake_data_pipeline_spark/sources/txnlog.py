@@ -145,8 +145,17 @@ def read_snapshot(
     """Read a specific version (latest if None) as a DataFrame. An
     empty live set yields an empty frame ONLY if some version exists
     (schema comes from any logged file); an unknown table raises."""
-    if not _versions(table_path):
+    versions = _versions(table_path)
+    if not versions:
         raise FileNotFoundError(f"no committed versions at {table_path}")
+    if version is not None and version < versions[0]:
+        # older than the oldest surviving manifest: vacuumed (or never
+        # existed) — fail loudly instead of returning a partial/empty
+        # snapshot
+        raise FileNotFoundError(
+            f"version {version} predates the log's oldest surviving "
+            f"version {versions[0]} at {table_path} (vacuumed?)"
+        )
     files = live_files(table_path, version)
     if not files:
         # empty live set: derive schema from the newest logged file
@@ -159,14 +168,63 @@ def read_snapshot(
 
 
 def vacuum(table_path: str, keep_after_version: int) -> list[str]:
-    """Delete data files not live in ANY version > keep_after_version,
-    and drop the obsolete manifests. Returns deleted file names."""
+    """Truncate history: versions > ``keep_after_version`` stay exactly
+    readable, versions <= it are dropped (reading one now raises — no
+    silent partial snapshots), and data files unreachable from every
+    surviving version are deleted. The latest version always survives
+    even if the cut would remove it. Returns deleted file names.
+
+    Crash-safety (readers-always-safe contract): the oldest surviving
+    manifest is rewritten SELF-CONTAINED and PUBLISHED FIRST via the
+    same tmp+fsync+atomic-rename discipline as _commit — ``added`` is
+    that version's full live set, ``removed`` names every file any
+    older manifest ever added, so replay yields the exact live set
+    whether the older manifests have been deleted yet or not (removal
+    applies before addition within a manifest). Only after the publish
+    are the obsolete manifests unlinked, and the data files LAST; a
+    crash at any point leaves every surviving version fully readable
+    and the re-run idempotent. Deletion-before-publish is the unsafe
+    order.
+    """
     versions = _versions(table_path)
-    keep_versions = [v for v in versions if v > keep_after_version]
+    if not versions:
+        return []
+    surviving = [v for v in versions if v > keep_after_version]
+    if not surviving:  # never vacuum away the table's current state
+        surviving = [versions[-1]]
+    base = surviving[0]
+    cut = [v for v in versions if v < base]
     needed: set[str] = set()
-    for v in keep_versions:
-        needed |= set(os.path.basename(p) for p in live_files(table_path, v))
-    # files referenced only by vacuumed history
+    for v in surviving:
+        needed |= {os.path.basename(p) for p in live_files(table_path, v)}
+    if cut:
+        base_live = sorted(
+            os.path.basename(p) for p in live_files(table_path, base)
+        )
+        old_added: set[str] = set()
+        for v in cut:
+            old_added |= set(_read_manifest(table_path, v)["added"])
+        # 1) publish the self-contained base manifest atomically
+        manifest = {
+            "version": base,
+            "added": base_live,
+            "removed": sorted(old_added - set(base_live)),
+        }
+        tmp = os.path.join(
+            table_path, f".tmp-manifest-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(
+            tmp, os.path.join(_log_dir(table_path), f"{base:012d}.json")
+        )
+        # 2) drop the now-redundant older manifests
+        for v in cut:
+            os.unlink(os.path.join(_log_dir(table_path), f"{v:012d}.json"))
+    # 3) physical deletion LAST — everything above leaves the data
+    #    files untouched, so a crash anywhere keeps readers whole
     data_dir = os.path.join(table_path, _DATA)
     deleted = []
     if os.path.isdir(data_dir):
@@ -174,28 +232,6 @@ def vacuum(table_path: str, keep_after_version: int) -> list[str]:
             if f.endswith(".parquet") and f not in needed:
                 os.unlink(os.path.join(data_dir, f))
                 deleted.append(f)
-    # squash vacuumed manifests into a base manifest at the cut
-    cut = [v for v in versions if v <= keep_after_version]
-    if cut:
-        base_live = [
-            os.path.basename(p)
-            for p in live_files(table_path, keep_after_version)
-            if os.path.basename(p) in needed
-        ]
-        for v in cut:
-            os.unlink(os.path.join(_log_dir(table_path), f"{v:012d}.json"))
-        manifest = {
-            "version": keep_after_version,
-            "added": base_live,
-            "removed": [],
-        }
-        with open(
-            os.path.join(
-                _log_dir(table_path), f"{keep_after_version:012d}.json"
-            ),
-            "w",
-        ) as f:
-            json.dump(manifest, f)
     return deleted
 
 

@@ -13,8 +13,9 @@ recurrence is exact when the source delivers each key's events in
 timestamp order (true for the repo's file-source replays and any
 log-compacted queue with per-key ordering). An out-of-order arrival
 older than the key's last seen timestamp contributes a refill of 0
-(clamped), never a negative — the bucket cannot be grown by replaying
-the past. Full late-data handling would need a watermarked reorder
+(clamped) and does NOT rewind the refill anchor (last_ts is
+monotone) — the bucket cannot be grown by replaying the past, neither
+directly nor by double-crediting the interval after a late event. Full late-data handling would need a watermarked reorder
 buffer in front (the same trade streaming_dedup documents).
 
 100 TB: state is two int64s per key; the shuffle is the groupBy hash
@@ -59,30 +60,37 @@ def streaming_token_bucket(
                 last_ts = None
         else:
             units, last_ts = cap, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col], ignore_index=True)
-            before = []
-            admitted = []
-            for ts in pdf[ts_col]:
-                if last_ts is not None:
-                    units = min(
-                        cap, units + max(0, ts - last_ts) * refill_num
-                    )
+        # One sort over the WHOLE micro-batch group, not per Arrow chunk:
+        # a key whose batch spans multiple record batches must still see
+        # its events in (ts, id) order or the recurrence diverges from
+        # the batch operator's whole-history sort.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, id_col], ignore_index=True)
+        before = []
+        admitted = []
+        for ts in pdf[ts_col]:
+            if last_ts is not None:
+                units = min(cap, units + max(0, ts - last_ts) * refill_num)
+                # Late arrival (ts < last_ts): refill 0 AND the anchor
+                # must not rewind, or the next in-order event would
+                # re-credit an interval already counted.
+                last_ts = max(last_ts, int(ts))
+            else:
                 last_ts = int(ts)
-                before.append(units)
-                ok = units >= refill_den
-                admitted.append(ok)
-                if ok:
-                    units -= refill_den
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    key_col: key[0],
-                    "ts_s": pdf[ts_col],
-                    "units_before": before,
-                    "admitted": admitted,
-                }
-            )
+            before.append(units)
+            ok = units >= refill_den
+            admitted.append(ok)
+            if ok:
+                units -= refill_den
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                key_col: key[0],
+                "ts_s": pdf[ts_col],
+                "units_before": before,
+                "admitted": admitted,
+            }
+        )
         state.update((int(units), int(last_ts) if last_ts is not None else -1))
 
     return stream.groupBy(key_col).applyInPandasWithState(

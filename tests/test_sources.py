@@ -612,3 +612,79 @@ def test_txnlog_merge_commit_is_versioned_upsert(spark, tmp_path):
     assert latest == {1: "a", 2: "B", 3: "c"}  # update 2, insert 3
     old = {r.k: r.v for r in read_snapshot(spark, t, 0).collect()}
     assert old == {1: "a", 2: "b"}  # time travel unaffected
+
+
+def test_txnlog_vacuum_publish_before_delete_survives_crash(spark, tmp_path):
+    """Crash-ordering contract (ADVICE r06): vacuum publishes the
+    self-contained base manifest FIRST; a crash before any deletion
+    leaves EVERY version fully readable, and the re-run converges."""
+    from unittest import mock
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)  # v0
+    commit_overwrite(_tlog(spark, tmp_path, [(9, "z")]), t)  # v1
+    commit_append(_tlog(spark, tmp_path, [(10, "y")]), t)  # v2
+
+    # crash right after the atomic publish: every unlink (manifest AND
+    # data deletion) fails
+    with mock.patch("os.unlink", side_effect=OSError("simulated crash")):
+        with pytest.raises(OSError):
+            vacuum(t, keep_after_version=0)
+
+    # mid-crash state: the rewritten base manifest coexists with the old
+    # manifests and all data files — every version must read exactly
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9, 10}
+    assert {r.k for r in read_snapshot(spark, t, 1).collect()} == {9}
+    assert {r.k for r in read_snapshot(spark, t, 0).collect()} == {1, 2}
+
+    # re-run converges: v0 history gone (loud failure), survivors exact
+    deleted = vacuum(t, keep_after_version=0)
+    assert deleted  # v0's overwritten files physically removed
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9, 10}
+    assert {r.k for r in read_snapshot(spark, t, 1).collect()} == {9}
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0)
+    # idempotent: nothing further to delete, reads unchanged
+    assert vacuum(t, keep_after_version=0) == []
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9, 10}
+
+
+def test_txnlog_vacuum_keeps_cut_version_exact_and_fails_older_loudly(
+    spark, tmp_path
+):
+    """Vacuum semantics (ADVICE r06): the oldest surviving version reads
+    EXACTLY (no silently-partial snapshot), vacuumed versions raise, and
+    the latest version always survives an over-aggressive cut."""
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)  # v0
+    commit_append(_tlog(spark, tmp_path, [(3, "c")]), t)  # v1
+    commit_overwrite(_tlog(spark, tmp_path, [(9, "z")]), t)  # v2
+
+    # cut v0: v1's live set spans BOTH commits' files even though v2
+    # later removed them — the base manifest must be self-contained
+    vacuum(t, keep_after_version=0)
+    assert {r.k for r in read_snapshot(spark, t, 1).collect()} == {1, 2, 3}
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9}
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 0)
+
+    # over-aggressive cut at (and beyond) the latest version: the
+    # current state always survives
+    vacuum(t, keep_after_version=99)
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {9}
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, 1)

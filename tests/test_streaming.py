@@ -313,3 +313,115 @@ def test_streaming_token_bucket_matches_batch_replay(spark, tmp_path):
     assert got[1] == (60, True) and got[2] == (35, True)
     assert got[3] == (30, True) and got[5] == (35, True)
     assert got[6] == (6, False)
+
+
+def test_streaming_token_bucket_late_event_never_rewinds_refill_anchor(
+    spark, tmp_path
+):
+    """A cross-batch late arrival must contribute refill 0 AND leave the
+    refill anchor (last_ts) at the key's max seen timestamp — otherwise
+    the next in-order event re-credits an interval already counted
+    (ADVICE r06: last_ts was unconditionally set to the event's ts)."""
+    from earthquake_data_pipeline_spark.streaming.ratelimit import (
+        streaming_token_bucket,
+    )
+
+    src = str(tmp_path / "rl_late_src")
+    schema = "event_id long, user_id long, ts_s long"
+    cols = ["event_id", "user_id", "ts_s"]
+    spark.createDataFrame([(1, 1, 0), (2, 1, 100)], cols).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_token_bucket(stream, burst=2, refill_num=1, refill_den=30)
+        .writeStream.format("memory")
+        .queryName("rl_late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rl_late_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event 3 is LATE (ts=50 < last seen 100); event 4 is
+        # in-order at ts=110 and must refill over 110-100=10s, not
+        # 110-50=60s
+        spark.createDataFrame([(3, 1, 50), (4, 1, 110)], cols).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got = {
+            r.event_id: (r.units_before, r.admitted)
+            for r in spark.sql("SELECT * FROM rl_late_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch 1: t=0 full 60 admit -> 30; t=100 refill 100 -> 60 admit -> 30
+    assert got[1] == (60, True) and got[2] == (60, True)
+    # late t=50: refill 0 (clamped), 30 admits -> 0; anchor stays 100
+    assert got[3] == (30, True)
+    # t=110: refill exactly 10 -> 10, denied. A rewound anchor would
+    # refill 60 -> full bucket -> admitted (the double-credit bug).
+    assert got[4] == (10, False)
+
+
+def test_streaming_token_bucket_sorts_across_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch spans multiple Arrow record batches must
+    still see ONE whole-group (ts, id) sort — per-chunk sorting applies
+    the recurrence across an unsorted chunk boundary (ADVICE r06)."""
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+    from earthquake_data_pipeline_spark.streaming.ratelimit import (
+        streaming_token_bucket,
+    )
+
+    src = str(tmp_path / "rl_chunk_src")
+    schema = "event_id long, user_id long, ts_s long"
+    cols = ["event_id", "user_id", "ts_s"]
+    # one key, 6 events deliberately out of order in file order
+    rows = [(1, 1, 100), (2, 1, 0), (3, 1, 50), (4, 1, 30), (5, 1, 110),
+            (6, 1, 20)]
+    spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_token_bucket(
+                stream, burst=2, refill_num=1, refill_den=30
+            )
+            .writeStream.format("memory")
+            .queryName("rl_chunk_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "rl_chunk_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.event_id: (r.units_before, r.admitted)
+                for r in spark.sql("SELECT * FROM rl_chunk_out").collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+    ev = spark.createDataFrame(rows, cols).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    want = {
+        r.event_id: (r.units_before, r.admitted)
+        for r in token_bucket_admit(
+            ev, burst=2, refill_num=1, refill_den=30
+        ).collect()
+    }
+    assert got == want
