@@ -745,6 +745,98 @@ LEFT JOIN nation n ON CAST(e.user_id % 25 AS INTEGER) = n.n_nationkey
 """
 
 
+# Synthetic place strings for the full enrichment pipeline: one case per
+# fallback path, including a name-only country (Midland: no polygon, like
+# the reference's manual 'Alaska' row, add_region.py:36) and a two-token
+# place that exercises first-match-wins priority.
+_PLACE_EXPR = """CASE CAST(user_id % 6 AS INT)
+  WHEN 0 THEN 'near Eastland'
+  WHEN 1 THEN 'offshore Westland'
+  WHEN 2 THEN 'Northisles ridge'
+  WHEN 3 THEN 'Midland plateau'
+  WHEN 4 THEN 'Midland near Eastland border'
+  ELSE 'open ocean'
+END"""
+
+# (country, region) lookup incl. the name-only Midland row; list order is
+# the regex-fallback priority order (reference: COUNTRIES list order).
+GEO_COUNTRY_LOOKUP = [
+    ("Eastland", "Asia"),
+    ("Westland", "Americas"),
+    ("Northisles", "Europe"),
+    ("Midland", "Oceania"),
+]
+
+
+def q_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature pipeline end-to-end (add_region.py:17-66,
+    add_region_chunks.py:18-88): point-in-polygon spatial left join →
+    word-token regex fallback ONLY on spatial misses (first-match-wins in
+    lookup order) → broadcast region lookup for inferred countries →
+    coalesce-fill. Parts are proven separately (spatial_join,
+    regex_token_match, enrich_coalesce); this proves the composition,
+    using event_id as the natural join key (the no-materialization scale
+    path of operators/enrichment.py::enrich_events)."""
+    _utc(spark)
+    from .operators.enrichment import enrich_events
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_LON_EXPR).alias("longitude"),
+        F.expr(_LAT_EXPR).alias("latitude"),
+        F.expr(_PLACE_EXPR).alias("place"),
+    )
+    out = enrich_events(
+        ev, GEO_POLYGONS, GEO_COUNTRY_LOOKUP, id_col="event_id"
+    )
+    return out.select(
+        "event_id",
+        F.col("country").alias("final_country"),
+        F.col("region").alias("final_region"),
+    )
+
+
+SQL_ENRICH_EVENTS = rf"""
+WITH pts AS (
+  SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat,
+         {_PLACE_EXPR} AS place
+  FROM events
+), geo AS (
+  SELECT event_id, place,
+         CASE
+           WHEN lon BETWEEN 10.3 AND 90.7 AND lat BETWEEN -20.5 AND 40.5 THEN 'Eastland'
+           WHEN lon BETWEEN -150.7 AND -30.3 AND lat BETWEEN -60.5 AND 20.5 THEN 'Westland'
+           WHEN (lon BETWEEN -10.1 AND 20.9 AND lat BETWEEN 50.5 AND 75.5)
+             OR (lon BETWEEN 30.1 AND 60.9 AND lat BETWEEN 55.5 AND 70.5) THEN 'Northisles'
+         END AS geo_country,
+         CASE
+           WHEN lon BETWEEN 10.3 AND 90.7 AND lat BETWEEN -20.5 AND 40.5 THEN 'Asia'
+           WHEN lon BETWEEN -150.7 AND -30.3 AND lat BETWEEN -60.5 AND 20.5 THEN 'Americas'
+           WHEN (lon BETWEEN -10.1 AND 20.9 AND lat BETWEEN 50.5 AND 75.5)
+             OR (lon BETWEEN 30.1 AND 60.9 AND lat BETWEEN 55.5 AND 70.5) THEN 'Europe'
+         END AS geo_region
+  FROM pts
+), fb AS (
+  SELECT event_id, geo_country, geo_region,
+         CASE WHEN regexp_matches(place, '\bEastland\b') THEN 'Eastland'
+              WHEN regexp_matches(place, '\bWestland\b') THEN 'Westland'
+              WHEN regexp_matches(place, '\bNorthisles\b') THEN 'Northisles'
+              WHEN regexp_matches(place, '\bMidland\b') THEN 'Midland'
+         END AS fb_country
+  FROM geo
+)
+SELECT event_id,
+       COALESCE(geo_country, fb_country) AS final_country,
+       COALESCE(geo_region,
+                CASE fb_country WHEN 'Eastland' THEN 'Asia'
+                                WHEN 'Westland' THEN 'Americas'
+                                WHEN 'Northisles' THEN 'Europe'
+                                WHEN 'Midland' THEN 'Oceania'
+                END) AS final_region
+FROM fb
+"""
+
+
 # ---------------------------------------------------------------------------
 # M5 — LLM-data-pipeline operators (north-star): text analysis, dedup
 # family, similarity search, multimodal plumbing
@@ -2031,6 +2123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spatial_join": q_spatial_join,
     "regex_token_match": q_regex_token_match,
     "enrich_coalesce": q_enrich_coalesce,
+    "enrich_events": q_enrich_events,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -2082,6 +2175,7 @@ ORACLE: dict[str, str] = {
     "spatial_join": SQL_SPATIAL_JOIN,
     "regex_token_match": SQL_REGEX_TOKEN_MATCH,
     "enrich_coalesce": SQL_ENRICH_COALESCE,
+    "enrich_events": SQL_ENRICH_EVENTS,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
