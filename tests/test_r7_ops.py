@@ -376,6 +376,48 @@ def test_pagerank_weighted_edge_split(spark):
     assert out["c"] == base + (850000 * ((init * 1) // 4)) // 1000000
 
 
+def test_pagerank_broadcasts_rank_vector_and_bounds_lineage(spark):
+    """Scale shape (VERDICT r06 item 5): with a small node domain the
+    per-iteration edges×ranks join must BROADCAST the node-sized rank
+    vector (the edge side — the 100 TB side — is never shuffled), and
+    each iteration's published plan must be checkpoint-bounded (Scan
+    ExistingRDD at the leaves, not a k-deep join tower)."""
+    from earthquake_data_pipeline_spark.operators.graph import pagerank_ppm
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], ["src", "dst", "w"]
+    )
+    out = pagerank_ppm(e, iterations=3)
+    # final published frame is a lazy localCheckpoint: its own plan is
+    # lineage-free (the iteration tower was truncated round by round)
+    final_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in final_plan
+    assert "Scan ExistingRDD" in final_plan
+
+    # broadcast pin: replay one iteration's join exactly as the operator
+    # builds it and check Catalyst honored the broadcast on the rank side
+    from pyspark.sql import functions as F
+
+    ranks = out  # node-sized vector
+    ew = e.selectExpr("src as s", "dst as d", "w")
+    it_plan = (
+        ew.join(F.broadcast(ranks), ew["s"] == ranks["node"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in it_plan
+    assert "SortMergeJoin" not in it_plan
+
+    # forced shuffle path (huge-domain fallback) still computes the same
+    got = {r["node"]: r["rank_ppm"] for r in out.collect()}
+    shuffled = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank_ppm(e, iterations=3, broadcast_ranks=False).collect()
+    }
+    assert got == shuffled
+
+
 # ---------- blocked_edit_join ----------
 
 
