@@ -2243,60 +2243,67 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      sentinel query per table type — events / lineitem / documents /
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
-# Cumulative driver coverage: r04 ∪ r05 proved 78/86; this head proves
-# the 8 round-5 operators that never got a row, kmeans_clusters (module
-# edited in r5 after its r04 row — re-proof), the full 27-query r04
-# bank (oldest rows), the 8 new round-6 queries, qcommon sentinels
-# (clean_events=events, pricing_summary=lineitem in the r04 bank,
-# text_quality=documents, cosine_topk=embeddings), and the 3 stream
-# queries (reader docstring/path touched this round) — exactly 50.
+#
+# ROUND-7 HEAD (this file's current rotation): cumulative driver
+# coverage after r06 is 122/147 green, zero red; the 25 continuation-
+# batch queries below have NEVER had a driver row (VERDICT r06 item 1)
+# and lead, displaced only by enrich_events — the one NEW query this
+# round (the reference's signature pipeline composed end-to-end,
+# VERDICT item 6; new operators sit at the FRONT per item 3).
+# Churn accounting for rule 2: operators/graph.py gained the
+# broadcast-rank + per-iteration checkpoint path (pagerank_tokens is
+# in the never-proven block); streaming/ratelimit.py and
+# sources/txnlog.py were fixed but host NO catalog query (their
+# catalog twins rate_limit/token_bucket/upsert_merge use
+# operators/admission.py and operators/merge.py, both untouched —
+# rate_limit/token_bucket are in the never-proven block and
+# upsert_merge in the churn-adjacent block regardless).
+# tools/check.py gained --never-proven → rule-3 sentinels: events =
+# clean_events + enrich_events, documents = lang_id/chunk_documents,
+# embeddings = cluster_purity/kcenter_select (in the never-proven
+# block), lineitem = pricing_summary (seated below).
 _GATE_FIRST = [
-    # (1) never driver-verified: the 8 round-5 operators…
-    "mp4_probe", "zorder_layout", "scd2_snapshot", "incremental_agg",
-    "bigram_lm_score", "heavy_hitters", "expectations_report",
-    "split_assignment",
-    # …the 8 round-6 first-batch queries…
-    "cohort_retention", "funnel_steps", "zscore_outliers",
-    "quality_deciles", "top_p_select", "winnow_fingerprint",
-    "url_canonical", "approx_distinct",
-    # …and the round-6 second/third-batch queries (each displaced one
-    # r04-bank entry, which keeps its r04-green row and leads the r07
-    # head: yearly_stats, window_running, unpivot_measures, top_k_orders,
-    # token_stats, string_suite, stats_per_decade, simhash,
-    # severity_buckets, set_ops, semi_anti_join, rollup_agg,
-    # region_rollup, regex_token_match, ranking_suite, pivot_status,
-    # fact_fact_join, max_per_group, pack_sequences, percentile_stats,
-    # array_suite, corr_stats, correlated_subquery, cube_agg,
-    # datetime_suite, distinct_agg, text_quality, pricing_summary —
-    # sentinel duty transfers within the head: lineitem+orders ->
-    # fact_reconciliation, documents -> char_diversity et al.,
-    # events -> spatial_join, embeddings -> cosine_topk)
-    "fingerprint_dedup", "ngram_containment", "approx_quality_bins",
-    "compaction_plan", "cms_frequency", "bloom_prune", "domain_mixture",
-    "boilerplate_strip", "prefix_filter_join", "interval_merge",
-    "snapshot_diff", "length_batching", "pmi_collocations",
-    "epoch_shuffle", "column_profile", "histogram_drift",
-    "exact_substring_dup", "join_explosion", "funnel_windowed",
-    "dedup_keep_list", "event_debounce", "cumulative_reach",
-    "event_transitions", "rfm_segments", "char_diversity",
-    "mad_outliers", "hourly_profile", "fact_reconciliation",
-    # (2) kmeans_clusters: r04 row, but clustering.py gained the GEMM
-    #     path in r5 — the gate standard wants a row against shipped code
-    "kmeans_clusters",
-    # (3) qcommon churn sentinels (events/documents/embeddings; lineitem
-    #     is covered by pricing_summary in the bank below) + the stream
-    #     reader's three queries. spatial_join doubles as the events
-    #     sentinel: it reads events via _table AND its function body
-    #     gained the polygon-count guard this round — the one non-head
-    #     query whose own code changed (clean_events, unchanged since
-    #     its r05 row, banks instead)
-    "spatial_join", "cosine_topk",
-    "stream_window_counts", "stream_dedup_days", "stream_running_totals",
-    # (4) the 19 remaining r04-banked queries — the oldest green rows
-    # (simhash / stats_per_decade / string_suite / token_stats /
-    # top_k_orders / unpivot_measures / window_running / yearly_stats
-    # displaced by the round-6 batches; they keep r04 rows)
+    # (0) the one new query this round
+    "enrich_events",
+    # (1) the 25 never-driver-proven continuation-batch queries
+    #     (locally oracle-verified in r06 by builder AND judge; a
+    #     driver row is what's missing)
+    "rate_limit", "token_bucket", "inverted_index", "bm25_topk",
+    "zone_skipping", "cms_join_size", "weighted_sample", "trend_fit",
+    "pagerank_tokens", "fuzzy_blocked_join", "robust_scaling",
+    "chi2_independence", "equidepth_histogram", "trimmed_mean",
+    "k_anonymity", "boolean_search", "lsh_recall_audit",
+    "incremental_join_view", "pareto_frontier", "fk_integrity",
+    "golden_record", "cluster_purity", "attribution", "zorder_skipping",
+    "kcenter_select",
+    # (2a) spatial_join: its r06 row predates this round's bbox-grid
+    #      strategy edit to its function body (grid auto-engages only
+    #      past 4096 polygons, but the gate standard is hunk-level) —
+    #      re-prove against shipped code. Its callers enrich_coalesce /
+    #      enrich_events are seated below/above.
+    "spatial_join",
+    # (2) the 14 churn-adjacent banked queries: r05 rows whose host
+    #     modules were edited in r06 (SURVEY §10 disclosure) — re-prove
+    #     against shipped code
+    "clean_events", "enrich_coalesce", "lang_id", "pii_redact",
+    "chunk_documents", "doc_repetition", "minhash_lsh", "ngram_jaccard",
+    "simhash", "lsh_jaccard_refine", "merge_anti_join",
+    "high_water_mark", "upsert_merge", "pack_sequences",
+    # (3) lineitem sentinel (tools/check.py churn) — also an oldest-r04
+    #     row
+    "pricing_summary",
+    # (4) remaining slots: oldest r04-banked rows
+    "yearly_stats", "severity_buckets", "top_k_orders", "region_rollup",
+    "max_per_group", "stats_per_decade", "fact_fact_join",
+    "regex_token_match",
+    # still banked on r04 rows (next round's oldest-first pool):
+    # token_stats (displaced by spatial_join's churn seat),
+    # semi_anti_join, rollup_agg, cube_agg, pivot_status,
+    # window_running, distinct_agg, percentile_stats, set_ops,
+    # unpivot_measures, corr_stats, ranking_suite, string_suite,
+    # datetime_suite, array_suite, correlated_subquery
 ]
+assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 
 
 def _rotate(d: dict) -> dict:

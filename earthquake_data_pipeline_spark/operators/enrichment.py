@@ -33,9 +33,43 @@ from ..functions.geo import parse_wkt_polygon, points_in_polygon, ring_bbox
 from ..functions.scalar import token_pattern
 
 # Linear per-batch polygon scan is fine to ~16× the reference's 259-row
-# world dim; beyond that the broadcast dim needs a bbox-grid index (see
-# spatial_join docstring).
+# world dim; past this the operator switches to the bbox-grid index
+# (same mapInPandas plumbing, still map-only) — see _build_bbox_grid.
 _MAX_LINEAR_POLYGONS = 4096
+
+
+def _build_bbox_grid(parsed):
+    """Uniform driver-side grid over the dim's bbox extent: cell id →
+    ASCENDING list of polygon indices whose bbox overlaps the cell.
+
+    Ascending order preserves the linear path's first-polygon-wins
+    priority: every polygon containing a point overlaps the point's
+    cell (point ∈ polygon ⊆ polygon bbox ⊇ the cell holding the
+    point), so testing a cell's candidates in index order visits the
+    same polygons in the same order as the full scan, minus the
+    non-overlapping ones. ~sqrt(P) cells per axis targets O(1)
+    candidates per cell for evenly-spread dims; the whole structure is
+    KB-per-thousand-polygons and ships in the same broadcast.
+    """
+    import math
+
+    gminx = min(b[0] for *_, b in parsed)
+    gminy = min(b[1] for *_, b in parsed)
+    gmaxx = max(b[2] for *_, b in parsed)
+    gmaxy = max(b[3] for *_, b in parsed)
+    n_axis = min(1024, max(1, int(math.ceil(math.sqrt(len(parsed))))))
+    cw = max((gmaxx - gminx) / n_axis, 1e-12)
+    ch = max((gmaxy - gminy) / n_axis, 1e-12)
+    cells: dict[int, list[int]] = {}
+    for pi, (_, _, _, (minx, miny, maxx, maxy)) in enumerate(parsed):
+        i0 = min(max(int((minx - gminx) / cw), 0), n_axis - 1)
+        i1 = min(max(int((maxx - gminx) / cw), 0), n_axis - 1)
+        j0 = min(max(int((miny - gminy) / ch), 0), n_axis - 1)
+        j1 = min(max(int((maxy - gminy) / ch), 0), n_axis - 1)
+        for j in range(j0, j1 + 1):
+            for i in range(i0, i1 + 1):
+                cells.setdefault(j * n_axis + i, []).append(pi)
+    return (gminx, gminy, cw, ch, n_axis, cells)
 
 
 def spatial_join(
@@ -45,6 +79,7 @@ def spatial_join(
     lat_col: str = "latitude",
     country_col: str = "country",
     region_col: str = "region",
+    grid_index: bool | None = None,
 ) -> DataFrame:
     """R2 — point-in-polygon left join, first matching polygon wins.
 
@@ -56,15 +91,20 @@ def spatial_join(
     here — they participate in the regex fallback instead
     (pipeline/add_region.py:36).
 
-    Cost model: the per-batch loop is O(polygons) with a vectorized bbox
-    prefilter — the right shape for the reference's 259-row dim (and the
-    operator stays MAP-ONLY: no shuffle, pinned by
-    tests/test_plans.py::test_spatial_join_is_map_only). It is NOT the
-    right shape for a dim of many thousands of polygons, where the bbox
-    tests themselves dominate; past ``_MAX_LINEAR_POLYGONS`` this raises
-    rather than silently degrading — the fix at that scale is an
-    STRtree/bbox-grid index over the broadcast dim inside the same
-    mapInPandas (plumbing unchanged, still map-only).
+    Cost model: two strategies, both MAP-ONLY (no shuffle, pinned by
+    tests/test_plans.py::test_spatial_join_is_map_only):
+
+    - linear per-batch scan over all polygons with a vectorized bbox
+      prefilter — the right shape for the reference's 259-row dim,
+      where the O(P) bbox tests are cheaper than grouping overhead;
+    - bbox-grid index (``grid_index=True``; auto past
+      ``_MAX_LINEAR_POLYGONS``) — points are bucketed into a driver-
+      built ~sqrt(P)×sqrt(P) grid over the dim extent and only each
+      cell's overlapping polygons are tested, in index order, so
+      first-polygon-wins priority is preserved exactly. This removes
+      the O(points × P) bbox-test wall for dims of many thousands of
+      polygons (admin-level-2 boundaries etc.); measured crossover in
+      DESIGN.md.
     """
     import pandas as pd
 
@@ -74,16 +114,12 @@ def spatial_join(
             continue
         polys = parse_wkt_polygon(wkt)
         parsed.append((country, region, polys, ring_bbox(polys)))
-    if len(parsed) > _MAX_LINEAR_POLYGONS:
-        raise ValueError(
-            f"spatial_join's linear polygon scan is sized for dims ≤ "
-            f"{_MAX_LINEAR_POLYGONS} polygons (got {len(parsed)}); add a "
-            "bbox-grid/STRtree index to the broadcast dim before raising "
-            "the limit"
-        )
+    if grid_index is None:
+        grid_index = len(parsed) > _MAX_LINEAR_POLYGONS
+    grid = _build_bbox_grid(parsed) if (grid_index and parsed) else None
 
     spark = points.sparkSession
-    bc = spark.sparkContext.broadcast(parsed)
+    bc = spark.sparkContext.broadcast((parsed, grid))
 
     # NB: StructType.add mutates in place — never call it on df.schema
     # (it corrupts the DataFrame's cached Python-side schema).
@@ -98,14 +134,9 @@ def spatial_join(
     def fn(batches):
         import numpy as np
 
-        polys = bc.value
-        for pdf in batches:
-            n = len(pdf)
-            lon = pdf[lon_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            lat = pdf[lat_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            country = np.full(n, None, dtype=object)
-            region = np.full(n, None, dtype=object)
-            open_mask = ~(np.isnan(lon) | np.isnan(lat))
+        polys, grd = bc.value
+
+        def assign_linear(lon, lat, open_mask, country, region):
             for c, r, rings, (minx, miny, maxx, maxy) in polys:
                 if not open_mask.any():
                     break
@@ -118,6 +149,58 @@ def spatial_join(
                 country[hit] = c
                 region[hit] = r
                 open_mask[hit] = False
+
+        def assign_grid(lon, lat, open_mask, country, region):
+            gminx, gminy, cw, ch, n_axis, cells = grd
+            ix = np.floor((lon - gminx) / cw).astype(np.int64)
+            iy = np.floor((lat - gminy) / ch).astype(np.int64)
+            valid = (
+                open_mask
+                & (ix >= 0) & (ix < n_axis)
+                & (iy >= 0) & (iy < n_axis)
+            )
+            vidx = np.nonzero(valid)[0]
+            if vidx.size == 0:
+                return
+            cell = iy[vidx] * n_axis + ix[vidx]
+            order = np.argsort(cell, kind="stable")
+            vidx, cell = vidx[order], cell[order]
+            splits = np.nonzero(np.diff(cell))[0] + 1
+            starts = np.concatenate(([0], splits))
+            for s, members in zip(starts, np.split(vidx, splits)):
+                cand = cells.get(int(cell[s]))
+                if cand is None:
+                    continue
+                for pi in cand:
+                    if members.size == 0:
+                        break
+                    c, r, rings, (minx, miny, maxx, maxy) = polys[pi]
+                    inb = (
+                        (lon[members] >= minx) & (lon[members] <= maxx)
+                        & (lat[members] >= miny) & (lat[members] <= maxy)
+                    )
+                    sub = members[inb]
+                    if sub.size == 0:
+                        continue
+                    inside = points_in_polygon(lon[sub], lat[sub], rings)
+                    hit = sub[inside]
+                    if hit.size:
+                        country[hit] = c
+                        region[hit] = r
+                        open_mask[hit] = False
+                        members = members[open_mask[members]]
+
+        for pdf in batches:
+            n = len(pdf)
+            lon = pdf[lon_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            lat = pdf[lat_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            country = np.full(n, None, dtype=object)
+            region = np.full(n, None, dtype=object)
+            open_mask = ~(np.isnan(lon) | np.isnan(lat))
+            if grd is not None:
+                assign_grid(lon, lat, open_mask, country, region)
+            else:
+                assign_linear(lon, lat, open_mask, country, region)
             out = pdf.copy()
             out[country_col] = pd.Series(country, index=pdf.index, dtype=object)
             out[region_col] = pd.Series(region, index=pdf.index, dtype=object)

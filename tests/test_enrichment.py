@@ -90,3 +90,82 @@ def test_enrich_events_composition(spark):
     assert out[4] == (None, None)
     # null-census invariant (SURVEY §5): enrichment only ADDS countries
     assert sum(1 for c, _ in out.values() if c is not None) == 3
+
+
+def test_spatial_join_grid_index_matches_linear(spark):
+    """The bbox-grid strategy (the >_MAX_LINEAR_POLYGONS successor,
+    VERDICT r06 item 7) must reproduce the linear scan exactly on the
+    sanity dim — including hole and MULTIPOLYGON semantics."""
+    rows = [
+        (1, 140.0, 35.0), (2, 178.5, -42.0), (3, -150.0, 10.0),
+        (4, -150.0, -10.0), (5, 10.0, 50.0), (6, 5.0, 50.0),
+        (7, -70.0, -30.0), (8, 165.0, -40.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "longitude", "latitude"])
+    linear = {
+        r.id: (r.country, r.region)
+        for r in spatial_join(df, POLYGONS, grid_index=False).collect()
+    }
+    grid = {
+        r.id: (r.country, r.region)
+        for r in spatial_join(df, POLYGONS, grid_index=True).collect()
+    }
+    assert grid == linear
+    assert grid[6] == ("Donutland", "Europe")  # solid part of holed poly
+
+
+def test_spatial_join_grid_preserves_first_polygon_priority(spark):
+    """Overlapping polygons: the FIRST polygon in dim order wins on both
+    strategies (the grid's per-cell candidate lists are index-ordered)."""
+    overlapping = [
+        ("First", "A", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        ("Second", "B", "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+    ]
+    df = spark.createDataFrame(
+        [(1, 7.0, 7.0), (2, 12.0, 12.0), (3, 2.0, 2.0)],
+        ["id", "longitude", "latitude"],
+    )
+    for flag in (False, True):
+        out = {
+            r.id: r.country
+            for r in spatial_join(df, overlapping, grid_index=flag).collect()
+        }
+        assert out == {1: "First", 2: "Second", 3: "First"}, flag
+
+
+def test_spatial_join_auto_grid_past_linear_cap(spark):
+    """A dim beyond _MAX_LINEAR_POLYGONS no longer raises: the grid path
+    engages automatically and classifies correctly."""
+    from earthquake_data_pipeline_spark.operators.enrichment import (
+        _MAX_LINEAR_POLYGONS,
+    )
+
+    # (2*cap) 1x1-degree tiles laid out on a row-major lattice
+    n = _MAX_LINEAR_POLYGONS * 2
+    per_row = 100
+    dim = []
+    for k in range(n):
+        x0, y0 = (k % per_row), (k // per_row)
+        dim.append(
+            (
+                f"tile_{k}",
+                None,
+                f"POLYGON (({x0} {y0}, {x0 + 1} {y0}, {x0 + 1} {y0 + 1}, "
+                f"{x0} {y0 + 1}, {x0} {y0}))",
+            )
+        )
+    pts = [
+        (0, 0.5, 0.5),        # tile_0
+        (1, 55.5, 3.5),       # tile_355
+        (2, 91.5, 81.5),      # tile_8191 (last tile: 81*100 + 91)
+        (3, 150.0, 150.0),    # outside every tile
+    ]
+    df = spark.createDataFrame(pts, ["id", "longitude", "latitude"])
+    out = {
+        r.id: r.country
+        for r in spatial_join(df, [(c, r_, w) for c, r_, w in dim]).collect()
+    }
+    assert out[0] == "tile_0"
+    assert out[1] == f"tile_{3 * per_row + 55}"
+    assert out[2] == f"tile_{81 * per_row + 91}"
+    assert out[3] is None

@@ -7,6 +7,11 @@ order-insensitive value hash (rows sorted, columns sorted by name).
 Usage: python tools/check.py [sf_dir] [query ...]
        python tools/check.py --head [sf_dir]   # exactly the driver's gate:
                                                # the first 50 queries() only
+       python tools/check.py --never-proven [sf_dir]
+           # proof-debt mode: diff queries() against the union of green
+           # rows across every CORRECTNESS_r*.json and run exactly the
+           # catalog entries that have NEVER had a driver row — makes the
+           # debt visible every round instead of judge-reconstructed
 """
 
 from __future__ import annotations
@@ -56,9 +61,34 @@ def value_repr(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def driver_proven() -> dict[str, str]:
+    """Latest driver round with a fully-green row, per query, from every
+    CORRECTNESS_r*.json at the repo root."""
+    import glob
+    import json
+    import os
+
+    latest: dict[str, str] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                latest[name] = rnd
+    return latest
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--head"]
+    flags = {"--head", "--never-proven"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     head_only = "--head" in sys.argv[1:]
+    never_proven = "--never-proven" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -75,6 +105,19 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if head_only:
         qs = dict(list(qs.items())[:GATE_WINDOW])
+    if never_proven:
+        proven = driver_proven()
+        qs = {k: v for k, v in qs.items() if k not in proven}
+        in_head = set(list(entrymod.queries())[:GATE_WINDOW])
+        print(
+            f"proof debt: {len(qs)}/{len(entrymod.queries())} catalog "
+            f"queries have no driver CORRECTNESS row; "
+            f"{len(set(qs) - in_head)} of them are OUTSIDE the current "
+            f"{GATE_WINDOW}-slot gate head"
+        )
+        if not qs:
+            print("0/0 passed")
+            return 0
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
