@@ -298,7 +298,15 @@ def enrich_events(
         ).localCheckpoint(eager=False)
         id_col = "__row_id"
 
-    spatial = spatial_join(events, polygons, lon_col, lat_col)
+    # The spatial result is referenced by BOTH branches below (the miss
+    # subset and the coalesce base): without a lineage barrier Catalyst
+    # re-evaluates the ray-cast Python stage once per reference (the
+    # plan showed py=3/scan=3). Materialize it once — the Python stage
+    # is the expensive part; at scale prefer paying one events-sized
+    # cache over three polygon sweeps.
+    spatial = spatial_join(
+        events, polygons, lon_col, lat_col
+    ).localCheckpoint(eager=False)
 
     misses = spatial.filter(F.col("country").isNull()).select(id_col, place_col)
     tokens = [c for c, _ in country_lookup]

@@ -579,3 +579,103 @@ def test_attribution_carry_forward_reference(events, lookback):
                 assert channel in ("t", "none")
         else:
             last_touch = (ts, i, kind)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_bbox_grid_candidate_lists_are_sound_and_ordered(data):
+    """Grid-index soundness (the invariant spatial_join's grid strategy
+    rests on): for ANY point, every polygon whose bbox contains the
+    point appears in the candidate list of the point's grid cell — so
+    bucketing can never lose a hit; and candidate lists are ascending,
+    which is what preserves first-polygon-wins priority."""
+    from earthquake_data_pipeline_spark.operators.enrichment import (
+        _build_bbox_grid,
+    )
+
+    n_polys = data.draw(st.integers(min_value=1, max_value=40))
+    parsed = []
+    for i in range(n_polys):
+        x0 = data.draw(st.floats(-180, 179, allow_nan=False))
+        y0 = data.draw(st.floats(-90, 89, allow_nan=False))
+        w = data.draw(st.floats(0, 30, allow_nan=False))
+        h = data.draw(st.floats(0, 30, allow_nan=False))
+        parsed.append((f"c{i}", None, None, (x0, y0, x0 + w, y0 + h)))
+    gminx, gminy, cw, ch, n_axis, cells = _build_bbox_grid(parsed)
+
+    for cand in cells.values():
+        assert cand == sorted(cand)  # priority order preserved
+
+    for _ in range(20):
+        px = data.draw(st.floats(-181, 211, allow_nan=False))
+        py = data.draw(st.floats(-91, 121, allow_nan=False))
+        ix = int(np.floor((px - gminx) / cw))
+        iy = int(np.floor((py - gminy) / ch))
+        in_grid = 0 <= ix < n_axis and 0 <= iy < n_axis
+        cand = set(cells.get(iy * n_axis + ix, [])) if in_grid else set()
+        for pi, (_, _, _, (minx, miny, maxx, maxy)) in enumerate(parsed):
+            if minx <= px <= maxx and miny <= py <= maxy:
+                # bbox-containing polygon MUST be findable via the grid
+                assert in_grid and pi in cand
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_txnlog_vacuum_preserves_surviving_versions(data, tmp_path_factory):
+    """Stateful vacuum property (no Spark — the log is plain files):
+    for a RANDOM history of appends/overwrites and a RANDOM cut,
+    vacuum keeps every surviving version's live set EXACTLY equal to a
+    pure-Python model's, deletes only unreachable data files, raises on
+    vacuumed reads (via live_files' version floor), and re-runs
+    idempotently."""
+    import os
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        _commit,
+        _versions,
+        live_files,
+        vacuum,
+    )
+
+    t = str(tmp_path_factory.mktemp("tlog"))
+    data_dir = os.path.join(t, "data")
+    os.makedirs(data_dir)
+
+    model: list[set[str]] = []  # live set per version
+    live: set[str] = set()
+    n_commits = data.draw(st.integers(min_value=1, max_value=8))
+    fcount = 0
+    for v in range(n_commits):
+        n_add = data.draw(st.integers(min_value=0, max_value=3))
+        added = []
+        for _ in range(n_add):
+            name = f"f{fcount}.parquet"
+            fcount += 1
+            open(os.path.join(data_dir, name), "w").close()
+            added.append(name)
+        overwrite = data.draw(st.booleans())
+        removed = sorted(live) if overwrite else []
+        _commit(t, added, removed, version=v)
+        live = (set() if overwrite else set(live)) | set(added)
+        model.append(set(live))
+
+    cut = data.draw(st.integers(min_value=-1, max_value=n_commits))
+    vacuum(t, keep_after_version=cut)
+
+    surviving = _versions(t)
+    assert surviving, "latest version must always survive"
+    expect_surviving = [v for v in range(n_commits) if v > cut] or [
+        n_commits - 1
+    ]
+    assert surviving == expect_surviving
+    for v in surviving:
+        got = {os.path.basename(p) for p in live_files(t, v)}
+        assert got == model[v], f"version {v} live set drifted"
+    on_disk = {f for f in os.listdir(data_dir) if f.endswith(".parquet")}
+    assert on_disk == set().union(*(model[v] for v in surviving))
+
+    # idempotent re-run: nothing further deleted, same live sets
+    assert vacuum(t, keep_after_version=cut) == []
+    for v in surviving:
+        got = {os.path.basename(p) for p in live_files(t, v)}
+        assert got == model[v]
