@@ -24,7 +24,13 @@ writer at a time — version numbers are assigned by listing _log/, so
 two racing writers could mint the same version; the exclusive
 os.link publish refuses to clobber an existing manifest, so the race
 is detectable (FileExistsError) — retry policy is the caller's.
-Readers are always safe.
+Readers are always safe against TORN state (they see only whole,
+atomically-published manifests); the one sharp edge is vacuum
+concurrency: a reader that listed _log/ immediately before a vacuum
+can fail loudly (FileNotFoundError) opening a manifest the vacuum
+just deleted — never silently read a partial snapshot. Real lake
+formats solve this with retention windows; here it is in-scope for
+the single-writer reduction and documented instead.
 
 100 TB: the log is manifest-sized (file names, not data); snapshot
 reads pass an explicit file list to the parquet scan, so partition
