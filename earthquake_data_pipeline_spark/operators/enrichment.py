@@ -69,7 +69,7 @@ def _build_bbox_grid(parsed):
         for j in range(j0, j1 + 1):
             for i in range(i0, i1 + 1):
                 cells.setdefault(j * n_axis + i, []).append(pi)
-    return (gminx, gminy, cw, ch, n_axis, cells)
+    return (gminx, gminy, gmaxx, gmaxy, cw, ch, n_axis, cells)
 
 
 def spatial_join(
@@ -151,14 +151,28 @@ def spatial_join(
                 open_mask[hit] = False
 
         def assign_grid(lon, lat, open_mask, country, region):
-            gminx, gminy, cw, ch, n_axis, cells = grd
-            ix = np.floor((lon - gminx) / cw).astype(np.int64)
-            iy = np.floor((lat - gminy) / ch).astype(np.int64)
+            gminx, gminy, gmaxx, gmaxy, cw, ch, n_axis, cells = grd
+            # validity is judged on the INCLUSIVE extent box (bboxes
+            # include their max edge), with NaNs mapped outside before
+            # the int cast (a NaN→int64 cast warns); the index clamp
+            # mirrors the registration-side clamp so a point exactly on
+            # the max edge lands in the last cell instead of falling
+            # off the grid.
             valid = (
                 open_mask
-                & (ix >= 0) & (ix < n_axis)
-                & (iy >= 0) & (iy < n_axis)
+                & (np.nan_to_num(lon, nan=gminx - 1.0) >= gminx)
+                & (np.nan_to_num(lon, nan=gmaxx + 1.0) <= gmaxx)
+                & (np.nan_to_num(lat, nan=gminy - 1.0) >= gminy)
+                & (np.nan_to_num(lat, nan=gmaxy + 1.0) <= gmaxy)
             )
+            ix = np.clip(
+                np.floor((np.nan_to_num(lon, nan=gminx) - gminx) / cw),
+                0, n_axis - 1,
+            ).astype(np.int64)
+            iy = np.clip(
+                np.floor((np.nan_to_num(lat, nan=gminy) - gminy) / ch),
+                0, n_axis - 1,
+            ).astype(np.int64)
             vidx = np.nonzero(valid)[0]
             if vidx.size == 0:
                 return

@@ -22,7 +22,11 @@ disciplines (VERDICT r06 item 5):
   iteration, so iteration k's plan is bounded (scan ⋈ checkpoint →
   agg → checkpoint) instead of a k-deep join tower — without it the
   optimizer re-derives the full lineage each round and a long run
-  blows the driver's plan memory;
+  blows the driver's plan memory. Storage note: each iteration's
+  checkpoint caches one node-sized RDD; the intermediates are
+  dereferenced as the loop advances and Spark's ContextCleaner
+  unpersists them on GC — only the RETURNED frame's blocks are
+  long-lived (they back its truncated lineage, so they must stay);
 - when the node domain is small (``broadcast_ranks``, auto below
   _BROADCAST_NODES nodes), the per-iteration join BROADCASTS the
   node-sized rank vector so the edge table — the 100 TB side — is

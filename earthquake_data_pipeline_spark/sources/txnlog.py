@@ -81,6 +81,26 @@ def live_files(table_path: str, version: int | None = None) -> list[str]:
     return sorted(os.path.join(table_path, _DATA, f) for f in live)
 
 
+def _publish_manifest(
+    table_path: str, version: int, manifest: dict, overwrite: bool
+) -> None:
+    """Durably publish one manifest: tmp file + fsync + atomic rename
+    (``overwrite=True``, for vacuum's base-manifest replacement) or
+    exclusive link (``overwrite=False``, the commit path's
+    racing-writer tripwire — fails instead of clobbering)."""
+    tmp = os.path.join(table_path, f".tmp-manifest-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    final = os.path.join(_log_dir(table_path), f"{version:012d}.json")
+    if overwrite:
+        os.rename(tmp, final)
+    else:
+        os.link(tmp, final)
+        os.unlink(tmp)
+
+
 def _commit(
     table_path: str,
     added: list[str],
@@ -89,24 +109,13 @@ def _commit(
 ) -> int:
     """Write one manifest. ``version`` pins the slot an optimistic
     writer computed earlier (read-modify-write); None assigns the next
-    free slot. Either way the exclusive link below is the collision
+    free slot. Either way the exclusive-link publish is the collision
     tripwire."""
     os.makedirs(_log_dir(table_path), exist_ok=True)
     if version is None:
         version = (_versions(table_path) or [-1])[-1] + 1
     manifest = {"version": version, "added": added, "removed": removed}
-    tmp = os.path.join(
-        table_path, f".tmp-manifest-{uuid.uuid4().hex}.json"
-    )
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    final = os.path.join(_log_dir(table_path), f"{version:012d}.json")
-    # exclusive link: fails (instead of clobbering) if a racing writer
-    # minted the same version — the single-writer contract's tripwire
-    os.link(tmp, final)
-    os.unlink(tmp)
+    _publish_manifest(table_path, version, manifest, overwrite=False)
     return version
 
 
@@ -154,13 +163,18 @@ def read_snapshot(
     versions = _versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {table_path}")
-    if version is not None and version < versions[0]:
-        # older than the oldest surviving manifest: vacuumed (or never
-        # existed) — fail loudly instead of returning a partial/empty
-        # snapshot
+    if version is not None and version not in versions:
+        # Versions are minted consecutively and vacuum truncates from
+        # the oldest end, so a healthy log has a manifest for every
+        # readable version. A missing one means: vacuumed, never
+        # committed, beyond the latest, or a mid-vacuum crash left a
+        # gap (the manifest-prefix property below keeps present
+        # versions exact) — fail loudly, never serve a partial or
+        # mislabeled snapshot.
         raise FileNotFoundError(
-            f"version {version} predates the log's oldest surviving "
-            f"version {versions[0]} at {table_path} (vacuumed?)"
+            f"version {version} has no manifest at {table_path} "
+            f"(surviving versions: {versions[0]}..{versions[-1]}; "
+            "vacuumed, never committed, or beyond latest)"
         )
     files = live_files(table_path, version)
     if not files:
@@ -216,18 +230,15 @@ def vacuum(table_path: str, keep_after_version: int) -> list[str]:
             "added": base_live,
             "removed": sorted(old_added - set(base_live)),
         }
-        tmp = os.path.join(
-            table_path, f".tmp-manifest-{uuid.uuid4().hex}.json"
-        )
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(
-            tmp, os.path.join(_log_dir(table_path), f"{base:012d}.json")
-        )
-        # 2) drop the now-redundant older manifests
-        for v in cut:
+        _publish_manifest(table_path, base, manifest, overwrite=True)
+        # 2) drop the now-redundant older manifests NEWEST-first: a
+        #    crash mid-loop then leaves a contiguous PREFIX [0..j] of
+        #    the old history plus the self-contained base — every
+        #    version still holding a manifest replays exactly, and
+        #    read_snapshot's manifest-presence check rejects the gap.
+        #    (Oldest-first would leave suffixes like [1..j] whose
+        #    non-self-contained manifests replay PARTIAL live sets.)
+        for v in sorted(cut, reverse=True):
             os.unlink(os.path.join(_log_dir(table_path), f"{v:012d}.json"))
     # 3) physical deletion LAST — everything above leaves the data
     #    files untouched, so a crash anywhere keeps readers whole

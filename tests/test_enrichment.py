@@ -169,3 +169,37 @@ def test_spatial_join_auto_grid_past_linear_cap(spark):
     assert out[1] == f"tile_{3 * per_row + 55}"
     assert out[2] == f"tile_{81 * per_row + 91}"
     assert out[3] is None
+
+
+def test_spatial_join_grid_handles_extent_max_edge_and_nulls(spark):
+    """Points exactly ON the dim extent's max edge must route through
+    the SAME polygon tests as the linear scan (the grid clamps them
+    into the last cell instead of silently dropping them — exact
+    containment there is undefined ray-cast boundary semantics, but the
+    strategies must agree); near-edge interior points classify; null
+    coordinates stay null with no NaN-cast fallout."""
+    edge_dim = [
+        ("Low", "A", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        ("High", "B", "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))"),
+    ]
+    rows = [
+        (1, 20.0, 20.0),      # exact extent max corner (boundary: undefined
+        (2, 0.0, 20.0),       # but must MATCH linear, not be dropped)
+        (3, 20.0, 0.0),
+        (4, 19.999, 19.999),  # interior point in the extent-max cell
+        (5, None, 5.0),       # null lon
+        (6, 5.0, None),       # null lat
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, longitude double, latitude double"
+    )
+    linear = {
+        r.id: r.country
+        for r in spatial_join(df, edge_dim, grid_index=False).collect()
+    }
+    grid = {
+        r.id: r.country
+        for r in spatial_join(df, edge_dim, grid_index=True).collect()
+    }
+    assert grid == linear
+    assert grid[4] == "High" and grid[5] is None and grid[6] is None

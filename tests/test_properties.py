@@ -601,17 +601,27 @@ def test_bbox_grid_candidate_lists_are_sound_and_ordered(data):
         w = data.draw(st.floats(0, 30, allow_nan=False))
         h = data.draw(st.floats(0, 30, allow_nan=False))
         parsed.append((f"c{i}", None, None, (x0, y0, x0 + w, y0 + h)))
-    gminx, gminy, cw, ch, n_axis, cells = _build_bbox_grid(parsed)
+    gminx, gminy, gmaxx, gmaxy, cw, ch, n_axis, cells = _build_bbox_grid(
+        parsed
+    )
 
     for cand in cells.values():
         assert cand == sorted(cand)  # priority order preserved
 
+    # random probes PLUS the exact extent corners — a point ON the max
+    # edge must land in the last cell (the clamp), not fall off the grid
+    probes = [(gmaxx, gmaxy), (gminx, gmaxy), (gmaxx, gminy)]
     for _ in range(20):
-        px = data.draw(st.floats(-181, 211, allow_nan=False))
-        py = data.draw(st.floats(-91, 121, allow_nan=False))
-        ix = int(np.floor((px - gminx) / cw))
-        iy = int(np.floor((py - gminy) / ch))
-        in_grid = 0 <= ix < n_axis and 0 <= iy < n_axis
+        probes.append(
+            (
+                data.draw(st.floats(-181, 211, allow_nan=False)),
+                data.draw(st.floats(-91, 121, allow_nan=False)),
+            )
+        )
+    for px, py in probes:
+        in_grid = gminx <= px <= gmaxx and gminy <= py <= gmaxy
+        ix = min(max(int(np.floor((px - gminx) / cw)), 0), n_axis - 1)
+        iy = min(max(int(np.floor((py - gminy) / ch)), 0), n_axis - 1)
         cand = set(cells.get(iy * n_axis + ix, [])) if in_grid else set()
         for pi, (_, _, _, (minx, miny, maxx, maxy)) in enumerate(parsed):
             if minx <= px <= maxx and miny <= py <= maxy:
