@@ -425,3 +425,80 @@ def test_streaming_token_bucket_sorts_across_arrow_chunks(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_token_bucket_state_survives_query_restart(spark, tmp_path):
+    """Stop the streaming query and START A NEW one on the same
+    checkpoint: per-key bucket state (units, last_ts) must resume, so
+    the full output equals the batch operator's one-shot replay — the
+    recovery guarantee a production ingest edge relies on."""
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+    from earthquake_data_pipeline_spark.streaming.ratelimit import (
+        streaming_token_bucket,
+    )
+
+    src = str(tmp_path / "rl_restart_src")
+    ckpt = str(tmp_path / "rl_restart_ckpt")
+    schema = "event_id long, user_id long, ts_s long"
+    cols = ["event_id", "user_id", "ts_s"]
+    batch1 = [(1, 1, 0), (2, 1, 5), (3, 1, 30)]
+    batch2 = [(4, 1, 65), (5, 1, 66), (6, 2, 10)]
+
+    out_dir = str(tmp_path / "rl_restart_out")
+
+    def start():
+        # file sink, not memory: only fault-tolerant sinks support
+        # recovering a query from a checkpoint
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            streaming_token_bucket(
+                stream, burst=2, refill_num=1, refill_den=30
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    spark.createDataFrame(batch1, cols).write.mode("append").parquet(src)
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    got1 = {
+        r.event_id: (r.units_before, r.admitted)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert set(got1) == {1, 2, 3}
+
+    # new data lands while no query is running; a fresh query resumes
+    # from the checkpointed offsets AND the checkpointed bucket state
+    spark.createDataFrame(batch2, cols).write.mode("append").parquet(src)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {
+        r.event_id: (r.units_before, r.admitted)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    ev = spark.createDataFrame(batch1 + batch2, cols).withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    want = {
+        r.event_id: (r.units_before, r.admitted)
+        for r in token_bucket_admit(
+            ev, burst=2, refill_num=1, refill_den=30
+        ).collect()
+    }
+    assert got2 == want
+    # user 1 resumed mid-history: t=65 refills 35 over the RESTORED
+    # (0-unit, t=30) state, not a fresh full bucket; user 2 is new and
+    # starts full
+    assert got2[4] == (35, True) and got2[6] == (60, True)
