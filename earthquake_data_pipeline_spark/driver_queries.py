@@ -1495,7 +1495,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH = rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS tok FROM documents
+  -- the '' filter mirrors the operator: split of an empty/whitespace
+  -- doc yields [''], which must not become an md5('') fingerprint
+  SELECT doc_id, unnest(list_filter(list_distinct({_TOKS_SQL}), t -> t <> '')) AS tok
+  FROM documents
 ), vals AS (
   SELECT doc_id, tok,
          CAST(sum((strpos('0123456789abcdef', substr(md5(tok), p + 1, 1)) - 1)
@@ -2289,19 +2292,35 @@ _GATE_FIRST = [
     "chunk_documents", "doc_repetition", "minhash_lsh", "ngram_jaccard",
     "simhash", "lsh_jaccard_refine", "merge_anti_join",
     "high_water_mark", "upsert_merge", "pack_sequences",
+    # (2b) late-round review fixes churned these functions' bodies, so
+    #      their callers re-prove (rotation rule 2 — churned > oldest):
+    #      assign_clusters micro-unit argmin (decimal overflow fix) →
+    #      kmeans_clusters, semdedup_prune (cluster_purity +
+    #      kcenter_select already seated above); minhash_lsh_pairs
+    #      banding validation → dedup_components, dedup_keep_list
+    #      (minhash_lsh / lsh_jaccard_refine / lsh_recall_audit seated
+    #      above); _plane_signatures banding validation →
+    #      embedding_near_dup_lsh, ann_lsh; ivf_topk empty-corpus
+    #      guard → ann_ivf. simhash's empty-token fix is covered by the
+    #      seated q_simhash (oracle updated in lockstep).
+    "kmeans_clusters", "semdedup_prune", "dedup_components",
+    "dedup_keep_list", "embedding_near_dup_lsh", "ann_lsh", "ann_ivf",
     # (3) lineitem sentinel (tools/check.py churn) — also an oldest-r04
     #     row
     "pricing_summary",
-    # (4) remaining slots: oldest r04-banked rows
-    "yearly_stats", "severity_buckets", "top_k_orders", "region_rollup",
-    "max_per_group", "stats_per_decade", "fact_fact_join",
-    "regex_token_match",
+    # (4) remaining slot: oldest r04-banked row (8 of the 9 planned
+    #     fills were displaced by the (2b) churn seats; displaced rows
+    #     keep their valid r04 banks — their code is untouched)
+    "yearly_stats",
     # still banked on r04 rows (next round's oldest-first pool):
-    # token_stats (displaced by spatial_join's churn seat),
-    # semi_anti_join, rollup_agg, cube_agg, pivot_status,
-    # window_running, distinct_agg, percentile_stats, set_ops,
-    # unpivot_measures, corr_stats, ranking_suite, string_suite,
-    # datetime_suite, array_suite, correlated_subquery
+    # token_stats, regex_token_match (regex_token_join hunk-untouched
+    # by this round's enrichment edits), severity_buckets,
+    # top_k_orders, region_rollup,
+    # max_per_group, stats_per_decade, fact_fact_join, semi_anti_join,
+    # rollup_agg, cube_agg, pivot_status, window_running, distinct_agg,
+    # percentile_stats, set_ops, unpivot_measures, corr_stats,
+    # ranking_suite, string_suite, datetime_suite, array_suite,
+    # correlated_subquery
 ]
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 

@@ -74,9 +74,19 @@ def assign_clusters(
     d = len(next(iter(centroids.values()))) if k else 0
     if k * d > gemm_threshold:
         return assign_clusters_gemm(df, centroids, vec_col)
+    # The comparison value is floor(dist·1e6 + 0.5) — the EXACT formula
+    # the GEMM path uses — kept as a double of micro-units. round6x's
+    # decimal(18,12) cast was wrong here: any distance ≥ 1e6 overflows
+    # it (ANSI: crash; legacy: NULL, and null-first struct ordering then
+    # picks the FARTHEST centroid as the argmin). The micro-unit double
+    # is monotone to 2^53 (distances ~9e9) and argmin-identical to the
+    # old form everywhere the old form was defined; the struct's "d" is
+    # never emitted, so outputs are unchanged.
     structs = [
         F.struct(
-            round6x(F.sqrt(_sq_dist(F.col(vec_col), c))).alias("d"),
+            F.floor(
+                F.sqrt(_sq_dist(F.col(vec_col), c)) * 1e6 + F.lit(0.5)
+            ).alias("d"),
             F.lit(int(cid)).alias("cid"),
         )
         for cid, c in sorted(centroids.items())
@@ -267,12 +277,21 @@ def kcenter_select(
     stays small; for large k, switch to k-means++ style sampling).
     ``radius_after`` for rank i is the coverage radius once centers
     0..i are all placed (max dmin over the corpus).
+
+    Envelope: distances share round6x's decimal(18,12) range (< 1e6);
+    beyond it, switch the comparison to the micro-unit form
+    assign_clusters uses. Selecting more centers than there are
+    distinct points stops early (never emits duplicate centers);
+    ``k <= 0`` or an empty frame returns [].
     """
     from ..qcommon import round6x
 
-    seed = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
-    )
+    if k <= 0:
+        return []
+    seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    if not seed_rows:
+        return []
+    seed = seed_rows[0]
     chosen: list[tuple[int, list[float]]] = [
         (int(seed[0]), list(seed[1]))
     ]
@@ -283,16 +302,22 @@ def kcenter_select(
             for _, c in chosen
         ]
         dmin = dists[0] if len(dists) == 1 else F.least(*dists)
-        far = (
-            df.select(
+        far_rows = (
+            df.filter(
+                ~F.col(id_col).isin([cid for cid, _ in chosen])
+            )
+            .select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
                 dmin.alias("dmin"),
             )
             .orderBy(F.desc("dmin"), F.asc("id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not far_rows:  # fewer distinct points than k: stop early
+            break
+        far = far_rows[0]
         radii.append(float(far["dmin"]))
         chosen.append((int(far["id"]), list(far["v"])))
     # final coverage radius with all k centers placed

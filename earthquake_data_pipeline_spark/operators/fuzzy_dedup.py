@@ -78,7 +78,19 @@ def minhash_lsh_pairs(
     shingle → minhash(k) → band keys → self-equi-join on (band, key) with
     id_a < id_b → distinct pairs. The join is an equi-join on a hashed key:
     shuffle-bounded, skew handled by AQE; never a cross join.
+
+    ``num_bands`` must evenly divide ``num_hashes``: bands > hashes
+    would give 0-row bands whose constant key puts EVERY document in one
+    bucket (the quadratic explosion this operator exists to avoid), and
+    a non-divisor silently discards trailing signatures — both rejected.
     """
+    if not (1 <= num_bands <= num_hashes) or num_hashes % num_bands:
+        raise ValueError(
+            f"num_bands={num_bands} must evenly divide "
+            f"num_hashes={num_hashes} (bands of "
+            "num_hashes//num_bands rows each; a 0-row band would give "
+            "every document the same bucket key)"
+        )
     rows_per_band = num_hashes // num_bands
     # One shingling pass (explode), ONE md5 per shingle (the shared base
     # hash x), then per-seed affine maps — pure int64 codegen — under a
@@ -252,7 +264,11 @@ def simhash(
     """
     from pyspark.sql import types as T
 
-    toks = F.array_distinct(tokens_of(text_col))
+    # array_remove("") matters: split('', '\s+') is [''] (size 1), so
+    # without it every empty/whitespace document would get the SAME
+    # md5('')-derived fingerprint and report as a near-duplicate of
+    # every other blank doc — token-less docs must drop out instead.
+    toks = F.array_remove(F.array_distinct(tokens_of(text_col)), "")
     tdf = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") > 0)
     out_schema = T.StructType(
         [tdf.schema[id_col], T.StructField("simhash", T.LongType(), True)]

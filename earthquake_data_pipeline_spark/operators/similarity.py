@@ -120,6 +120,12 @@ def _plane_signatures(
     from pyspark.sql import types as T
 
     num_planes = len(planes)
+    if not (1 <= num_bands <= num_planes) or num_planes % num_bands:
+        raise ValueError(
+            f"num_bands={num_bands} must evenly divide "
+            f"num_planes={num_planes} — a 0-plane band keys every row "
+            "into one bucket (quadratic candidate explosion)"
+        )
     r = num_planes // num_bands
     bc = df.sparkSession.sparkContext.broadcast(
         np.array(planes, dtype=np.float64).T
@@ -242,6 +248,12 @@ def ivf_topk(
     sample = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )
+    if not sample:
+        # empty corpus: no cells to train — return an empty top-k frame
+        # with the contract schema, like lsh_bucket_topk's empty guard
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank int"
+        )
     X = np.array([r[1] for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
     cent = Xn[:n_centroids].copy()  # deterministic init: first rows

@@ -140,3 +140,46 @@ def test_split_oversized_clusters_bounds_pairs(spark):
     # split is deterministic id-modulo: replayable
     row = out.filter(F.col("id") == 77).collect()[0]
     assert row["sub"] == 77 % 6
+
+
+def test_assign_clusters_large_magnitude_argmin_correct(spark):
+    """Distances >= 1e6 used to overflow round6x's decimal(18,12) inside
+    the literal-path argmin (ANSI: crash; legacy: NULL -> null-first
+    struct-min picked the FARTHEST centroid). The micro-unit comparison
+    must pick the near centroid and agree with the GEMM path."""
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        assign_clusters,
+        assign_clusters_gemm,
+    )
+
+    cents = {1: [2_000_000.0, 0.0], 2: [500_000.0, 0.0]}
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1_900_000.0, 0.0])], ["id", "v"]
+    )
+    lit = {r.id: r.cluster_id for r in assign_clusters(df, cents).collect()}
+    gemm = {
+        r.id: r.cluster_id
+        for r in assign_clusters_gemm(df, cents).collect()
+    }
+    # point 1 is 2e6 from c1, 5e5 from c2 -> c2; point 2 is 1e5 from c1
+    assert lit == {1: 2, 2: 1}
+    assert lit == gemm
+
+
+def test_kcenter_select_edge_cases(spark):
+    """k<=0 and empty frames return []; k beyond the distinct point
+    count stops early instead of emitting duplicate centers."""
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    assert kcenter_select(empty, k=3) == []
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0]), (3, [0.0, 4.0])], ["id", "v"]
+    )
+    assert kcenter_select(df, k=0) == []
+    got = kcenter_select(df, k=10)
+    ids = [cid for _, cid, _ in got]
+    assert len(ids) == len(set(ids)) == 3  # no duplicate centers

@@ -1032,3 +1032,52 @@ def test_assign_splits_disjoint_exhaustive_stable(spark):
     assert a == b
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits(df, "doc_id", {"train": 0.5})
+
+
+def test_simhash_drops_tokenless_documents(spark):
+    """Empty/whitespace documents have NO tokens: they must drop out of
+    the fingerprint set rather than all sharing an md5('')-derived
+    fingerprint (which would report every blank doc as a near-dup of
+    every other blank doc)."""
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert set(out) == {3}
+
+
+def test_minhash_lsh_rejects_invalid_banding(spark):
+    """num_bands > num_hashes gives 0-row bands whose constant key puts
+    every doc in ONE bucket (quadratic explosion); a non-divisor
+    silently discards signatures. Both must raise, not degrade."""
+    import pytest as _pytest
+
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        minhash_lsh_pairs,
+    )
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        _plane_signatures,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, num_hashes=8, num_bands=16)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(df, num_hashes=12, num_bands=5)
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="evenly divide"):
+        _plane_signatures(vecs, "vec_id", "embedding", [[1.0, 0.0]] * 4, 8)
+
+
+def test_ivf_topk_empty_corpus_returns_empty(spark):
+    """An empty corpus must yield an empty top-k frame with the contract
+    schema, not a numpy AxisError from training on zero rows."""
+    from earthquake_data_pipeline_spark.operators.similarity import ivf_topk
+
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = ivf_topk(corpus, queries, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
