@@ -1624,8 +1624,13 @@ WITH e AS (
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
 ), scored AS (
+  -- zero-norm convention mirrors the operator: a zero vector scores
+  -- 0.0 against everything (never NULL/NaN)
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.qv, c.v), 6) AS cosine_sim
+         round(CASE WHEN list_dot_product(q.qv, q.qv)
+                         * list_dot_product(c.v, c.v) = 0 THEN 0.0
+                    ELSE list_cosine_similarity(q.qv, c.v) END,
+               6) AS cosine_sim
   FROM e c, q
   WHERE c.vec_id != q.query_id
 ), ranked AS (
@@ -1765,7 +1770,10 @@ WITH e AS (
   SELECT vec_id AS query_id, v AS qv, bucket FROM s WHERE vec_id < 10
 ), scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.qv, c.v), 6) AS cosine_sim
+         round(CASE WHEN list_dot_product(q.qv, q.qv)
+                         * list_dot_product(c.v, c.v) = 0 THEN 0.0
+                    ELSE list_cosine_similarity(q.qv, c.v) END,
+               6) AS cosine_sim
   FROM s c JOIN q USING (bucket)
   WHERE c.vec_id != q.query_id
 ), ranked AS (
@@ -2305,17 +2313,23 @@ _GATE_FIRST = [
     #      seated q_simhash (oracle updated in lockstep).
     "kmeans_clusters", "semdedup_prune", "dedup_components",
     "dedup_keep_list", "embedding_near_dup_lsh", "ann_lsh", "ann_ivf",
+    # (2c) the zero-norm cosine() convention (deferred finding (a),
+    #      closed in-window) churns cosine()'s third caller too (the
+    #      other two, ann_lsh/ann_ivf, are seated above; oracles
+    #      updated in lockstep — the CASE never fires on testdata,
+    #      which has no zero vectors)
+    "cosine_topk",
     # (3) lineitem sentinel (tools/check.py churn) — also an oldest-r04
     #     row
     "pricing_summary",
-    # (4) remaining slot: oldest r04-banked row (8 of the 9 planned
-    #     fills were displaced by the (2b) churn seats; displaced rows
-    #     keep their valid r04 banks — their code is untouched)
-    "yearly_stats",
+    # (4) no free slots remain for oldest-r04 fills this round — all 9
+    #     planned fills were displaced by churn seats (rotation rule 2:
+    #     churned > oldest). Displaced rows keep their valid r04 banks;
+    #     their code is untouched.
     # still banked on r04 rows (next round's oldest-first pool):
-    # token_stats, regex_token_match (regex_token_join hunk-untouched
-    # by this round's enrichment edits), severity_buckets,
-    # top_k_orders, region_rollup,
+    # yearly_stats, token_stats, regex_token_match (regex_token_join
+    # hunk-untouched by this round's enrichment edits),
+    # severity_buckets, top_k_orders, region_rollup,
     # max_per_group, stats_per_decade, fact_fact_join, semi_anti_join,
     # rollup_agg, cube_agg, pivot_status, window_running, distinct_agg,
     # percentile_stats, set_ops, unpivot_measures, corr_stats,

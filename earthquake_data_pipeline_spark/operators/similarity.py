@@ -43,7 +43,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with the zero-norm convention: a zero vector
+    has no direction, so it scores 0.0 against everything — a bare
+    division would emit NULL, which leaks into top-k rankings (desc
+    NULLS LAST still ranks the row when a query has < k candidates)
+    and silently drops pairs from thresholded joins."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+        _dot(a, b) / denom
+    )
 
 
 def cosine_topk(
@@ -486,7 +494,13 @@ def embedding_near_dup_pairs_lsh(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                # same zero-norm convention as cosine(): 0.0, not NULL
+                F.when(
+                    F.col("n_a") * F.col("n_b") == F.lit(0.0), F.lit(0.0)
+                ).otherwise(
+                    _dot(F.col("v_a"), F.col("v_b"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
                 6,
             ).alias("cosine_sim"),
         )

@@ -1081,3 +1081,28 @@ def test_ivf_topk_empty_corpus_returns_empty(spark):
     out = ivf_topk(corpus, queries, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+
+def test_cosine_zero_norm_scores_zero_not_null(spark):
+    """Zero-norm vectors (no direction) score 0.0 against everything:
+    a bare division emitted NULL, which leaked into top-k output rows
+    whenever a query had fewer than k non-null candidates and silently
+    dropped pairs from thresholded joins."""
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = cosine_topk(corpus, queries, k=3)
+    rows = out.collect()
+    assert all(r.cosine_sim is not None for r in rows)
+    sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in rows}
+    assert sims[(10, 2)] == 0.0  # zero corpus vector
+    assert sims[(11, 1)] == 0.0  # zero query vector
+    assert sims[(10, 1)] == 1.0  # identical direction unaffected
