@@ -29,3 +29,42 @@ def test_schemas_are_explicitly_named(spark):
         if ugly:
             bad[name] = ugly
     assert not bad, f"unaliased output columns: {bad}"
+
+
+def test_gate_head_invariants():
+    """The driver proves exactly the first 50 queries(): the pinned
+    rotation must be 50 unique names, every one registered with BOTH a
+    query and an oracle, and the rotation must actually lead the
+    catalog's iteration order (a typo'd _GATE_FIRST name would silently
+    shrink the proven window)."""
+    from earthquake_data_pipeline_spark.driver_queries import _GATE_FIRST
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert len(_GATE_FIRST) == 50
+    assert len(set(_GATE_FIRST)) == 50
+    unknown = [n for n in _GATE_FIRST if n not in qs]
+    assert not unknown, f"_GATE_FIRST names not in queries(): {unknown}"
+    assert list(qs)[:50] == _GATE_FIRST
+    no_oracle = [n for n in _GATE_FIRST if n not in oracles and n not in ROWS_ONLY]
+    assert not no_oracle, f"head entries without oracle: {no_oracle}"
+
+
+def test_proof_debt_accounting_matches_artifacts():
+    """tools/check.py --never-proven derives the proof debt from the
+    CORRECTNESS_r*.json union; the parser must count only fully-green
+    rows and every debt entry must be seated in the current gate head
+    (the round-6 invariant: nothing ships outside the proven window)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check import GATE_WINDOW, driver_proven
+
+    proven = driver_proven()
+    assert proven, "no CORRECTNESS artifacts parsed"
+    # spot-pin one row per round family that is known fully-green
+    assert proven.get("yearly_stats") is not None
+    qs = list(entry.queries())
+    debt = [q for q in qs if q not in proven]
+    head = set(qs[:GATE_WINDOW])
+    outside = [q for q in debt if q not in head]
+    assert not outside, f"proof-debt queries outside the gate head: {outside}"
