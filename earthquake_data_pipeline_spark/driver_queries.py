@@ -818,10 +818,10 @@ WITH pts AS (
   FROM pts
 ), fb AS (
   SELECT event_id, geo_country, geo_region,
-         CASE WHEN regexp_matches(place, '\bEastland\b') THEN 'Eastland'
-              WHEN regexp_matches(place, '\bWestland\b') THEN 'Westland'
-              WHEN regexp_matches(place, '\bNorthisles\b') THEN 'Northisles'
-              WHEN regexp_matches(place, '\bMidland\b') THEN 'Midland'
+         CASE WHEN regexp_matches(place, '(?i)\bEastland\b') THEN 'Eastland'
+              WHEN regexp_matches(place, '(?i)\bWestland\b') THEN 'Westland'
+              WHEN regexp_matches(place, '(?i)\bNorthisles\b') THEN 'Northisles'
+              WHEN regexp_matches(place, '(?i)\bMidland\b') THEN 'Midland'
          END AS fb_country
   FROM geo
 )

@@ -281,8 +281,10 @@ def kcenter_select(
     Envelope: distances share round6x's decimal(18,12) range (< 1e6);
     beyond it, switch the comparison to the micro-unit form
     assign_clusters uses. Selecting more centers than there are
-    distinct points stops early (never emits duplicate centers);
-    ``k <= 0`` or an empty frame returns [].
+    distinct ids stops early (never re-selects an id; duplicate
+    VECTORS under distinct ids are still eligible and appear with
+    radius contribution 0 — dedupe upstream if exemplars must be
+    vector-distinct); ``k <= 0`` or an empty frame returns [].
     """
     from ..qcommon import round6x
 
@@ -324,7 +326,8 @@ def kcenter_select(
     dists = [
         round6x(F.sqrt(_sq_dist(F.col(vec_col), c))) for _, c in chosen
     ]
-    last = df.agg(F.max(F.least(*dists)).alias("r")).collect()[0]["r"]
+    dmin_final = dists[0] if len(dists) == 1 else F.least(*dists)
+    last = df.agg(F.max(dmin_final).alias("r")).collect()[0]["r"]
     radii.append(float(last))
     return [
         (i, cid, radii[i]) for i, (cid, _) in enumerate(chosen)

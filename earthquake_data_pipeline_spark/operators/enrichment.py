@@ -292,6 +292,7 @@ def enrich_events(
     lon_col: str = "longitude",
     lat_col: str = "latitude",
     id_col: str | None = None,
+    case_insensitive: bool = True,
 ) -> DataFrame:
     """The full enrichment composition (reference: add_region.py:17-66).
 
@@ -299,6 +300,11 @@ def enrich_events(
     expensive-op plan structure, SURVEY §4) → broadcast lookup of region for
     inferred countries → coalesce-fill. ``country_lookup`` is the
     (country, region) dim including name-only rows like 'Alaska'.
+
+    ``case_insensitive`` (default True) governs the place-text fallback
+    match, matching the reference, which lowercases both place and country
+    before the containment test (add_region.py:40-44). Oracles must encode
+    the same choice (``(?i)`` in RE2) — ADVICE r07.
     """
     spark = events.sparkSession
     if id_col is None:
@@ -325,7 +331,12 @@ def enrich_events(
     misses = spatial.filter(F.col("country").isNull()).select(id_col, place_col)
     tokens = [c for c, _ in country_lookup]
     inferred = regex_token_join(
-        misses, place_col, tokens, [id_col], out_col="inferred_country"
+        misses,
+        place_col,
+        tokens,
+        [id_col],
+        out_col="inferred_country",
+        case_insensitive=case_insensitive,
     )
     lookup = F.broadcast(
         spark.createDataFrame(list(country_lookup), ["lk_country", "lk_region"])

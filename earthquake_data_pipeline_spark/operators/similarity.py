@@ -24,6 +24,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _round6_half_away(arr):
+    """6-dp half-AWAY-FROM-ZERO rounding for a numpy array — the mode
+    DuckDB's round(double, n) (C round semantics) and Spark's
+    F.round (BigDecimal HALF_UP) share. np.round is HALF_EVEN
+    (banker's) and diverges from both on exact 7-dp ties, e.g.
+    0.1234565 → 0.123456 (np) vs 0.123457 (both engines)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(arr) * 1e6 + 0.5), arr) / 1e6
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -391,9 +402,11 @@ def embedding_near_dup_pairs(
             bnorm = np.linalg.norm(bmat, axis=1)
             bnorm[bnorm == 0.0] = 1.0
             # dot/(|a||b|) — the same formula (and float64 width) as the
-            # oracle's cosine, so rounded values agree
-            sims = np.round(
-                (bmat @ all_mat.T) / (bnorm[:, None] * all_norms[None, :]), 6
+            # oracle's cosine. Rounding is half-away-from-zero (copysign+
+            # floor), matching DuckDB's C round() and Spark's HALF_UP —
+            # np.round is HALF_EVEN and diverges on exact 7-dp ties
+            sims = _round6_half_away(
+                (bmat @ all_mat.T) / (bnorm[:, None] * all_norms[None, :])
             )
             hit_i, hit_j = np.nonzero(
                 (sims >= threshold) & (bids[:, None] < all_ids[None, :])

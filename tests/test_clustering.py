@@ -183,3 +183,25 @@ def test_kcenter_select_edge_cases(spark):
     got = kcenter_select(df, k=10)
     ids = [cid for _, cid, _ in got]
     assert len(ids) == len(set(ids)) == 3  # no duplicate centers
+
+
+def test_kcenter_select_single_center(spark):
+    """k=1, and a 1-row corpus with k>=2 (early stop), both reach the
+    final-radius aggregate with exactly ONE chosen center — F.least
+    needs >=2 columns, so the final aggregate must use the same
+    single-column guard as the in-loop code (ADVICE r07)."""
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        kcenter_select,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0])], ["id", "v"]
+    )
+    got = kcenter_select(df, k=1)
+    assert [(r, cid) for r, cid, _ in got] == [(0, 1)]
+    assert got[0][2] == 3.0  # farthest point from the lone center
+
+    one = spark.createDataFrame([(7, [1.0, 2.0])], ["id", "v"])
+    got = kcenter_select(one, k=3)  # early stop after the seed
+    assert [(r, cid) for r, cid, _ in got] == [(0, 7)]
+    assert got[0][2] == 0.0

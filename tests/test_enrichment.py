@@ -92,6 +92,21 @@ def test_enrich_events_composition(spark):
     assert sum(1 for c, _ in out.values() if c is not None) == 3
 
 
+def test_enrich_events_fallback_is_case_insensitive(spark):
+    """The reference lowercases both place and country before the
+    containment test (add_region.py:40-44); enrich_events must match a
+    lowercase place name by default, and case_insensitive=False must not
+    (ADVICE r07 — the oracle carries (?i) for the same contract)."""
+    rows = [(1, "off the coast of chilea", 0.0, -80.0)]
+    df = spark.createDataFrame(rows, ["id", "place", "longitude", "latitude"])
+    out = enrich_events(df, POLYGONS, LOOKUP, id_col="id").collect()[0]
+    assert (out.country, out.region) == ("Chilea", "Americas")
+    strict = enrich_events(
+        df, POLYGONS, LOOKUP, id_col="id", case_insensitive=False
+    ).collect()[0]
+    assert (strict.country, strict.region) == (None, None)
+
+
 def test_spatial_join_grid_index_matches_linear(spark):
     """The bbox-grid strategy (the >_MAX_LINEAR_POLYGONS successor,
     VERDICT r06 item 7) must reproduce the linear scan exactly on the

@@ -154,6 +154,29 @@ def test_embedding_near_dup_threshold(spark):
     assert pairs == {(0, 1)}
 
 
+def test_round6_half_away_matches_duckdb_on_ties():
+    """DEFERRED r07(b): the dense GEMM path must round half-away-from-
+    zero like DuckDB round() and Spark F.round — NOT numpy's HALF_EVEN,
+    which flips exact 7-dp ties downward (0.1234565 → 0.123456)."""
+    import duckdb
+    import numpy as np
+
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        _round6_half_away,
+    )
+
+    ties = np.array([0.1234565, -0.1234565, 0.9999995, 2.5e-7, 0.1234575])
+    got = _round6_half_away(ties)
+    con = duckdb.connect()
+    want = np.array(
+        [con.execute("select round(?::double, 6)", [float(v)]).fetchone()[0]
+         for v in ties]
+    )
+    assert got.tolist() == want.tolist()
+    # and np.round genuinely diverges on the canonical tie (the bug)
+    assert float(np.round(0.1234565, 6)) != got[0]
+
+
 def test_near_dup_dense_requires_opt_in(spark):
     rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
