@@ -1104,10 +1104,9 @@ SELECT bc.x || ' ' || bc.y AS bigram,
        bc.c_xy,
        cx.c AS c_x,
        cy.c AS c_y,
-       CAST(round(CAST(
-         (bc.c_xy / totals.n_bi)
+       floor((bc.c_xy / totals.n_bi)
          / ((cx.c / totals.n_uni) * (cy.c / totals.n_uni))
-         AS DECIMAL(18,12)), 6) AS DOUBLE) AS lift
+         * 1e6 + 0.5) / 1e6 AS lift
 FROM bc
 JOIN uc cx ON cx.w = bc.x
 JOIN uc cy ON cy.w = bc.y

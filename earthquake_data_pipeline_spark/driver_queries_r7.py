@@ -762,20 +762,26 @@ tot AS (
          CAST(count(DISTINCT b) AS BIGINT) AS nc
   FROM cells
 ), pres AS (
-  SELECT sum(CAST((cells.o * tot.n - ra.r * cb.c)
-                  * (cells.o * tot.n - ra.r * cb.c)
-                  / (tot.n * ra.r * cb.c) AS DECIMAL(28,12)))
+  SELECT sum(CAST((CAST(cells.o AS DOUBLE)
+                   - CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)
+                     / CAST(tot.n AS DOUBLE))
+                  * (CAST(cells.o AS DOUBLE)
+                     - CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE))
+                  / (CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)
+                     / CAST(tot.n AS DOUBLE)) AS DECIMAL(28,12)))
            AS chi2_present,
-         sum(CAST((ra.r * cb.c) / tot.n AS DECIMAL(28,12))) AS e_present,
+         sum(CAST(CAST(ra.r AS DOUBLE) * CAST(cb.c AS DOUBLE)
+                  / CAST(tot.n AS DOUBLE) AS DECIMAL(28,12))) AS e_present,
          first(tot.n) AS n, first(tot.nr) AS nr, first(tot.nc) AS nc
   FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
 )
 SELECT CAST(n AS BIGINT) AS n_rows, CAST(nr AS BIGINT) AS n_rowcats,
        CAST(nc AS BIGINT) AS n_colcats,
        CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
-       CAST(round(CAST(CAST(chi2_present AS DOUBLE)
-            + (CAST(n AS DOUBLE) - CAST(e_present AS DOUBLE))
-            AS DECIMAL(18,12)), 6) AS DOUBLE) AS chi2,
+       floor((CAST(chi2_present AS DOUBLE)
+            + (CAST(n AS DOUBLE) - CAST(e_present AS DOUBLE)))
+            * 1e6 + 0.5) / 1e6 AS chi2,
        CAST(round(CAST(sqrt((CAST(chi2_present AS DOUBLE)
             + (CAST(n AS DOUBLE) - CAST(e_present AS DOUBLE)))
             / (n * least(nr - 1, nc - 1)))

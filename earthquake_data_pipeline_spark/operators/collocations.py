@@ -18,7 +18,10 @@ Design for 100 TB:
   itself is a float DISPLAY column: both engines evaluate the
   IDENTICAL expression tree over exactly-represented integers, and
   IEEE-754 ops are correctly rounded per operation, so the doubles
-  match bit-for-bit without any magnitude precondition.
+  match bit-for-bit without any magnitude precondition. Lift GROWS
+  with corpus size (rare-token pairs: ~n_uni²/(c_x·c_y·n_bi)), so the
+  emitted rounding is the micro-unit round6u form, not round6x's
+  decimal(18,12) envelope (DEFERRED r07(d)).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..qcommon import round6x
+from ..qcommon import round6u
 from .text import tokens_of
 
 
@@ -91,7 +94,7 @@ def pmi_collocations(
             "c_xy",
             "c_x",
             "c_y",
-            round6x(lift).alias("lift"),
+            round6u(lift).alias("lift"),
         )
         .orderBy(F.desc("c_xy"), "bigram")
     )

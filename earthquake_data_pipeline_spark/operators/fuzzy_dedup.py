@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pairing import bucket_pairs
 from .text import tokens_of
 
 
@@ -130,32 +131,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    # Bucket-side pair expansion instead of a self-join: a self-join would
-    # evaluate the whole scan→shingle→sig subtree TWICE (Catalyst reuses
-    # exchanges, not arbitrary subtrees) — measured 2× the query cost.
-    # One groupBy per (band, key) collects the bucket's sorted ids; pairs
-    # are the in-array (i<j) combinations via higher-order functions.
-    # Bucket sizes are bounded by LSH design (bands/rows trade-off), the
-    # same bound that keeps the self-join from exploding.
-    buckets = (
-        bands.groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
+    # Bucket-side pair expansion instead of a self-join (shared shape:
+    # operators/pairing.py::bucket_pairs — see its docstring for why).
+    return bucket_pairs(bands, ["band", "band_key"], id_col)
 
 
 def ngram_jaccard_pairs(

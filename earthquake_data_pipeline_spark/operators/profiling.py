@@ -190,12 +190,17 @@ def chi2_independence(
     before trusting a metadata column (is `source` informative of
     `lang`?).
 
-    Exactness: each cell's term is computed from the INTEGER identity
-    (o·n − r·c)² / (n·r·c) — observed o, margins r,c and total n are
-    exact counts, so the numerator is exact int64; the only float is
-    the per-cell division, cast to DECIMAL(28,12) before the Σ so the
-    sum is order-free. Cramér's V uses sqrt, which IEEE 754 rounds
-    correctly — the one engine-identical transcendental.
+    Exactness: each cell's term is (o − e)²/e with e = r·c/n computed
+    in float64 — every op is correctly-rounded IEEE on identical
+    doubles, so the per-cell term is bit-identical across engines at
+    ANY corpus size (the old int64 identity (o·n − r·c)² overflowed
+    long once the diff passed 3e9 — a few thousand rows under strong
+    association; DEFERRED r07(d)). Accuracy: o − e is exactly rounded
+    and e carries ~1e-16 relative error — statistically nil. Terms are
+    cast to DECIMAL(28,12) before the Σ so the sum stays order-free
+    (term ≤ n·min(nr,nc), inside the decimal range to n ~1e15).
+    Cramér's V uses sqrt, which IEEE 754 rounds correctly — the one
+    engine-identical transcendental.
 
     Shape: one (a,b) aggregate + two margin aggregates joined back —
     contingency-table-sized frames after the first pass, so the test
@@ -212,11 +217,13 @@ def chi2_independence(
         F.count_distinct("a").alias("nr"),
         F.count_distinct("b").alias("nc"),
     )
-    term = (
-        (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-        * (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-        / (F.col("n") * F.col("r") * F.col("c"))
-    ).cast("decimal(28,12)")
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    o_d = F.col("o").cast("double")
+    term = ((o_d - e) * (o_d - e) / e).cast("decimal(28,12)")
     # absent cells (o=0) contribute r*c/n each: total the closed form
     # Σ_all e − Σ_present e = n − Σ_present r·c/n, folded in below
     present = (
@@ -225,17 +232,13 @@ def chi2_independence(
         .crossJoin(F.broadcast(tot))
         .agg(
             F.sum(term).alias("chi2_present"),
-            F.sum(
-                ((F.col("r") * F.col("c")) / F.col("n")).cast(
-                    "decimal(28,12)"
-                )
-            ).alias("e_present"),
+            F.sum(e.cast("decimal(28,12)")).alias("e_present"),
             F.first("n").alias("n"),
             F.first("nr").alias("nr"),
             F.first("nc").alias("nc"),
         )
     )
-    from ..qcommon import round6x
+    from ..qcommon import round6u, round6x
 
     chi2 = (
         F.col("chi2_present").cast("double")
@@ -254,7 +257,10 @@ def chi2_independence(
         F.col("nr").cast("long").alias("n_rowcats"),
         F.col("nc").cast("long").alias("n_colcats"),
         dof.cast("long").alias("dof"),
-        round6x(chi2).alias("chi2"),
+        # chi2 grows with corpus size (up to n·min(nr,nc)-1): micro-unit
+        # rounding, not round6x's decimal(18,12) envelope (DEFERRED
+        # r07(d)); Cramér's V is bounded in [0, 1] so round6x is safe
+        round6u(chi2).alias("chi2"),
         round6x(v).alias("cramers_v"),
     )
 

@@ -23,6 +23,23 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pairing import bucket_pairs
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared per-query top-k tail (DEFERRED r07(c) extraction): rank =
+    row_number over (cosine_sim desc, neighbor_id asc) — a TOTAL order,
+    so ranks are deterministic across engines and re-runs — then keep
+    rank <= k. Used by cosine_topk / lsh_bucket_topk / ivf_topk; the
+    per-query partition keeps the window shuffle keyed on query_id only
+    (small query batches → small exchange, TakeOrdered-shaped)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)
+
 
 def _round6_half_away(arr):
     """6-dp half-AWAY-FROM-ZERO rounding for a numpy array — the mode
@@ -92,13 +109,7 @@ def cosine_topk(
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(plane_idx: int, dim: int) -> list[float]:
@@ -224,13 +235,7 @@ def lsh_bucket_topk(
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
@@ -327,13 +332,7 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -468,25 +467,9 @@ def embedding_near_dup_pairs_lsh(
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     bands = _plane_signatures(df, id_col, vec_col, planes, num_bands)
-    buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_set("vid")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    combos = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cand = (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
-    )
+    # Bucket-side pair expansion instead of a self-join (shared shape:
+    # operators/pairing.py::bucket_pairs — see its docstring for why).
+    cand = bucket_pairs(bands, ["band", "key"], "vid")
     # Norms are precomputed per ROW, not per pair: _norm on the same values
     # yields the same double either way, so the cosine is bit-identical to
     # the naive form while the per-pair work drops to one dot fold.

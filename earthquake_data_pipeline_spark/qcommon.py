@@ -79,3 +79,22 @@ def round6x(col):
     The DuckDB twin is: CAST(round(CAST(x AS DECIMAL(18,12)), 6) AS DOUBLE).
     """
     return F.round(col.cast("decimal(18,12)"), 6).cast("double")
+
+
+def round6u(col):
+    """Engine-identical 6-dp HALF_UP rounding for a NON-NEGATIVE double
+    of corpus-growing magnitude: floor(x·1e6 + 0.5)/1e6 in float64.
+
+    round6x's decimal(18,12) route bounds |x| < 1e6 and overflows loudly
+    beyond — wrong for statistics that GROW with corpus size (chi2, PMI
+    lift). The micro-unit form has no 1e6 bound: *1e6, +0.5 and floor
+    are correctly-rounded IEEE ops on the identical input double, so
+    both engines agree bit-for-bit. Spark's floor yields BIGINT — exact,
+    and double-round-trip-identical to DuckDB's double-typed floor, up
+    to 2^63 micro-units (x ≈ 9.2e12); past that Spark fails ANSI-loud,
+    never silently. Same discipline assign_clusters' argmin uses
+    (operators/clustering.py:77-85).
+
+    The DuckDB twin is: floor(x*1e6 + 0.5)/1e6.
+    """
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)

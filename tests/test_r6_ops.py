@@ -763,6 +763,27 @@ def test_pmi_lift_value_is_exact(spark):
     assert out["b a"] == round(4 / 3, 6)
 
 
+def test_pmi_lift_beyond_decimal_envelope(spark):
+    """DEFERRED r07(d): lift for a rare pair grows as n_uni² — 8 'a b'
+    docs plus 8000 one-token fillers push lift(a,b) to n_uni²/64 =
+    8016²/64 = 1004004.0 > 1e6, overflowing round6x's decimal(18,12)
+    envelope. The micro-unit emit must return it exactly."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    docs = _docs(spark, ["a b"] * 8).unionByName(
+        spark.range(8000).select(
+            (F.col("id") + 100).alias("doc_id"), F.lit("filler").alias("text")
+        )
+    )
+    out = {r.bigram: r.lift for r in
+           pmi_collocations(docs, min_count=8).collect()}
+    assert out["a b"] == 1004004.0
+
+
 def test_epoch_shuffle_epochs_differ_and_replay(spark):
     from earthquake_data_pipeline_spark.operators.shuffling import epoch_shuffle
 

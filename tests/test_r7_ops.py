@@ -516,6 +516,25 @@ def test_chi2_perfect_association(spark):
     assert out["chi2"] == 20.0 and out["cramers_v"] == 1.0
 
 
+def test_chi2_beyond_decimal_envelope(spark):
+    """DEFERRED r07(d): chi2 grows with corpus size — a perfectly
+    associated 2x2 over 2.2M rows yields chi2 = n = 2.2e6, which
+    overflows round6x's decimal(18,12) envelope (|x| < 1e6). The
+    micro-unit emit must return it exactly instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.profiling import (
+        chi2_independence,
+    )
+
+    n = 2_200_000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("u"), (F.col("id") % 2).alias("v")
+    )
+    out = chi2_independence(df, "u", "v").collect()[0]
+    assert out["chi2"] == float(n) and out["cramers_v"] == 1.0
+
+
 def test_chi2_absent_cells_counted(spark):
     from earthquake_data_pipeline_spark.operators.profiling import (
         chi2_independence,
