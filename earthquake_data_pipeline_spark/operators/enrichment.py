@@ -72,9 +72,81 @@ def _build_bbox_grid(parsed):
     return (gminx, gminy, gmaxx, gmaxy, cw, ch, n_axis, cells)
 
 
+class PolygonDim:
+    """Pre-parsed polygon dim (VERDICT r07 item 6): rings as numpy
+    arrays + bboxes, parsed ONCE from WKT, with the bbox grid and the
+    per-SparkContext broadcast cached on the instance. At 131k polygons
+    the one-time driver-side WKT float parse dominated BOTH spatial
+    strategies (DESIGN.md round-7 crossover table); repeated
+    spatial_join / enrich_events calls in one session now pay it once.
+
+    Build explicitly via ``parse_polygon_dim(polygons)`` and pass the
+    instance anywhere a (country, region, wkt) sequence is accepted —
+    or keep passing raw tuples: an internal content-keyed memo gives
+    repeated raw-tuple calls the same amortization.
+    """
+
+    __slots__ = ("parsed", "_grid", "_bcs")
+
+    def __init__(
+        self, polygons: Sequence[tuple[str, str | None, str | None]]
+    ) -> None:
+        self.parsed = []
+        for country, region, wkt in polygons:
+            if wkt is None:
+                continue
+            polys = parse_wkt_polygon(wkt)
+            self.parsed.append((country, region, polys, ring_bbox(polys)))
+        self._grid = None
+        self._bcs: dict = {}
+
+    def grid(self):
+        """Bbox grid over the parsed dim, built lazily exactly once."""
+        if self._grid is None and self.parsed:
+            self._grid = _build_bbox_grid(self.parsed)
+        return self._grid
+
+    def broadcast_for(self, sc, with_grid: bool):
+        """Cached (parsed, grid|None) Broadcast per (SparkContext, grid
+        flag). Keys hold a strong ref to the context and re-check
+        identity, so a NEW context after a restart re-broadcasts
+        instead of reusing a handle from a stopped JVM."""
+        key = (id(sc), bool(with_grid))
+        hit = self._bcs.get(key)
+        if hit is not None and hit[0] is sc:
+            return hit[1]
+        bc = sc.broadcast((self.parsed, self.grid() if with_grid else None))
+        self._bcs[key] = (sc, bc)
+        return bc
+
+
+# Content-keyed memo for raw-tuple callers: the tuple key is O(P) string
+# hashing per call — ~1000x cheaper than re-parsing WKT floats — and dict
+# equality on the full key makes collisions impossible, not just unlikely.
+_DIM_CACHE: dict[tuple, PolygonDim] = {}
+_DIM_CACHE_MAX = 8
+
+
+def parse_polygon_dim(
+    polygons: "Sequence[tuple[str, str | None, str | None]] | PolygonDim",
+) -> PolygonDim:
+    """Parse (country, region, wkt) tuples into a reusable PolygonDim;
+    idempotent on an already-parsed dim, memoized on raw content."""
+    if isinstance(polygons, PolygonDim):
+        return polygons
+    key = tuple((c, r, w) for c, r, w in polygons)
+    dim = _DIM_CACHE.get(key)
+    if dim is None:
+        if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
+            _DIM_CACHE.clear()
+        dim = PolygonDim(polygons)
+        _DIM_CACHE[key] = dim
+    return dim
+
+
 def spatial_join(
     points: DataFrame,
-    polygons: Sequence[tuple[str, str | None, str]],
+    polygons: "Sequence[tuple[str, str | None, str]] | PolygonDim",
     lon_col: str = "longitude",
     lat_col: str = "latitude",
     country_col: str = "country",
@@ -83,11 +155,13 @@ def spatial_join(
 ) -> DataFrame:
     """R2 — point-in-polygon left join, first matching polygon wins.
 
-    ``polygons`` is the driver-side dim: (country, region, wkt) tuples —
-    world polygons are KB-MB scale (258 rows in the reference), so a Spark
-    broadcast variable ships them once per executor. Rows matching no
-    polygon get NULL country/region (left-join semantics). Name-only dim
-    rows (wkt=None, e.g. the reference's manual 'Alaska' row) are skipped
+    ``polygons`` is the driver-side dim: (country, region, wkt) tuples
+    or a pre-parsed ``PolygonDim`` — world polygons are KB-MB scale (258
+    rows in the reference), so a Spark broadcast variable ships them once
+    per executor; the WKT parse, grid build and broadcast are all
+    amortized across calls (PolygonDim). Rows matching no polygon get
+    NULL country/region (left-join semantics). Name-only dim rows
+    (wkt=None, e.g. the reference's manual 'Alaska' row) are skipped
     here — they participate in the regex fallback instead
     (pipeline/add_region.py:36).
 
@@ -108,18 +182,14 @@ def spatial_join(
     """
     import pandas as pd
 
-    parsed = []
-    for country, region, wkt in polygons:
-        if wkt is None:
-            continue
-        polys = parse_wkt_polygon(wkt)
-        parsed.append((country, region, polys, ring_bbox(polys)))
+    dim = parse_polygon_dim(polygons)
     if grid_index is None:
-        grid_index = len(parsed) > _MAX_LINEAR_POLYGONS
-    grid = _build_bbox_grid(parsed) if (grid_index and parsed) else None
+        grid_index = len(dim.parsed) > _MAX_LINEAR_POLYGONS
 
     spark = points.sparkSession
-    bc = spark.sparkContext.broadcast((parsed, grid))
+    bc = dim.broadcast_for(
+        spark.sparkContext, bool(grid_index and dim.parsed)
+    )
 
     # NB: StructType.add mutates in place — never call it on df.schema
     # (it corrupts the DataFrame's cached Python-side schema).

@@ -107,6 +107,35 @@ def test_enrich_events_fallback_is_case_insensitive(spark):
     assert (strict.country, strict.region) == (None, None)
 
 
+def test_polygon_dim_parse_amortized(spark):
+    """VERDICT r07 item 6: repeated spatial_join calls with the same raw
+    tuples must reuse ONE PolygonDim (one WKT parse, one broadcast per
+    context+strategy), and an explicitly pre-parsed dim must behave
+    identically to raw tuples."""
+    from earthquake_data_pipeline_spark.operators.enrichment import (
+        PolygonDim,
+        parse_polygon_dim,
+    )
+
+    d1 = parse_polygon_dim(POLYGONS)
+    d2 = parse_polygon_dim(list(POLYGONS))  # same content, new list
+    assert d1 is d2  # content-keyed memo hit
+    assert parse_polygon_dim(d1) is d1  # idempotent on parsed dims
+
+    sc = spark.sparkContext
+    b1 = d1.broadcast_for(sc, False)
+    b2 = d1.broadcast_for(sc, False)
+    assert b1 is b2  # broadcast cached per (context, grid flag)
+    assert d1.broadcast_for(sc, True) is not b1  # grid variant distinct
+
+    rows = [(1, 140.0, 35.0), (2, -150.0, -10.0)]
+    df = spark.createDataFrame(rows, ["id", "longitude", "latitude"])
+    via_raw = {r.id: r.country for r in spatial_join(df, POLYGONS).collect()}
+    explicit = PolygonDim(POLYGONS)
+    via_dim = {r.id: r.country for r in spatial_join(df, explicit).collect()}
+    assert via_raw == via_dim == {1: "Japonia", 2: None}
+
+
 def test_spatial_join_grid_index_matches_linear(spark):
     """The bbox-grid strategy (the >_MAX_LINEAR_POLYGONS successor,
     VERDICT r06 item 7) must reproduce the linear scan exactly on the
