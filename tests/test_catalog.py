@@ -68,3 +68,23 @@ def test_proof_debt_accounting_matches_artifacts():
     head = set(qs[:GATE_WINDOW])
     outside = [q for q in debt if q not in head]
     assert not outside, f"proof-debt queries outside the gate head: {outside}"
+
+
+def test_bench_load_noise_guard():
+    """VERDICT r07 item 7: the bench artifact is load-aware — the
+    threshold that marks a sweep inadmissible for drift adjudication is
+    mechanical, and the stdout line carries the flag only when set."""
+    import json
+
+    import bench
+
+    cpus = 32
+    assert not bench.load_noisy(0.0, cpus)
+    assert not bench.load_noisy(4.0, cpus)  # exactly at ratio: quiet
+    assert bench.load_noisy(4.1, cpus)  # r06/r07 false-alarm territory
+    assert bench.load_noisy(9.0, cpus)
+    assert bench.load_noisy(1.0, 0)  # degenerate cpu count stays safe
+
+    quiet = json.loads(bench._compact_line({"q": 1.0}, 1.0, 0.1, False))
+    loud = json.loads(bench._compact_line({"q": 1.0}, 1.0, 0.1, True))
+    assert "noisy" not in quiet and loud["noisy"] is True
