@@ -2255,86 +2255,65 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-7 HEAD (this file's current rotation): cumulative driver
-# coverage after r06 is 122/147 green, zero red; the 25 continuation-
-# batch queries below have NEVER had a driver row (VERDICT r06 item 1)
-# and lead, displaced only by enrich_events — the one NEW query this
-# round (the reference's signature pipeline composed end-to-end,
-# VERDICT item 6; new operators sit at the FRONT per item 3).
-# Churn accounting for rule 2: operators/graph.py gained the
-# broadcast-rank + per-iteration checkpoint path (pagerank_tokens is
-# in the never-proven block); streaming/ratelimit.py and
-# sources/txnlog.py were fixed but host NO catalog query (their
-# catalog twins rate_limit/token_bucket/upsert_merge use
-# operators/admission.py and operators/merge.py, both untouched —
-# rate_limit/token_bucket are in the never-proven block and
-# upsert_merge in the churn-adjacent block regardless).
-# tools/check.py gained --never-proven → rule-3 sentinels: events =
-# clean_events + enrich_events, documents = lang_id/chunk_documents,
-# embeddings = cluster_purity/kcenter_select (in the never-proven
-# block), lineitem = pricing_summary (seated below).
+# ROUND-8 HEAD (this file's current rotation): proof debt entered the
+# round at 0/148 (every catalog query driver-proven, zero red), so this
+# head executes the pre-committed r08 sketch (SURVEY tail): round-8
+# churn first, then the ENTIRE 24-query r04 bank (the oldest proofs in
+# the ledger, rotation rule 4), then the front of the r05 pool.
+# Churn accounting for rule 2 (function-body granularity, as the r07
+# judge audited it):
+#   - ADVICE fixes: kcenter_select (single-center final aggregate),
+#     enrich_events (case_insensitive pass-through + (?i) oracle);
+#   - DEFERRED (b): embedding_near_dup_pairs rounding HALF_EVEN →
+#     half-away-from-zero (_round6_half_away) → embedding_near_dup;
+#   - DEFERRED (c) helper extraction: bucket_pairs (pairing.py) is now
+#     called by minhash_lsh_pairs + embedding_near_dup_pairs_lsh →
+#     minhash_lsh, dedup_components, dedup_keep_list,
+#     lsh_jaccard_refine, lsh_recall_audit, embedding_near_dup_lsh;
+#     _rank_topk is now called by cosine_topk/lsh_bucket_topk/ivf_topk
+#     → cosine_topk, ann_lsh, ann_ivf. (semdedup_prune imports only
+#     cosine(), whose body is unchanged — not churned.)
+#   - DEFERRED (d) micro-unit migration: chi2_independence (term
+#     rewrite to (o−e)²/e + round6u emit, oracle in lockstep),
+#     pmi_collocations (round6u lift, oracle in lockstep);
+#   - VERDICT item 6: spatial_join now routes through PolygonDim →
+#     spatial_join + caller enrich_coalesce (enrich_events seated
+#     above; regex_token_match's regex_token_join body is unchanged,
+#     and it re-proves in the r04 block anyway).
+# Rule-3 sentinels (qcommon.py gained round6u): events = yearly_stats,
+# documents = token_stats, lineitem = fact_fact_join, embeddings =
+# embedding_near_dup — all four double-purposed from the churn/oldest
+# blocks, no extra slots consumed.
 _GATE_FIRST = [
-    # (0) the one new query this round
-    "enrich_events",
-    # (1) the 25 never-driver-proven continuation-batch queries
-    #     (locally oracle-verified in r06 by builder AND judge; a
-    #     driver row is what's missing)
-    "rate_limit", "token_bucket", "inverted_index", "bm25_topk",
-    "zone_skipping", "cms_join_size", "weighted_sample", "trend_fit",
-    "pagerank_tokens", "fuzzy_blocked_join", "robust_scaling",
-    "chi2_independence", "equidepth_histogram", "trimmed_mean",
-    "k_anonymity", "boolean_search", "lsh_recall_audit",
-    "incremental_join_view", "pareto_frontier", "fk_integrity",
-    "golden_record", "cluster_purity", "attribution", "zorder_skipping",
-    "kcenter_select",
-    # (2a) spatial_join: its r06 row predates this round's bbox-grid
-    #      strategy edit to its function body (grid auto-engages only
-    #      past 4096 polygons, but the gate standard is hunk-level) —
-    #      re-prove against shipped code. Its callers enrich_coalesce /
-    #      enrich_events are seated below/above.
-    "spatial_join",
-    # (2) the 14 churn-adjacent banked queries: r05 rows whose host
-    #     modules were edited in r06 (SURVEY §10 disclosure) — re-prove
-    #     against shipped code
-    "clean_events", "enrich_coalesce", "lang_id", "pii_redact",
-    "chunk_documents", "doc_repetition", "minhash_lsh", "ngram_jaccard",
-    "simhash", "lsh_jaccard_refine", "merge_anti_join",
-    "high_water_mark", "upsert_merge", "pack_sequences",
-    # (2b) late-round review fixes churned these functions' bodies, so
-    #      their callers re-prove (rotation rule 2 — churned > oldest):
-    #      assign_clusters micro-unit argmin (decimal overflow fix) →
-    #      kmeans_clusters, semdedup_prune (cluster_purity +
-    #      kcenter_select already seated above); minhash_lsh_pairs
-    #      banding validation → dedup_components, dedup_keep_list
-    #      (minhash_lsh / lsh_jaccard_refine / lsh_recall_audit seated
-    #      above); _plane_signatures banding validation →
-    #      embedding_near_dup_lsh, ann_lsh; ivf_topk empty-corpus
-    #      guard → ann_ivf. simhash's empty-token fix is covered by the
-    #      seated q_simhash (oracle updated in lockstep).
-    "kmeans_clusters", "semdedup_prune", "dedup_components",
-    "dedup_keep_list", "embedding_near_dup_lsh", "ann_lsh", "ann_ivf",
-    # (2c) the zero-norm cosine() convention (deferred finding (a),
-    #      closed in-window) churns cosine()'s third caller too (the
-    #      other two, ann_lsh/ann_ivf, are seated above; oracles
-    #      updated in lockstep — the CASE never fires on testdata,
-    #      which has no zero vectors)
-    "cosine_topk",
-    # (3) lineitem sentinel (tools/check.py churn) — also an oldest-r04
-    #     row
-    "pricing_summary",
-    # (4) no free slots remain for oldest-r04 fills this round — all 9
-    #     planned fills were displaced by churn seats (rotation rule 2:
-    #     churned > oldest). Displaced rows keep their valid r04 banks;
-    #     their code is untouched.
-    # still banked on r04 rows (next round's oldest-first pool):
-    # yearly_stats, token_stats, regex_token_match (regex_token_join
-    # hunk-untouched by this round's enrichment edits),
-    # severity_buckets, top_k_orders, region_rollup,
-    # max_per_group, stats_per_decade, fact_fact_join, semi_anti_join,
-    # rollup_agg, cube_agg, pivot_status, window_running, distinct_agg,
-    # percentile_stats, set_ops, unpivot_measures, corr_stats,
-    # ranking_suite, string_suite, datetime_suite, array_suite,
-    # correlated_subquery
+    # (2) round-8 churn — every query whose function body, oracle, or
+    #     called operator changed this round (detailed above)
+    "kcenter_select", "enrich_events", "embedding_near_dup",
+    "minhash_lsh", "dedup_components", "dedup_keep_list",
+    "lsh_jaccard_refine", "lsh_recall_audit", "embedding_near_dup_lsh",
+    "cosine_topk", "ann_lsh", "ann_ivf", "chi2_independence",
+    "pmi_collocations", "spatial_join", "enrich_coalesce",
+    # (4a) the COMPLETE r04 bank — 24 rows, 4 rounds old, the oldest
+    #      proofs in the ledger; refreshing all of them retires the
+    #      r04 generation entirely
+    "yearly_stats", "token_stats", "regex_token_match",
+    "severity_buckets", "top_k_orders", "region_rollup",
+    "max_per_group", "stats_per_decade", "fact_fact_join",
+    "semi_anti_join", "rollup_agg", "cube_agg", "pivot_status",
+    "window_running", "distinct_agg", "percentile_stats", "set_ops",
+    "unpivot_measures", "corr_stats", "ranking_suite", "string_suite",
+    "datetime_suite", "array_suite", "correlated_subquery",
+    # (4b) the front of the r05 pool, in the pre-committed SURVEY
+    #      order (union_dedup also closes the VERDICT item 5 drift
+    #      adjudication with a fresh driver row)
+    "conditional_ratio", "in_list_case_sort", "scalar_derivations",
+    "union_dedup", "top2_per_user", "text_quality", "exact_dedup",
+    "url_domains", "value_histogram", "eval_overlap",
+    # still banked on r05 rows (next round's oldest-first pool):
+    # tfidf_top_terms, hash_sample, corpus_curation,
+    # multimodal_features, salted_join, usgs_pipeline, range_frame,
+    # grouping_sets, sessionization, asof_join, json_extract,
+    # range_join, null_census, gap_fill, approx_stats, codec_roundtrip,
+    # label_centroids
 ]
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 
