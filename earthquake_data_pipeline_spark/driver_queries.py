@@ -2292,6 +2292,19 @@ _GATE_FIRST = [
     "lsh_jaccard_refine", "lsh_recall_audit", "embedding_near_dup_lsh",
     "cosine_topk", "ann_lsh", "ann_ivf", "chi2_independence",
     "pmi_collocations", "spatial_join", "enrich_coalesce",
+    # (2x) late-round review fixes (round-8 deep review of graph.py /
+    #      shuffling.py): pagerank_ppm gained the empty-graph contract
+    #      frame + w<=0 non-edge semantics; epoch_shuffle now rejects
+    #      degenerate n_epochs/n_shards (phantom-epoch fix). Behavior
+    #      is unchanged on testdata (bigram weights are counts >= 1,
+    #      catalog configs valid) but the gate standard is hunk-level —
+    #      both re-prove, displacing the last two r05 fills
+    #      (value_histogram / eval_overlap banks stay valid).
+    #      cms_point_estimates now LEFT-joins the sparse grid so novel
+    #      probe keys count 0 instead of being overestimated/dropped →
+    #      cms_frequency re-proves (behavior-neutral for in-domain
+    #      probes, which is all the catalog query uses).
+    "pagerank_tokens", "epoch_shuffle", "cms_frequency",
     # (4a) the COMPLETE r04 bank — 24 rows, 4 rounds old, the oldest
     #      proofs in the ledger; refreshing all of them retires the
     #      r04 generation entirely
@@ -2307,8 +2320,9 @@ _GATE_FIRST = [
     #      adjudication with a fresh driver row)
     "conditional_ratio", "in_list_case_sort", "scalar_derivations",
     "union_dedup", "top2_per_user", "text_quality", "exact_dedup",
-    "url_domains", "value_histogram", "eval_overlap",
     # still banked on r05 rows (next round's oldest-first pool):
+    # url_domains, value_histogram, eval_overlap (displaced by three
+    # late-review churn seats),
     # tfidf_top_terms, hash_sample, corpus_curation,
     # multimodal_features, salted_join, usgs_pipeline, range_frame,
     # grouping_sets, sessionization, asof_join, json_extract,

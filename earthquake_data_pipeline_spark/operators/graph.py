@@ -11,7 +11,10 @@ both deterministic and conservative):
 - per-edge transfer is (rank(s) * w) DIV wout(s): each edge floors,
   so a node's emitted mass can undershoot rank(s) by < outdeg(s) ppm;
 - dangling nodes (no out-edges) leak their mass instead of
-  redistributing it (the standard sparse-implementation shortcut).
+  redistributing it (the standard sparse-implementation shortcut);
+- edges with weight <= 0 are non-edges for the transfer (their
+  endpoints still count as nodes) — a source with only such edges is
+  dangling, and an empty graph returns the empty contract frame.
 
 100 TB: the rank table is node-sized, edges are edge-sized; each
 iteration is one join (edges × ranks) + one aggregate keyed by dst —
@@ -71,8 +74,15 @@ def pagerank_ppm(
         F.col(dst_col).alias("d"),
         F.col(weight_col).cast("long").alias("w"),
     )
-    wout = e.groupBy("s").agg(F.sum("w").alias("wout"))
-    ew = e.join(wout, "s").localCheckpoint(eager=False)
+    # w <= 0 edges carry no mass: they are NON-EDGES for the transfer
+    # (a source with no positive-weight out-edge becomes dangling and
+    # leaks its mass — the documented semantics above) but still
+    # register their endpoints as nodes. Without this filter a node
+    # whose out-weights sum to 0 hits an ANSI DIVIDE_BY_ZERO deep
+    # inside the codegen'd transfer expression.
+    pos = e.filter(F.col("w") > 0)
+    wout = pos.groupBy("s").agg(F.sum("w").alias("wout"))
+    ew = pos.join(wout, "s").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -80,6 +90,12 @@ def pagerank_ppm(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()  # node count: one scalar action up front
+    if n == 0:
+        # empty graph: the contract-schema empty frame (node type is
+        # caller-defined), not a driver-side ZeroDivisionError on PPM//n
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_ppm")
+        )
     if broadcast_ranks is None:
         broadcast_ranks = n <= _BROADCAST_NODES
     base = (PPM - damping_ppm) // n

@@ -175,6 +175,14 @@ def length_batches(
     any partitioning (pure hash order, no rand()).
 
     One exchange on (bucket, shard); the batch aggregate reuses it.
+
+    The last bucket is OPEN-ENDED: documents longer than
+    ``LENGTH_BUCKETS[-1]`` land in it, and a batch containing one
+    reports ``max_tokens > bucket_len`` and a negative ``pad_waste``
+    (the real pad target for such a batch is its max_tokens — the
+    loader pads to the longest member, not the bucket boundary).
+    Truncate or chunk oversized docs upstream if fixed-length batches
+    are required.
     """
     from .sampling import hash_bucket
 

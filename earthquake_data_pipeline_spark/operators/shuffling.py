@@ -36,6 +36,15 @@ def epoch_shuffle(
     shard) cell as (n_docs, order_checksum). The full assignment is the
     ``p`` subframe; the summary keeps driver-facing output bounded.
     """
+    if n_epochs <= 0 or n_shards <= 0:
+        # sequence(0, n_epochs-1) auto-steps BACKWARDS when the end is
+        # below the start (n_epochs=0 → epochs [0, -1]: phantom epochs,
+        # not an empty result), and pmod by 0 shards dies deep in
+        # codegen — reject degenerate configs loudly instead (same
+        # discipline as the LSH banding validation).
+        raise ValueError(
+            f"n_epochs={n_epochs} and n_shards={n_shards} must be >= 1"
+        )
     e = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),

@@ -148,10 +148,13 @@ def cms_point_estimates(
     ``est = min over rows j of cell[j][bucket_j(key)]``.
 
     The sketch is d×w rows — broadcast; each probe key expands to its
-    ``depth`` (j, bucket) coordinates and equi-joins the cells. A probe
-    key absent from every cell would mean count 0; with the grid built
-    from the same key domain every coordinate exists, and the min
-    aggregate keeps exactly one row per probe.
+    ``depth`` (j, bucket) coordinates and LEFT-joins the cells: the
+    sparse grid stores only touched cells, so a probe key outside the
+    sketched domain can land on absent cells, which count 0 (a true CMS
+    array is zero-initialized). The min aggregate keeps exactly one row
+    per probe — an inner join here would silently drop absent
+    coordinates from the min (overestimating novel keys) and drop
+    fully-novel probes from the output entirely (round-8 review).
     """
     coords = probes.select(
         F.col(key_col),
@@ -168,9 +171,9 @@ def cms_point_estimates(
         ).alias("c"),
     ).select(key_col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
     return (
-        coords.join(F.broadcast(sketch), ["j", "bucket"])
+        coords.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("n").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
     )
 
 

@@ -404,6 +404,30 @@ def test_compaction_plan_oversized_file_sits_alone(spark):
     assert by_doc[2] == by_doc[3] == by_doc[4] == by_doc[1] + 1
 
 
+def test_cms_novel_probe_counts_zero(spark):
+    """Round-8 review: a probe key OUTSIDE the sketched domain can land
+    on cells the sparse grid never stored — a true CMS array is
+    zero-initialized, so those coordinates count 0. The old inner join
+    dropped them from the min (overestimate) or dropped the probe row
+    entirely when every coordinate missed."""
+    from earthquake_data_pipeline_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("a",)] * 5, ["k"])
+    probes = spark.createDataFrame([("a",), ("zzz-novel",)], ["k"])
+    # wide sketch: only a's 3 cells exist; the novel key's cells are
+    # all absent -> est must be 0, and the probe row must survive
+    est = {
+        r.k: r.cms_est
+        for r in cms_point_estimates(
+            cms_sketch(df, "k", width=4096), probes, "k", width=4096
+        ).collect()
+    }
+    assert est == {"a": 5, "zzz-novel": 0}
+
+
 def test_cms_never_undercounts_and_is_exact_when_wide(spark):
     from earthquake_data_pipeline_spark.operators.sketches import (
         cms_point_estimates,
@@ -782,6 +806,23 @@ def test_pmi_lift_beyond_decimal_envelope(spark):
     out = {r.bigram: r.lift for r in
            pmi_collocations(docs, min_count=8).collect()}
     assert out["a b"] == 1004004.0
+
+
+def test_epoch_shuffle_rejects_degenerate_configs(spark):
+    """sequence(0, n_epochs-1) auto-steps backwards for n_epochs=0,
+    silently emitting phantom epochs [0, -1] — degenerate configs must
+    raise instead (round-8 review, same family as banding validation)."""
+    import pytest
+
+    from earthquake_data_pipeline_spark.operators.shuffling import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="n_epochs"):
+        epoch_shuffle(docs, n_epochs=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(docs, n_epochs=2, n_shards=0)
 
 
 def test_epoch_shuffle_epochs_differ_and_replay(spark):

@@ -376,6 +376,31 @@ def test_pagerank_weighted_edge_split(spark):
     assert out["c"] == base + (850000 * ((init * 1) // 4)) // 1000000
 
 
+def test_pagerank_empty_and_zero_weight_edges(spark):
+    """Round-8 review: an empty edge list must return the contract-
+    schema empty frame (not a driver ZeroDivisionError on PPM//n), and
+    w<=0 edges are non-edges for the transfer — a source with only such
+    edges is dangling, not an ANSI DIVIDE_BY_ZERO in codegen."""
+    from earthquake_data_pipeline_spark.operators.graph import pagerank_ppm
+
+    empty = spark.createDataFrame([], "src string, dst string, w long")
+    out = pagerank_ppm(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "rank_ppm"]
+
+    # a's only out-edge has weight 0 -> a is dangling; b/c unaffected
+    e = spark.createDataFrame(
+        [("a", "b", 0), ("b", "c", 1), ("c", "b", 1)], ["src", "dst", "w"]
+    )
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(e).collect()}
+    assert set(got) == {"a", "b", "c"}  # a still counts as a node
+    # a holds only the teleport base (all its mass leaks); b and c
+    # keep exchanging mass, so both sit above the base
+    base = 150000 // 3
+    assert got["a"] == base
+    assert got["b"] > base and got["c"] > base
+
+
 def test_pagerank_broadcasts_rank_vector_and_bounds_lineage(spark):
     """Scale shape (VERDICT r06 item 5): with a small node domain the
     per-iteration edges×ranks join must BROADCAST the node-sized rank
