@@ -179,8 +179,15 @@ def read_dbf(dbf_path: str | Path, encoding: str = "latin-1") -> list[dict | Non
                 else:
                     row[name] = float(raw)
             elif ftype == "L":
+                # tuple membership, NOT `raw in "YyTt"`: the empty
+                # string is a substring of every string, so a BLANK
+                # (uninitialized) logical field would parse as True
                 row[name] = (
-                    True if raw in "YyTt" else False if raw in "NnFf" else None
+                    True
+                    if raw in ("Y", "y", "T", "t")
+                    else False
+                    if raw in ("N", "n", "F", "f")
+                    else None
                 )
             else:
                 row[name] = raw

@@ -688,3 +688,30 @@ def test_txnlog_vacuum_keeps_cut_version_exact_and_fails_older_loudly(
     assert {r.k for r in read_snapshot(spark, t).collect()} == {9}
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, t, 1)
+
+
+def test_dbf_logical_field_blank_is_none(tmp_path):
+    """Round-8 review: `raw in "YyTt"` is a SUBSTRING test, and the
+    empty string is a substring of everything — a blank (uninitialized)
+    logical field parsed as True. Blank and '?' must be None."""
+    import struct as _struct
+
+    from earthquake_data_pipeline_spark.sources.shapefile import read_dbf
+
+    values = [b"Y", b"N", b" ", b"?", b"t", b"f"]
+    fields = [(b"FLAG", b"L", 1)]
+    record_size = 1 + 1
+    header_size = 32 + 32 * len(fields) + 1
+    dbf = _struct.pack(
+        "<B3BIHH", 3, 24, 1, 1, len(values), header_size, record_size
+    ) + b"\x00" * 20
+    for name, ftype, length in fields:
+        dbf += name.ljust(11, b"\x00") + ftype + b"\x00" * 4
+        dbf += bytes([length]) + b"\x00" * 15
+    dbf += b"\x0d"
+    for v in values:
+        dbf += b" " + v
+    p = tmp_path / "flags.dbf"
+    p.write_bytes(dbf)
+    got = [r["FLAG"] for r in read_dbf(p)]
+    assert got == [True, False, None, None, True, False]
