@@ -689,3 +689,47 @@ def test_txnlog_vacuum_preserves_surviving_versions(data, tmp_path_factory):
     for v in surviving:
         got = {os.path.basename(p) for p in live_files(t, v)}
         assert got == model[v]
+
+
+@given(
+    st.floats(
+        min_value=0.0,
+        max_value=9e12,
+        allow_nan=False,
+        allow_infinity=False,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_round6u_matches_duckdb_round(x):
+    """qcommon.round6u's claim: floor(x*1e6+0.5)/1e6 in float64 equals
+    DuckDB's round(double, 6) for every non-negative double in the
+    documented envelope (to ~9.2e12 micro-unit-exactness bound) —
+    including exact 7-dp ties where HALF_EVEN modes diverge."""
+    import math
+
+    import duckdb
+
+    py = math.floor(x * 1e6 + 0.5) / 1e6
+    duck = duckdb.connect().execute(
+        "select round(?::double, 6)", [x]
+    ).fetchone()[0]
+    assert py == duck
+
+
+@given(st.integers(0, 10**13))
+@settings(max_examples=200, deadline=None)
+def test_round6u_tie_grid(n):
+    """Every value on the exact half-micro grid (n + 0.5 micro-units)
+    rounds UP in both the python replay and DuckDB — the tie family
+    np.round breaks."""
+    import math
+
+    import duckdb
+
+    x = (2 * n + 1) / 2e6  # exactly representable? not always — but the
+    # comparison is on the SAME double both sides, which is the contract
+    py = math.floor(x * 1e6 + 0.5) / 1e6
+    duck = duckdb.connect().execute(
+        "select round(?::double, 6)", [x]
+    ).fetchone()[0]
+    assert py == duck
