@@ -8,7 +8,13 @@ AQE off, probing that every query's RESULT is partition-count-invariant
 (deterministic ops, total orders, no rand()/monotonic-id leakage) —
 the other axis on which the driver's session can differ from ours.
 
-Usage: python tools/hostile_check.py [--weird-confs] [sf_dir] [tz]
+``--ansi-off`` is the third axis: spark.sql.ansi.enabled=false (the
+legacy permissive mode a driver session may run). The engine leans on
+ANSI only for LOUD failure on out-of-envelope inputs — on in-envelope
+data every result must be bit-identical with ANSI off (no expression
+silently relies on ANSI cast/division semantics for its VALUE).
+
+Usage: python tools/hostile_check.py [--weird-confs] [--ansi-off] [sf_dir] [tz]
 """
 
 from __future__ import annotations
@@ -21,8 +27,10 @@ from check import TABLES, normalize, value_repr  # noqa: E402  (same dir)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--weird-confs"]
+    flags = {"--weird-confs", "--ansi-off"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     weird = "--weird-confs" in sys.argv[1:]
+    ansi_off = "--ansi-off" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     tz = args[1] if len(args) > 1 else "America/New_York"
 
@@ -39,6 +47,8 @@ def main() -> int:
             builder.config("spark.sql.shuffle.partitions", "7")
             .config("spark.sql.adaptive.enabled", "false")
         )
+    if ansi_off:
+        builder = builder.config("spark.sql.ansi.enabled", "false")
     spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
@@ -68,7 +78,9 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}")
-    label = f"{tz}+weird-confs" if weird else tz
+    label = tz + ("+weird-confs" if weird else "") + (
+        "+ansi-off" if ansi_off else ""
+    )
     print(f"\nhostile[{label}]: {len(qs) - len(failures)} ok, {len(failures)} failed")
     return 1 if failures else 0
 
