@@ -194,6 +194,10 @@ def vacuum(table_path: str, keep_after_version: int) -> list[str]:
     surviving version are deleted. The latest version always survives
     even if the cut would remove it. Returns deleted file names.
 
+    Also collects crashed-writer staging garbage (.tmp-manifest files
+    and .stage-* directories in the table root) — safe under the
+    single-writer contract, since no commit can be in flight.
+
     Crash-safety (readers-always-safe contract): the oldest surviving
     manifest is rewritten SELF-CONTAINED and PUBLISHED FIRST via the
     same tmp+fsync+atomic-rename discipline as _commit — ``added`` is
@@ -249,6 +253,22 @@ def vacuum(table_path: str, keep_after_version: int) -> list[str]:
             if f.endswith(".parquet") and f not in needed:
                 os.unlink(os.path.join(data_dir, f))
                 deleted.append(f)
+    # 4) collect CRASHED-WRITER garbage: a crash mid-commit leaves a
+    #    .tmp-manifest-*.json and/or a .stage-* directory in the table
+    #    root — invisible to readers (who list only _log/) but
+    #    accumulating disk forever. The single-writer contract means no
+    #    commit is in flight while vacuum runs, so anything matching
+    #    those prefixes is dead and safe to drop.
+    for f in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, f)
+        if f.startswith(".tmp-manifest-") and os.path.isfile(full):
+            os.unlink(full)
+            deleted.append(f)
+        elif f.startswith(".stage-") and os.path.isdir(full):
+            for inner in os.listdir(full):
+                os.unlink(os.path.join(full, inner))
+            os.rmdir(full)
+            deleted.append(f)
     return deleted
 
 

@@ -715,3 +715,31 @@ def test_dbf_logical_field_blank_is_none(tmp_path):
     p.write_bytes(dbf)
     got = [r["FLAG"] for r in read_dbf(p)]
     assert got == [True, False, None, None, True, False]
+
+
+def test_txnlog_vacuum_collects_crashed_staging_garbage(spark, tmp_path):
+    """Round-8 review: a crash mid-commit leaves .tmp-manifest files /
+    .stage-* dirs in the table root — invisible to readers but leaking
+    disk forever. Vacuum must collect them (single-writer contract:
+    nothing can be in flight) without touching live data."""
+    import os
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)
+    # simulate two crash artifacts
+    with open(os.path.join(t, ".tmp-manifest-dead.json"), "w") as f:
+        f.write("{}")
+    stage = os.path.join(t, ".stage-dead")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    deleted = vacuum(t, keep_after_version=-1)
+    assert ".tmp-manifest-dead.json" in deleted and ".stage-dead" in deleted
+    assert not os.path.exists(stage)
+    assert read_snapshot(spark, t).count() == 2  # live data untouched
