@@ -426,7 +426,7 @@ def embedding_near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     num_bands: int = 3,
     dim: int | None = None,
 ) -> DataFrame:
@@ -456,6 +456,17 @@ def embedding_near_dup_pairs_lsh(
     identical vectors are always found (equal signatures in all bands).
     At 100 TB, size 2^(planes/band) ≫ expected bucket count to keep
     buckets bounded; AQE handles residual skew on the id re-rank joins.
+
+    ``num_planes=None`` (default) AUTO-SIZES the banding from the corpus
+    count: bits-per-band = max(4, ceil(log2(n))), so expected bucket
+    occupancy stays O(1) as the corpus grows. The round-8 scaling study
+    (DESIGN.md) measured the fixed-banding failure mode this prevents:
+    7 bits/band at 32k vectors put ~250 ids per bucket and the pair
+    expansion went quadratic (181 s); log2-scaled bits ran the same
+    corpus in 4.4 s and 128k in 11.2 s, near-linear. Auto-sizing costs
+    one count() of the input — pass explicit ``num_planes`` (a multiple
+    of ``num_bands``) to skip the count and pin the plan, e.g. for an
+    oracle-replayable catalog query.
     """
     if dim is None:
         first = df.select(vec_col).first()
@@ -464,6 +475,12 @@ def embedding_near_dup_pairs_lsh(
                 [], "id_a long, id_b long, cosine_sim double"
             )
         dim = len(first[0])
+    if num_planes is None:
+        import math
+
+        n = df.count()
+        bits = max(4, math.ceil(math.log2(max(n, 2))))
+        num_planes = bits * num_bands
     planes = [_hyperplane(p, dim) for p in range(num_planes)]
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     bands = _plane_signatures(df, id_col, vec_col, planes, num_bands)

@@ -217,6 +217,33 @@ def test_near_dup_lsh_subset_of_dense_and_exact_dups_found(spark):
         assert lsh[(i, 100 + i)] == 1.0
 
 
+def test_near_dup_lsh_auto_banding_scales_with_corpus(spark):
+    """Round-8 scaling study: fixed banding goes quadratic once bucket
+    occupancy ~ n/2^bits grows (181 s at 32k vectors with 7 bits/band);
+    num_planes=None must size bits-per-band as max(4, ceil(log2(n)))."""
+    from earthquake_data_pipeline_spark.operators import similarity
+
+    captured = {}
+    orig = similarity._plane_signatures
+
+    def spy(df, id_col, vec_col, planes, num_bands, carry_vec=False):
+        captured["planes"] = len(planes)
+        captured["bands"] = num_bands
+        return orig(df, id_col, vec_col, planes, num_bands, carry_vec)
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    similarity._plane_signatures = spy
+    try:
+        similarity.embedding_near_dup_pairs_lsh(df, threshold=0.99, dim=2)
+    finally:
+        similarity._plane_signatures = orig
+    # n=300 -> ceil(log2(300)) = 9 bits/band x 3 bands = 27 planes
+    assert captured == {"planes": 27, "bands": 3}
+
+
 def test_near_dup_lsh_no_driver_materialization(spark):
     import inspect
 

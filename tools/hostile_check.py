@@ -14,7 +14,13 @@ ANSI only for LOUD failure on out-of-envelope inputs — on in-envelope
 data every result must be bit-identical with ANSI off (no expression
 silently relies on ANSI cast/division semantics for its VALUE).
 
-Usage: python tools/hostile_check.py [--weird-confs] [--ansi-off] [sf_dir] [tz]
+``--no-codegen`` is the fourth axis: whole-stage codegen disabled
+(spark.sql.codegen.wholeStage=false), forcing the interpreted
+expression evaluator — results must be identical; a divergence would
+mean an expression whose compiled and interpreted paths disagree.
+
+Usage: python tools/hostile_check.py [--weird-confs] [--ansi-off]
+       [--no-codegen] [sf_dir] [tz]
 """
 
 from __future__ import annotations
@@ -27,10 +33,11 @@ from check import TABLES, normalize, value_repr  # noqa: E402  (same dir)
 
 
 def main() -> int:
-    flags = {"--weird-confs", "--ansi-off"}
+    flags = {"--weird-confs", "--ansi-off", "--no-codegen"}
     args = [a for a in sys.argv[1:] if a not in flags]
     weird = "--weird-confs" in sys.argv[1:]
     ansi_off = "--ansi-off" in sys.argv[1:]
+    no_codegen = "--no-codegen" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     tz = args[1] if len(args) > 1 else "America/New_York"
 
@@ -49,6 +56,8 @@ def main() -> int:
         )
     if ansi_off:
         builder = builder.config("spark.sql.ansi.enabled", "false")
+    if no_codegen:
+        builder = builder.config("spark.sql.codegen.wholeStage", "false")
     spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
@@ -78,8 +87,11 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}")
-    label = tz + ("+weird-confs" if weird else "") + (
-        "+ansi-off" if ansi_off else ""
+    label = (
+        tz
+        + ("+weird-confs" if weird else "")
+        + ("+ansi-off" if ansi_off else "")
+        + ("+no-codegen" if no_codegen else "")
     )
     print(f"\nhostile[{label}]: {len(qs) - len(failures)} ok, {len(failures)} failed")
     return 1 if failures else 0
