@@ -238,13 +238,23 @@ def lsh_bucket_topk(
     return _rank_topk(scored, k)
 
 
+def _ivf_auto_nlist(n: int, sample_size: int) -> int:
+    """Auto nlist = ceil(sqrt(n)) clamped to [16, sample_size // 32] —
+    sqrt-sizing keeps candidates/query at ~sqrt(n)·nprobe (the fixed-
+    nlist scale cliff mirrors the LSH banding study); the upper clamp
+    keeps ≥ 32 training rows per centroid from the driver sample."""
+    import math
+
+    return min(max(16, math.ceil(math.sqrt(max(n, 1)))), sample_size // 32)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     nprobe: int = 4,
     train_iters: int = 2,
     sample_size: int = 2048,
@@ -265,10 +275,21 @@ def ivf_topk(
     At 100 TB: cells give ~corpus/n_centroids × nprobe candidates per
     query; the cell tag can be persisted as a partition column so probes
     prune at the parquet-scan level.
+
+    ``n_centroids=None`` (default) AUTO-SIZES nlist as the standard
+    ceil(sqrt(n)), clamped to [16, sample_size // 32] — a fixed cell
+    count is the same scale cliff the LSH banding study exposed
+    (candidates/query grow as n/nlist; sqrt-sizing keeps them at
+    ~sqrt(n)·nprobe). The clamp keeps ≥ 32 training rows per centroid;
+    raise ``sample_size`` in step for a bigger nlist. Costs one
+    count(); pass explicit ``n_centroids`` (the catalog query pins 16)
+    to skip it and pin the plan for oracle replay.
     """
     import numpy as np
     from pyspark.sql import types as T
 
+    if n_centroids is None:
+        n_centroids = _ivf_auto_nlist(corpus.count(), sample_size)
     sample = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
     )

@@ -1133,6 +1133,21 @@ def test_ivf_topk_empty_corpus_returns_empty(spark):
     assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
 
 
+def test_ivf_auto_nlist_sqrt_with_clamps():
+    """n_centroids=None sizes nlist as ceil(sqrt(n)), clamped to
+    [16, sample_size // 32] — the IVF face of the LSH banding fix."""
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        _ivf_auto_nlist,
+    )
+
+    assert _ivf_auto_nlist(0, 2048) == 16  # empty/small: floor clamp
+    assert _ivf_auto_nlist(100, 2048) == 16
+    assert _ivf_auto_nlist(300, 2048) == 18  # ceil(sqrt(300))
+    assert _ivf_auto_nlist(2500, 2048) == 50
+    assert _ivf_auto_nlist(10**6, 2048) == 64  # sample ceiling clamp
+    assert _ivf_auto_nlist(10**6, 65536) == 1000  # bigger sample, real sqrt
+
+
 def test_cosine_zero_norm_scores_zero_not_null(spark):
     """Zero-norm vectors (no direction) score 0.0 against everything:
     a bare division emitted NULL, which leaked into top-k output rows
