@@ -110,7 +110,18 @@ class PolygonDim:
         """Cached (parsed, grid|None) Broadcast per (SparkContext, grid
         flag). Keys hold a strong ref to the context and re-check
         identity, so a NEW context after a restart re-broadcasts
-        instead of reusing a handle from a stopped JVM."""
+        instead of reusing a handle from a stopped JVM.
+
+        Entries whose context has since STOPPED are evicted (and their
+        Broadcast destroyed) on every call — without this, a long-lived
+        driver that restarts sessions pins every dead context and its
+        executor-side broadcast blocks forever (ADVICE r08)."""
+        for k in [k for k, (c, _) in self._bcs.items() if _sc_stopped(c)]:
+            _, dead = self._bcs.pop(k)
+            try:
+                dead.destroy(blocking=False)
+            except Exception:
+                pass  # the JVM behind the handle is already gone
         key = (id(sc), bool(with_grid))
         hit = self._bcs.get(key)
         if hit is not None and hit[0] is sc:
@@ -120,9 +131,17 @@ class PolygonDim:
         return bc
 
 
+def _sc_stopped(sc) -> bool:
+    """True once SparkContext.stop() has run (PySpark nulls _jsc)."""
+    return getattr(sc, "_jsc", None) is None
+
+
 # Content-keyed memo for raw-tuple callers: the tuple key is O(P) string
 # hashing per call — ~1000x cheaper than re-parsing WKT floats — and dict
 # equality on the full key makes collisions impossible, not just unlikely.
+# LRU: insertion order IS recency order (hits re-insert); at capacity the
+# single oldest entry is evicted — not a wholesale clear(), which threw
+# away 7 warm dims to admit 1 (ADVICE r08).
 _DIM_CACHE: dict[tuple, PolygonDim] = {}
 _DIM_CACHE_MAX = 8
 
@@ -135,12 +154,12 @@ def parse_polygon_dim(
     if isinstance(polygons, PolygonDim):
         return polygons
     key = tuple((c, r, w) for c, r, w in polygons)
-    dim = _DIM_CACHE.get(key)
+    dim = _DIM_CACHE.pop(key, None)
     if dim is None:
         if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
-            _DIM_CACHE.clear()
+            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
         dim = PolygonDim(polygons)
-        _DIM_CACHE[key] = dim
+    _DIM_CACHE[key] = dim
     return dim
 
 

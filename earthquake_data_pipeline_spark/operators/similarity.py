@@ -242,10 +242,17 @@ def _ivf_auto_nlist(n: int, sample_size: int) -> int:
     """Auto nlist = ceil(sqrt(n)) clamped to [16, sample_size // 32] —
     sqrt-sizing keeps candidates/query at ~sqrt(n)·nprobe (the fixed-
     nlist scale cliff mirrors the LSH banding study); the upper clamp
-    keeps ≥ 32 training rows per centroid from the driver sample."""
+    keeps ≥ 32 training rows per centroid from the driver sample.
+
+    The upper clamp never drops below 1: a tiny ``sample_size`` (< 512)
+    degrades gracefully toward nlist=1 (a single cell = exact brute
+    force within the corpus) instead of training an empty centroid
+    matrix (ADVICE r08: sample_size < 32 previously auto-sized to 0 and
+    crashed deep in numpy argmax)."""
     import math
 
-    return min(max(16, math.ceil(math.sqrt(max(n, 1)))), sample_size // 32)
+    upper = max(1, sample_size // 32)
+    return min(max(16, math.ceil(math.sqrt(max(n, 1)))), upper)
 
 
 def ivf_topk(
@@ -284,6 +291,11 @@ def ivf_topk(
     raise ``sample_size`` in step for a bigger nlist. Costs one
     count(); pass explicit ``n_centroids`` (the catalog query pins 16)
     to skip it and pin the plan for oracle replay.
+
+    Migration note (round 8): the default changed 16 → None. Callers
+    that relied on the old fixed nlist=16 get a different (larger)
+    candidate set above ~256 corpus rows plus one extra count() action;
+    pin ``n_centroids=16`` for replay-stable pre-r08 output.
     """
     import numpy as np
     from pyspark.sql import types as T
@@ -488,6 +500,11 @@ def embedding_near_dup_pairs_lsh(
     one count() of the input — pass explicit ``num_planes`` (a multiple
     of ``num_bands``) to skip the count and pin the plan, e.g. for an
     oracle-replayable catalog query.
+
+    Migration note (round 8): the default changed 12 → None. Callers
+    that relied on the old fixed 12-plane banding get a different
+    candidate set (different recall) plus one extra count() action;
+    pin ``num_planes=12`` for replay-stable pre-r08 output.
     """
     if dim is None:
         first = df.select(vec_col).first()

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -187,7 +188,11 @@ def read_snapshot(
     return spark.read.parquet(*files)
 
 
-def vacuum(table_path: str, keep_after_version: int) -> list[str]:
+def vacuum(
+    table_path: str,
+    keep_after_version: int,
+    staging_grace_s: float = 600.0,
+) -> list[str]:
     """Truncate history: versions > ``keep_after_version`` stay exactly
     readable, versions <= it are dropped (reading one now raises — no
     silent partial snapshots), and data files unreachable from every
@@ -195,8 +200,14 @@ def vacuum(table_path: str, keep_after_version: int) -> list[str]:
     even if the cut would remove it. Returns deleted file names.
 
     Also collects crashed-writer staging garbage (.tmp-manifest files
-    and .stage-* directories in the table root) — safe under the
-    single-writer contract, since no commit can be in flight.
+    and .stage-* directories in the table root). Safe under the
+    single-writer contract — no commit can be in flight — and
+    additionally age-guarded: artifacts with mtime younger than
+    ``staging_grace_s`` (default 10 min) are left alone, so a vacuum
+    accidentally run concurrently with another process's _commit cannot
+    delete the in-flight tmp manifest or staging dir out from under its
+    rename. Set ``staging_grace_s=0`` only when single-writer is
+    externally guaranteed.
 
     Crash-safety (readers-always-safe contract): the oldest surviving
     manifest is rewritten SELF-CONTAINED and PUBLISHED FIRST via the
@@ -256,11 +267,22 @@ def vacuum(table_path: str, keep_after_version: int) -> list[str]:
     # 4) collect CRASHED-WRITER garbage: a crash mid-commit leaves a
     #    .tmp-manifest-*.json and/or a .stage-* directory in the table
     #    root — invisible to readers (who list only _log/) but
-    #    accumulating disk forever. The single-writer contract means no
-    #    commit is in flight while vacuum runs, so anything matching
-    #    those prefixes is dead and safe to drop.
+    #    accumulating disk forever. The single-writer contract says no
+    #    commit is in flight while vacuum runs, but vacuum is a PUBLIC
+    #    function, so an AGE GUARD backstops an accidentally concurrent
+    #    committer (ADVICE r08): staging artifacts younger than
+    #    ``staging_grace_s`` are skipped — a live _commit finishes its
+    #    rename long within the grace window; only genuinely crashed
+    #    leftovers age past it.
+    now = time.time()
     for f in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, f)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue  # racing unlink — already gone
+        if age < staging_grace_s:
+            continue
         if f.startswith(".tmp-manifest-") and os.path.isfile(full):
             os.unlink(full)
             deleted.append(f)
