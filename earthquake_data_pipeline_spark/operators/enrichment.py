@@ -157,7 +157,18 @@ def parse_polygon_dim(
     dim = _DIM_CACHE.pop(key, None)
     if dim is None:
         if len(_DIM_CACHE) >= _DIM_CACHE_MAX:
-            _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
+            evicted = _DIM_CACHE.pop(next(iter(_DIM_CACHE)))
+            # Eviction drops the driver's last strong ref to the dim,
+            # but its Broadcasts on still-LIVE contexts would keep
+            # executor-side blocks pinned until GC (ADVICE r09 — same
+            # leak class as the stopped-context path in broadcast_for).
+            # Destroy them eagerly; dead-context handles just no-op.
+            for _, bc in evicted._bcs.values():
+                try:
+                    bc.destroy(blocking=False)
+                except Exception:
+                    pass  # JVM already gone or handle already destroyed
+            evicted._bcs.clear()
         dim = PolygonDim(polygons)
     _DIM_CACHE[key] = dim
     return dim

@@ -275,10 +275,29 @@ def vacuum(
     #    rename long within the grace window; only genuinely crashed
     #    leftovers age past it.
     now = time.time()
+
+    def _newest_mtime(path: str) -> float:
+        # For a .stage-* DIR the dir's own mtime only changes on
+        # create/unlink of entries — a live writer appending to an
+        # already-created part file never refreshes it, so a commit
+        # running longer than the grace window would look stale. Age
+        # against the NEWEST mtime across the dir and its entries: the
+        # part files are what a live writer keeps touching.
+        newest = os.path.getmtime(path)
+        if os.path.isdir(path):
+            for inner in os.listdir(path):
+                try:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(path, inner))
+                    )
+                except OSError:
+                    continue  # entry vanished under us
+        return newest
+
     for f in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, f)
         try:
-            age = now - os.path.getmtime(full)
+            age = now - _newest_mtime(full)
         except OSError:
             continue  # racing unlink — already gone
         if age < staging_grace_s:

@@ -247,3 +247,72 @@ def test_spatial_join_grid_handles_extent_max_edge_and_nulls(spark):
     }
     assert grid == linear
     assert grid[4] == "High" and grid[5] is None and grid[6] is None
+
+
+class _FakeBroadcast:
+    """Records destroy() calls; stands in for a pyspark Broadcast."""
+
+    def __init__(self):
+        self.destroyed = False
+
+    def destroy(self, blocking=False):
+        self.destroyed = True
+
+
+class _FakeStoppedContext:
+    """Looks stopped to _sc_stopped (no _jsc attribute set)."""
+
+    _jsc = None
+
+
+def test_polygon_dim_evicts_dead_context_broadcasts(spark):
+    """ADVICE r08 / VERDICT r09 item 2b: broadcast_for must evict
+    cache entries whose SparkContext has stopped — and destroy their
+    Broadcast handles — instead of pinning every dead context forever
+    in a long-lived driver that restarts sessions."""
+    from earthquake_data_pipeline_spark.operators.enrichment import (
+        PolygonDim,
+    )
+
+    dim = PolygonDim(POLYGONS)
+    dead_sc, dead_bc = _FakeStoppedContext(), _FakeBroadcast()
+    dim._bcs[(id(dead_sc), False)] = (dead_sc, dead_bc)
+
+    sc = spark.sparkContext
+    live = dim.broadcast_for(sc, False)  # any call sweeps dead entries
+    assert (id(dead_sc), False) not in dim._bcs  # dead entry evicted
+    assert dead_bc.destroyed
+    assert dim._bcs[(id(sc), False)][1] is live  # live entry intact
+
+
+def test_dim_cache_lru_order_and_eviction_destroys_broadcasts(spark):
+    """VERDICT r09 item 2c + ADVICE r09: the _DIM_CACHE LRU must evict
+    the LEAST-recently-used dim (a re-parse touch refreshes recency),
+    and eviction must destroy the evicted dim's live Broadcasts rather
+    than leaking executor-side blocks until GC."""
+    from earthquake_data_pipeline_spark.operators import enrichment as E
+
+    saved = dict(E._DIM_CACHE)
+    E._DIM_CACHE.clear()
+    try:
+        def dim_tuples(i):
+            return [(f"C{i}", "R", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")]
+
+        dims = [E.parse_polygon_dim(dim_tuples(i))
+                for i in range(E._DIM_CACHE_MAX)]  # fill to capacity
+        # give the would-be victim a live fake broadcast to observe
+        bc0 = _FakeBroadcast()
+        dims[0]._bcs[("fake", False)] = (spark.sparkContext, bc0)
+        # touch the oldest → dims[1] becomes least-recently-used
+        assert E.parse_polygon_dim(dim_tuples(0)) is dims[0]
+        bc1 = _FakeBroadcast()
+        dims[1]._bcs[("fake", False)] = (spark.sparkContext, bc1)
+        E.parse_polygon_dim(dim_tuples(E._DIM_CACHE_MAX))  # 9th insert
+        # the touched dim survives; the LRU one (dims[1]) was evicted
+        assert E.parse_polygon_dim(dim_tuples(0)) is dims[0]
+        assert E.parse_polygon_dim(dim_tuples(1)) is not dims[1]
+        assert bc1.destroyed and not bc0.destroyed
+        assert not dims[1]._bcs  # evicted dim's broadcast map cleared
+    finally:
+        E._DIM_CACHE.clear()
+        E._DIM_CACHE.update(saved)

@@ -1171,3 +1171,45 @@ def test_cosine_zero_norm_scores_zero_not_null(spark):
     assert sims[(10, 2)] == 0.0  # zero corpus vector
     assert sims[(11, 1)] == 0.0  # zero query vector
     assert sims[(10, 1)] == 1.0  # identical direction unaffected
+
+
+def test_ivf_auto_nlist_degenerate_sample_clamps_to_one():
+    """ADVICE r09 / round-9 fix: sample_size < 512 must degrade to
+    nlist >= 1 (single cell = exact within-corpus brute force), never
+    auto-size to 0 and train an empty centroid matrix."""
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        _ivf_auto_nlist,
+    )
+
+    assert _ivf_auto_nlist(10**6, 16) == 1   # the ADVICE repro
+    assert _ivf_auto_nlist(100, 31) == 1     # floor of the // 32 clamp
+    assert _ivf_auto_nlist(100, 64) == 2
+    assert _ivf_auto_nlist(0, 0) == 1        # fully degenerate
+
+
+def test_ivf_topk_tiny_sample_auto_nlist_exact(spark):
+    """End-to-end over the degenerate path: n_centroids=None with
+    sample_size=16 trains nlist=1 — one cell means every query probes
+    the whole corpus, so results must EQUAL brute-force cosine top-k
+    (and must not crash in numpy argmax as pre-fix)."""
+    import random as _random
+
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = _random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.limit(4)
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(df, q, k=5, n_centroids=None,
+                          sample_size=16).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(df, q, k=5).collect()
+    }
+    assert approx == exact

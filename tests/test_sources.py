@@ -4,6 +4,7 @@ registered Python DataSource (offline modes only), IO helpers."""
 from __future__ import annotations
 
 import json
+import time
 from datetime import date
 
 import pytest
@@ -732,14 +733,82 @@ def test_txnlog_vacuum_collects_crashed_staging_garbage(spark, tmp_path):
 
     t = str(tmp_path / "tbl")
     commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)
-    # simulate two crash artifacts
-    with open(os.path.join(t, ".tmp-manifest-dead.json"), "w") as f:
+    # simulate two crash artifacts, backdated past the default
+    # staging_grace_s window (genuinely crashed leftovers are old)
+    old = time.time() - 3600
+    tmp_manifest = os.path.join(t, ".tmp-manifest-dead.json")
+    with open(tmp_manifest, "w") as f:
         f.write("{}")
     stage = os.path.join(t, ".stage-dead")
     os.makedirs(stage)
-    with open(os.path.join(stage, "part-0.parquet"), "wb") as f:
+    part = os.path.join(stage, "part-0.parquet")
+    with open(part, "wb") as f:
         f.write(b"junk")
+    for p in (tmp_manifest, stage, part):
+        os.utime(p, (old, old))
     deleted = vacuum(t, keep_after_version=-1)
     assert ".tmp-manifest-dead.json" in deleted and ".stage-dead" in deleted
     assert not os.path.exists(stage)
     assert read_snapshot(spark, t).count() == 2  # live data untouched
+
+
+def test_txnlog_vacuum_age_guard_spares_fresh_staging(spark, tmp_path):
+    """The other side of the staging_grace_s contract (round-9 churn,
+    previously untested in either direction): artifacts younger than
+    the grace window are SKIPPED — an accidentally concurrent _commit's
+    in-flight tmp manifest / staging dir survives a default vacuum."""
+    import os
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)
+    with open(os.path.join(t, ".tmp-manifest-live.json"), "w") as f:
+        f.write("{}")
+    stage = os.path.join(t, ".stage-live")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "part-0.parquet"), "wb") as f:
+        f.write(b"live")
+    deleted = vacuum(t, keep_after_version=-1)  # default grace: 600 s
+    assert ".tmp-manifest-live.json" not in deleted
+    assert ".stage-live" not in deleted
+    assert os.path.exists(stage)
+    # with the guard explicitly disabled (single-writer externally
+    # guaranteed), the same young artifacts ARE collected
+    deleted = vacuum(t, keep_after_version=-1, staging_grace_s=0)
+    assert ".tmp-manifest-live.json" in deleted and ".stage-live" in deleted
+
+
+def test_txnlog_vacuum_age_guard_uses_inner_part_mtimes(spark, tmp_path):
+    """ADVICE r09: a live writer appending to already-created part
+    files never refreshes the .stage-* DIR's own mtime — the guard must
+    age against the newest mtime across the dir AND its entries, so a
+    commit running longer than the grace window keeps its staging dir."""
+    import os
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        vacuum,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)
+    old = time.time() - 3600
+    stage = os.path.join(t, ".stage-longrun")
+    os.makedirs(stage)
+    part = os.path.join(stage, "part-0.parquet")
+    with open(part, "wb") as f:
+        f.write(b"live")
+    # dir created long ago, but the part file was just touched (live
+    # writer still appending): must survive
+    os.utime(stage, (old, old))
+    deleted = vacuum(t, keep_after_version=-1)
+    assert ".stage-longrun" not in deleted and os.path.exists(stage)
+    # once the parts also age past the grace, it is collected
+    os.utime(part, (old, old))
+    os.utime(stage, (old, old))
+    deleted = vacuum(t, keep_after_version=-1)
+    assert ".stage-longrun" in deleted and not os.path.exists(stage)
