@@ -2255,79 +2255,58 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-8 HEAD (this file's current rotation): proof debt entered the
-# round at 0/148 (every catalog query driver-proven, zero red), so this
-# head executes the pre-committed r08 sketch (SURVEY tail): round-8
-# churn first, then the ENTIRE 24-query r04 bank (the oldest proofs in
-# the ledger, rotation rule 4), then the front of the r05 pool.
-# Churn accounting for rule 2 (function-body granularity, as the r07
-# judge audited it):
-#   - ADVICE fixes: kcenter_select (single-center final aggregate),
-#     enrich_events (case_insensitive pass-through + (?i) oracle);
-#   - DEFERRED (b): embedding_near_dup_pairs rounding HALF_EVEN →
-#     half-away-from-zero (_round6_half_away) → embedding_near_dup;
-#   - DEFERRED (c) helper extraction: bucket_pairs (pairing.py) is now
-#     called by minhash_lsh_pairs + embedding_near_dup_pairs_lsh →
-#     minhash_lsh, dedup_components, dedup_keep_list,
-#     lsh_jaccard_refine, lsh_recall_audit, embedding_near_dup_lsh;
-#     _rank_topk is now called by cosine_topk/lsh_bucket_topk/ivf_topk
-#     → cosine_topk, ann_lsh, ann_ivf. (semdedup_prune imports only
-#     cosine(), whose body is unchanged — not churned.)
-#   - DEFERRED (d) micro-unit migration: chi2_independence (term
-#     rewrite to (o−e)²/e + round6u emit, oracle in lockstep),
-#     pmi_collocations (round6u lift, oracle in lockstep);
-#   - VERDICT item 6: spatial_join now routes through PolygonDim →
-#     spatial_join + caller enrich_coalesce (enrich_events seated
-#     above; regex_token_match's regex_token_join body is unchanged,
-#     and it re-proves in the r04 block anyway).
-# Rule-3 sentinels (qcommon.py gained round6u): events = yearly_stats,
-# documents = token_stats, lineitem = fact_fact_join, embeddings =
-# embedding_near_dup — all four double-purposed from the churn/oldest
-# blocks, no extra slots consumed.
+# ROUND-10 HEAD: executes the rotation round 9 skipped (its head was
+# byte-identical to r08's — VERDICT r09 item 3). Proof debt enters the
+# round at 0/148; last-green histogram entering: r05×20, r06×43,
+# r07×35, r09×50. This head retires the entire r05 generation, seats
+# the round-10 churn (enrichment LRU-eviction fix from a7a1eea; the
+# planned prefix-filter profiling and k-center coreset work), re-proves
+# the three streaming queries (once-proven r06), and fills the
+# remaining slots from the alphabetical front of the r06 bank. Rule-3
+# sentinels cover the round-10 txnlog vacuum churn per VERDICT r09
+# item 3 (txnlog hosts no catalog query).
 _GATE_FIRST = [
-    # (2) round-8 churn — every query whose function body, oracle, or
-    #     called operator changed this round (detailed above)
-    "kcenter_select", "enrich_events", "embedding_near_dup",
-    "minhash_lsh", "dedup_components", "dedup_keep_list",
-    "lsh_jaccard_refine", "lsh_recall_audit", "embedding_near_dup_lsh",
-    "cosine_topk", "ann_lsh", "ann_ivf", "chi2_independence",
-    "pmi_collocations", "spatial_join", "enrich_coalesce",
-    # (2x) late-round review fixes (round-8 deep review of graph.py /
-    #      shuffling.py): pagerank_ppm gained the empty-graph contract
-    #      frame + w<=0 non-edge semantics; epoch_shuffle now rejects
-    #      degenerate n_epochs/n_shards (phantom-epoch fix). Behavior
-    #      is unchanged on testdata (bigram weights are counts >= 1,
-    #      catalog configs valid) but the gate standard is hunk-level —
-    #      both re-prove, displacing the last two r05 fills
-    #      (value_histogram / eval_overlap banks stay valid).
-    #      cms_point_estimates now LEFT-joins the sparse grid so novel
-    #      probe keys count 0 instead of being overestimated/dropped →
-    #      cms_frequency re-proves (behavior-neutral for in-domain
-    #      probes, which is all the catalog query uses).
-    "pagerank_tokens", "epoch_shuffle", "cms_frequency",
-    # (4a) the COMPLETE r04 bank — 24 rows, 4 rounds old, the oldest
-    #      proofs in the ledger; refreshing all of them retires the
-    #      r04 generation entirely
-    "yearly_stats", "token_stats", "regex_token_match",
-    "severity_buckets", "top_k_orders", "region_rollup",
-    "max_per_group", "stats_per_decade", "fact_fact_join",
-    "semi_anti_join", "rollup_agg", "cube_agg", "pivot_status",
-    "window_running", "distinct_agg", "percentile_stats", "set_ops",
-    "unpivot_measures", "corr_stats", "ranking_suite", "string_suite",
-    "datetime_suite", "array_suite", "correlated_subquery",
-    # (4b) the front of the r05 pool, in the pre-committed SURVEY
-    #      order (union_dedup also closes the VERDICT item 5 drift
-    #      adjudication with a fresh driver row)
-    "conditional_ratio", "in_list_case_sort", "scalar_derivations",
-    "union_dedup", "top2_per_user", "text_quality", "exact_dedup",
-    # still banked on r05 rows (next round's oldest-first pool):
-    # url_domains, value_histogram, eval_overlap (displaced by three
-    # late-review churn seats),
-    # tfidf_top_terms, hash_sample, corpus_curation,
-    # multimodal_features, salted_join, usgs_pipeline, range_frame,
-    # grouping_sets, sessionization, asof_join, json_extract,
-    # range_join, null_census, gap_fill, approx_stats, codec_roundtrip,
-    # label_centroids
+    # ---- round-10 head (executes the deferred round-9 rotation) ----
+    # (2) round-10 churn — queries whose called operator changed this
+    #     round: enrichment.py's _DIM_CACHE eviction now destroys the
+    #     evicted dim's live-context broadcasts (ADVICE r09); the
+    #     prefix-filter candidate stage (fuzzy_dedup.py) and k-center
+    #     (clustering.py) take the VERDICT-r09 profiling/coreset work.
+    "spatial_join", "enrich_events", "enrich_coalesce",
+    "regex_token_match", "prefix_filter_join", "lsh_recall_audit",
+    "kcenter_select",
+    # (3) table-type sentinels for the round-10 txnlog churn (vacuum
+    #     stage-dir age guard; txnlog hosts no catalog query):
+    #     events / documents / lineitem / embeddings
+    "yearly_stats", "token_stats", "fact_fact_join",
+    "embedding_near_dup",
+    # (4a) the COMPLETE r05 bank — 20 rows, the oldest proofs in the
+    #      ledger (due for refresh since round 9); retires the r05
+    #      generation entirely
+    "tfidf_top_terms", "hash_sample", "corpus_curation",
+    "multimodal_features", "salted_join", "usgs_pipeline",
+    "range_frame", "grouping_sets", "sessionization", "asof_join",
+    "json_extract", "range_join", "null_census", "gap_fill",
+    "approx_stats", "codec_roundtrip", "label_centroids",
+    "url_domains", "value_histogram", "eval_overlap",
+    # (4b) the once-proven r06 stream queries (gate-proven streaming
+    #      is the only driver evidence the streaming stack gets)
+    "stream_dedup_days", "stream_window_counts",
+    "stream_running_totals",
+    # (4c) alphabetical front of the r06 bank
+    "approx_distinct", "approx_quality_bins", "bigram_lm_score",
+    "bloom_prune", "boilerplate_strip", "char_diversity",
+    "cohort_retention", "column_profile", "compaction_plan",
+    "cumulative_reach", "domain_mixture", "event_debounce",
+    "event_transitions", "exact_substring_dup", "expectations_report",
+    "fact_reconciliation",
+    # still banked on r06 rows (round-11's oldest-first pool, 23):
+    # fingerprint_dedup, funnel_steps, funnel_windowed, heavy_hitters,
+    # histogram_drift, hourly_profile, incremental_agg, interval_merge,
+    # join_explosion, length_batching, mad_outliers, mp4_probe,
+    # ngram_containment, quality_deciles, rfm_segments, scd2_snapshot,
+    # snapshot_diff, split_assignment, top_p_select, url_canonical,
+    # winnow_fingerprint, zorder_layout, zscore_outliers
 ]
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 

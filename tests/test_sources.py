@@ -812,3 +812,186 @@ def test_txnlog_vacuum_age_guard_uses_inner_part_mtimes(spark, tmp_path):
     os.utime(stage, (old, old))
     deleted = vacuum(t, keep_after_version=-1)
     assert ".stage-longrun" in deleted and not os.path.exists(stage)
+
+
+# ----- crash-injection kill-point matrix (VERDICT r09 item 8) -------------
+#
+# Instruments every table-local file op (rename/link/unlink/rmdir) with a
+# counter that raises at op #k, for EVERY k a clean run performs — a full
+# matrix over _commit's and vacuum's file-op boundaries. After each
+# simulated crash: every version still listed in _log/ must replay to an
+# exact live set whose files all exist (readers-always-safe), the newest
+# listed version must read back with the correct rows, and the re-run of
+# the killed operation must complete and converge to the clean outcome.
+
+
+class _KillPoint(Exception):
+    pass
+
+
+def _instrument_table_ops(monkeypatch, table_path, kill_at):
+    """Wrap os.{rename,link,unlink,rmdir}: ops touching table_path
+    count toward the kill counter; op #kill_at raises. kill_at=None
+    only counts (dry run). Returns the counter dict."""
+    import os
+
+    counter = {"n": 0}
+    real = {n: getattr(os, n) for n in ("rename", "link", "unlink", "rmdir")}
+
+    def _wrap(name):
+        fn = real[name]
+
+        def inner(*a, **kw):
+            if any(
+                isinstance(x, (str, bytes))
+                and str(x).startswith(table_path)
+                for x in a
+            ):
+                counter["n"] += 1
+                if kill_at is not None and counter["n"] == kill_at:
+                    raise _KillPoint(f"op #{counter['n']}: {name}{a}")
+            return fn(*a, **kw)
+
+        return inner
+
+    for n in real:
+        monkeypatch.setattr(os, n, _wrap(n))
+    return counter
+
+
+def _assert_readers_safe(spark, t, expect_latest_rows=None):
+    """Every listed version replays to a live set whose files all
+    exist; the newest version reads back exactly."""
+    import os
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        _versions,
+        live_files,
+        read_snapshot,
+    )
+
+    versions = _versions(t)
+    assert versions, "log must never be emptied by a crash"
+    for v in versions:
+        for p in live_files(t, v):
+            assert os.path.exists(p), f"v{v} references missing file {p}"
+    if expect_latest_rows is not None:
+        got = {
+            (r.k, r.v) for r in read_snapshot(spark, t).collect()
+        }
+        assert got == expect_latest_rows
+
+
+def test_txnlog_commit_kill_point_matrix(spark, tmp_path, monkeypatch):
+    """Kill commit_append at every table-local file-op boundary: the
+    prior version stays exactly readable, crash garbage is invisible
+    to readers, and a retry converges to the appended state."""
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        _versions,
+        commit_append,
+        read_snapshot,
+    )
+
+    base_rows = {(1, "a"), (2, "b")}
+    new_rows = {(3, "c")}
+
+    # dry run to count the op boundaries of one append
+    t0 = str(tmp_path / "dry")
+    commit_append(_tlog(spark, tmp_path, sorted(base_rows)), t0)
+    with monkeypatch.context() as mp:
+        counter = _instrument_table_ops(mp, t0, None)
+        commit_append(_tlog(spark, tmp_path, sorted(new_rows)), t0)
+    total_ops = counter["n"]
+    assert total_ops >= 4  # part rename, staging cleanup, link, unlink
+
+    for k in range(1, total_ops + 1):
+        t = str(tmp_path / f"kill{k}")
+        commit_append(_tlog(spark, tmp_path, sorted(base_rows)), t)
+        with monkeypatch.context() as mp:
+            _instrument_table_ops(mp, t, k)
+            with pytest.raises(_KillPoint):
+                commit_append(_tlog(spark, tmp_path, sorted(new_rows)), t)
+        crashed_versions = _versions(t)
+        if crashed_versions == [0]:
+            # manifest never published: readers see only the base
+            _assert_readers_safe(spark, t, base_rows)
+        else:
+            # manifest linked before the kill: the commit IS durable
+            assert crashed_versions == [0, 1]
+            _assert_readers_safe(spark, t, base_rows | new_rows)
+            continue
+        # retry after the crash converges to the appended state
+        commit_append(_tlog(spark, tmp_path, sorted(new_rows)), t)
+        _assert_readers_safe(spark, t, base_rows | new_rows)
+        assert {(r.k, r.v) for r in read_snapshot(spark, t, 0).collect()} \
+            == base_rows  # time travel to v0 still exact
+
+
+def test_txnlog_vacuum_kill_point_matrix(spark, tmp_path, monkeypatch):
+    """Kill vacuum at every table-local file-op boundary: every
+    manifest still listed replays to an existing live set, the newest
+    version always reads the full pre-vacuum contents, and a re-run
+    converges to the clean post-vacuum state."""
+    import shutil
+
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        _versions,
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        vacuum,
+    )
+
+    # 4-version history with real removals (overwrite at v2) so vacuum
+    # has obsolete manifests AND dead data files to delete; plus aged
+    # staging garbage so the collection loop has boundaries too
+    proto = str(tmp_path / "proto")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), proto)
+    commit_append(_tlog(spark, tmp_path, [(2, "b")]), proto)
+    commit_overwrite(_tlog(spark, tmp_path, [(3, "c")]), proto)
+    commit_append(_tlog(spark, tmp_path, [(4, "d")]), proto)
+    import os as _os
+
+    old = time.time() - 3600
+    with open(_os.path.join(proto, ".tmp-manifest-crash.json"), "w") as f:
+        f.write("{}")
+    _os.utime(_os.path.join(proto, ".tmp-manifest-crash.json"), (old, old))
+    final_rows = {(3, "c"), (4, "d")}
+
+    def clone(k):
+        dst = str(tmp_path / f"vkill{k}")
+        shutil.copytree(proto, dst)
+        return dst
+
+    # dry run for the op count
+    t0 = clone(0)
+    with monkeypatch.context() as mp:
+        counter = _instrument_table_ops(mp, t0, None)
+        vacuum(t0, keep_after_version=2)
+    total_ops = counter["n"]
+    assert total_ops >= 5  # base publish, manifest unlinks, data, garbage
+    clean_versions = _versions(t0)
+
+    for k in range(1, total_ops + 1):
+        t = clone(k)
+        with monkeypatch.context() as mp:
+            _instrument_table_ops(mp, t, k)
+            with pytest.raises(_KillPoint):
+                vacuum(t, keep_after_version=2)
+        # readers-always-safe at the crash point: every surviving
+        # manifest replays to existing files; latest reads in full
+        _assert_readers_safe(spark, t, final_rows)
+        # idempotent re-run converges to the clean outcome; grace=0 is
+        # the documented single-writer mode (txnlog.py) so the crashed
+        # vacuum's own fresh .tmp-manifest is collected too
+        vacuum(t, keep_after_version=2, staging_grace_s=0)
+        assert _versions(t) == clean_versions
+        _assert_readers_safe(spark, t, final_rows)
+        assert {
+            (r.k, r.v) for r in read_snapshot(spark, t, 3).collect()
+        } == final_rows
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, t, 1)  # vacuumed version fails LOUDLY
+        assert not [
+            f for f in _os.listdir(t) if f.startswith(".tmp-manifest-")
+        ]
