@@ -332,3 +332,114 @@ def kcenter_select(
     return [
         (i, cid, radii[i]) for i, (cid, _) in enumerate(chosen)
     ]
+
+
+def _round6x_py(x: float) -> float:
+    """Driver-side replica of qcommon.round6x's engine semantics:
+    Spark's double→decimal(18,12) cast quantizes the SHORTEST decimal
+    representation (BigDecimal.valueOf) HALF_UP at 12 dp, then round(,6)
+    is HALF_UP again — Decimal(repr(x)) is the same shortest repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = Decimal(repr(float(x))).quantize(
+        Decimal("1e-12"), rounding=ROUND_HALF_UP
+    )
+    return float(d.quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def kcenter_select_coreset(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "v",
+    id_col: str = "id",
+    sample_size: int = 4096,
+) -> list[tuple[int, int, float | None]]:
+    """Sampled (coreset) greedy k-center — the scale path for
+    kcenter_select (VERDICT r09 item 7). The exact operator runs k−1
+    sequential FULL corpus scans (one TakeOrdered per center): correct
+    but O(k) full-scan latency at 100 TB. This variant:
+
+    1. draws a deterministic hash-ordered sample (orderBy md5(id), id —
+       engine-neutral, no RNG) of ``sample_size`` rows to the driver
+       (bounded: sample_size × d doubles, same contract as the IVF
+       training sample, similarity.py);
+    2. runs the SAME greedy farthest-point traversal driver-side over
+       the sample — numpy distance accumulation in dimension order
+       (matching F.aggregate's left-to-right fold) and _round6x_py
+       rounding (matching round6x bit-for-bit on both engines'
+       shortest-repr semantics), seed = smallest sampled id, ties by
+       smallest id;
+    3. pays ONE distributed full scan at the end for the true coverage
+       radius of the chosen centers (same F.least/round6x expression as
+       the exact path's final aggregate).
+
+    Parity contract (property-tested): when ``sample_size >= |df|`` the
+    output — ranks, ids, AND radii — is identical to kcenter_select's,
+    because the sample IS the corpus and every arithmetic step mirrors
+    the distributed expressions. When the sample is proper, the
+    intermediate ``radius_after`` values are sample-coverage radii
+    (documented approximation; Gonzalez-on-a-uniform-sample is the
+    standard coreset construction) while the FINAL radius is exact over
+    the full corpus.
+
+    The catalog query kcenter_select keeps the exact operator (its
+    brute-force oracle replays k scans); this variant is the documented
+    switch once k or the corpus outgrows the k-scan budget.
+    """
+    import numpy as np
+
+    from ..qcommon import round6x
+
+    if k <= 0:
+        return []
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(
+            F.md5(F.col(id_col).cast("string")), F.col(id_col)
+        )
+        .limit(int(sample_size))
+        .collect()
+    )
+    if not rows:
+        return []
+    ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    n, d = X.shape
+
+    def dists_to(c: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.float64)
+        for j in range(d):  # dimension-order fold == F.aggregate
+            diff = X[:, j] - c[j]
+            acc = acc + diff * diff
+        raw = np.sqrt(acc)
+        return np.array([_round6x_py(v) for v in raw], dtype=np.float64)
+
+    seed_pos = int(np.argmin(ids))
+    chosen_pos = [seed_pos]
+    sample_radii: list[float] = []
+    dmin = dists_to(X[seed_pos])
+    dmin[seed_pos] = -1.0  # chosen ids never re-selected
+    for _ in range(min(k, n) - 1):
+        best = np.max(dmin)
+        if best < 0:  # sample exhausted
+            break
+        cand = np.where(dmin == best)[0]
+        pos = int(cand[np.argmin(ids[cand])])  # ties -> smallest id
+        sample_radii.append(float(best))
+        chosen_pos.append(pos)
+        nd = dists_to(X[pos])
+        dmin = np.minimum(dmin, nd)
+        dmin[pos] = -1.0
+    # one full-scan exact coverage radius, identical expression to the
+    # exact path's final aggregate
+    dists = [
+        round6x(F.sqrt(_sq_dist(F.col(vec_col), list(X[p]))))
+        for p in chosen_pos
+    ]
+    dmin_final = dists[0] if len(dists) == 1 else F.least(*dists)
+    last = df.agg(F.max(dmin_final).alias("r")).collect()[0]["r"]
+    sample_radii.append(float(last))
+    return [
+        (i, int(ids[p]), sample_radii[i])
+        for i, p in enumerate(chosen_pos)
+    ]

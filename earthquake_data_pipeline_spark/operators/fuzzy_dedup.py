@@ -281,52 +281,21 @@ def simhash(
     return tdf.mapInPandas(fn, out_schema)
 
 
-def prefix_filter_join(
+def _prefix_candidates(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold_num: int = 1,
-    threshold_den: int = 2,
-    tokens_expr: Column | None = None,
-) -> DataFrame:
-    """EXACT Jaccard-threshold set-similarity self-join via prefix
-    filtering (the AllPairs/PPJoin family — Bayardo et al., WWW'07;
-    Xiao et al., WWW'08): returns every pair (id_a < id_b) of documents
-    whose distinct-token Jaccard similarity is >= t, with NO false
-    negatives — unlike MinHash-LSH (minhash_lsh_pairs), which is
-    probabilistic-recall. Reference parity: the reference deduplicates
-    only on exact keys (clean_historical.py:48); this is the
-    similarity-threshold generalization its warehouse never had.
-
-    The filter chain, every step a published exact bound:
-    - token sets ordered by a single global total order (ascending
-      document frequency, ties by token string) so prefixes concentrate
-      on the rarest tokens;
-    - prefix length p_x = |x| - ceil(t*|x|) + 1: if J(A,B) >= t the two
-      prefixes must share a token, so the equi-join on prefix tokens
-      generates a candidate superset;
-    - length bound: J(A,B) >= t implies den*min(|A|,|B|) >=
-      num*max(|A|,|B|), applied inside the join condition;
-    - exact verification: inter*den >= union*num on the full token
-      arrays (integer cross-multiplication — no float ever decides
-      membership; t is the rational num/den, and ceil(t*|x|) is
-      computed as the integer floor((|x|*num + den - 1) / den)).
-
-    ``tokens_expr`` overrides the default whitespace tokenization with
-    any array<string> Column (e.g. shingles_of for shingle-set
-    similarity) — the filter chain is tokenization-agnostic.
-
-    100 TB design: the document-frequency aggregate and the prefix
-    equi-join shuffle on TOKENS (heavily reduced: one row per prefix
-    token, prefixes are (1-t) of each doc); the verification join
-    shuffles on ids, bounded by the candidate count. Nothing is
-    all-pairs. The tokenized frame is lazily checkpointed because three
-    subtrees reference it (df-agg, prefix, verification) — Catalyst
-    reuses exchanges, not arbitrary subtrees.
-    """
-    from ..qcommon import round6x
-
-    num, den = threshold_num, threshold_den
+    id_col: str,
+    text_col: str,
+    num: int,
+    den: int,
+    tokens_expr: Column | None,
+    positional_filter: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation stage of prefix_filter_join, exposed so the
+    profiling harness (and tests) can count candidates independently of
+    verification. Returns ``(toks, cand)``: the checkpointed tokenized
+    frame (id, toks, sz) and the candidate pair frame (id_a, id_b).
+    Every filter is an exact bound — cand is a superset of the true
+    result for any input (no false negatives by construction)."""
     base_tokens = tokens_of(text_col) if tokens_expr is None else tokens_expr
     toks = (
         docs.select(
@@ -355,22 +324,130 @@ def prefix_filter_join(
         ex.join(dfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "sz", "tok")
+        .select("id", "sz", "tok", "rn")
         .localCheckpoint(eager=False)
     )
+    # Asymmetric prefixes (AllPairs/PPJoin indexing lemma): canonicalize
+    # each pair by (sz, id) — a is the SMALLER record, b the larger
+    # prober. The smallest shared token w of a truly-similar pair has
+    # rank_b(w) <= |b| - ceil(t|b|) + 1 (probe prefix, enforced when
+    # pref was built) AND rank_a(w) <= |a| - ceil(2t/(1+t)|a|) + 1 (the
+    # shorter INDEX prefix): overlap >= alpha >= ceil(2t/(1+t)|a|) when
+    # |b| >= |a|, and w carries at most overlap-1 shared tokens above it
+    # in either record. Enforcing the index bound on a's side drops
+    # join rows, never pairs.
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least("a.sz", "b.sz") * den
-                >= F.greatest("a.sz", "b.sz") * num
-            ),
+    index_len = (
+        F.col("a.sz")
+        - F.floor(
+            (2 * num * F.col("a.sz") + num + den - 1) / (num + den)
+        ).cast("long")
+        + 1
+    )
+    cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (
+            (F.col("a.sz") < F.col("b.sz"))
+            | ((F.col("a.sz") == F.col("b.sz")) & (F.col("a.id") < F.col("b.id")))
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        & (F.col("a.sz") * den >= F.col("b.sz") * num)
+        & (F.col("a.rn") <= index_len)
+    )
+    if positional_filter:
+        # PPJoin positional filter (Xiao et al., WWW'08), per-token
+        # exact form: a shared token w at 1-based global-order rank i
+        # in A and j in B splits both sets around w, so
+        #   overlap(A,B) <= min(i-1, j-1) + 1 + min(|A|-i, |B|-j)
+        #                =  min(i, j) + min(|A|-i, |B|-j).
+        # J >= t  <=>  overlap >= ceil(t/(1+t) * (|A|+|B|)) = alpha.
+        # A truly-similar pair satisfies the bound at EVERY shared
+        # token (bound >= true overlap >= alpha), so filtering each
+        # join row independently drops no true pair. Integer-exact:
+        # alpha = floor((num*(szA+szB) + num + den - 1) / (num+den));
+        # operands are < 2^32 so the double division is exact.
+        alpha = F.floor(
+            ((F.col("a.sz") + F.col("b.sz")) * num + num + den - 1)
+            / (num + den)
+        ).cast("long")
+        cond = cond & (
+            F.least("a.rn", "b.rn")
+            + F.least(
+                F.col("a.sz") - F.col("a.rn"),
+                F.col("b.sz") - F.col("b.rn"),
+            )
+            >= alpha
+        )
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
         .distinct()
+    )
+    return toks, cand
+
+
+def prefix_filter_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    tokens_expr: Column | None = None,
+    positional_filter: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering (the AllPairs/PPJoin family — Bayardo et al., WWW'07;
+    Xiao et al., WWW'08): returns every pair (id_a < id_b) of documents
+    whose distinct-token Jaccard similarity is >= t, with NO false
+    negatives — unlike MinHash-LSH (minhash_lsh_pairs), which is
+    probabilistic-recall. Reference parity: the reference deduplicates
+    only on exact keys (clean_historical.py:48); this is the
+    similarity-threshold generalization its warehouse never had.
+
+    The filter chain, every step a published exact bound:
+    - token sets ordered by a single global total order (ascending
+      document frequency, ties by token string) so prefixes concentrate
+      on the rarest tokens;
+    - prefix length p_x = |x| - ceil(t*|x|) + 1: if J(A,B) >= t the two
+      prefixes must share a token, so the equi-join on prefix tokens
+      generates a candidate superset;
+    - asymmetric INDEX prefix (AllPairs/PPJoin indexing lemma): pairs
+      are canonicalized by (size, id); the smaller side only needs its
+      first |y| - ceil(2t/(1+t)*|y|) + 1 tokens in the join — roughly
+      half the probe prefix at tight thresholds (proof in
+      _prefix_candidates);
+    - length bound: J(A,B) >= t implies den*min(|A|,|B|) >=
+      num*max(|A|,|B|), applied inside the join condition;
+    - positional filter (PPJoin): each shared prefix token's global-
+      order ranks (i, j) bound the achievable overlap by
+      min(i,j) + min(|A|-i, |B|-j); rows below the minoverlap
+      alpha = ceil(t/(1+t)*(|A|+|B|)) are dropped pre-shuffle — exact
+      per-token, see _prefix_candidates (``positional_filter=False``
+      disables it, for audits);
+    - exact verification: inter*den >= union*num on the full token
+      arrays (integer cross-multiplication — no float ever decides
+      membership; t is the rational num/den, and ceil(t*|x|) is
+      computed as the integer floor((|x|*num + den - 1) / den)).
+
+    ``tokens_expr`` overrides the default whitespace tokenization with
+    any array<string> Column (e.g. shingles_of for shingle-set
+    similarity) — the filter chain is tokenization-agnostic.
+
+    100 TB design: the document-frequency aggregate and the prefix
+    equi-join shuffle on TOKENS (heavily reduced: one row per prefix
+    token, prefixes are (1-t) of each doc); the verification join
+    shuffles on ids, bounded by the candidate count. Nothing is
+    all-pairs. The tokenized frame is lazily checkpointed because three
+    subtrees reference it (df-agg, prefix, verification) — Catalyst
+    reuses exchanges, not arbitrary subtrees.
+    """
+    from ..qcommon import round6x
+
+    num, den = threshold_num, threshold_den
+    toks, cand = _prefix_candidates(
+        docs, id_col, text_col, num, den, tokens_expr, positional_filter
     )
     ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))

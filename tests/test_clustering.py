@@ -205,3 +205,84 @@ def test_kcenter_select_single_center(spark):
     got = kcenter_select(one, k=3)  # early stop after the seed
     assert [(r, cid) for r, cid, _ in got] == [(0, 7)]
     assert got[0][2] == 0.0
+
+
+def test_kcenter_coreset_identical_to_exact_when_sample_covers(spark):
+    """Parity contract: with sample_size >= |df| the coreset variant
+    must reproduce kcenter_select EXACTLY — ranks, ids, and radii —
+    because the sample is the corpus and every arithmetic step mirrors
+    the distributed expressions (dimension-order fold, round6x
+    replica, smallest-id seed, ties by id)."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        kcenter_select,
+        kcenter_select_coreset,
+    )
+
+    rng = random.Random(42)
+    pts = [
+        (i, [rng.uniform(-10, 10) for _ in range(5)]) for i in range(40)
+    ]
+    pts.append((100, list(pts[3][1])))  # duplicate vector, distinct id
+    df = spark.createDataFrame(pts, ["id", "v"])
+    for k in (1, 2, 6):
+        exact = kcenter_select(df, k=k)
+        coreset = kcenter_select_coreset(df, k=k, sample_size=1000)
+        assert coreset == exact, f"k={k}: {coreset} vs {exact}"
+
+
+def test_kcenter_coreset_proper_sample_properties(spark):
+    """With a PROPER sample: k distinct centers drawn from the corpus,
+    sample radii non-increasing, and the final entry is the exact
+    full-corpus coverage radius (>= 0, >= what the k exact centers
+    would not necessarily achieve — no cross-variant ordering is
+    guaranteed, so assert the radius is the true max-dmin by
+    recomputing it brute-force on the driver)."""
+    import math
+    import random
+
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        _round6x_py,
+        kcenter_select_coreset,
+    )
+
+    rng = random.Random(7)
+    pts = [(i, [rng.uniform(0, 100), rng.uniform(0, 100)]) for i in range(300)]
+    df = spark.createDataFrame(pts, ["id", "v"])
+    k = 5
+    got = kcenter_select_coreset(df, k=k, sample_size=64)
+    assert len(got) == k
+    ids = [cid for _, cid, _ in got]
+    assert len(set(ids)) == k and set(ids) <= {i for i, _ in pts}
+    radii = [r for _, _, r in got]
+    assert all(radii[i] >= radii[i + 1] for i in range(k - 2))  # sample radii
+    # final radius is the exact coverage radius of the chosen centers
+    vecs = dict(pts)
+    centers = [vecs[c] for c in ids]
+    brute = max(
+        min(
+            _round6x_py(
+                math.sqrt(sum((a - b) * (a - b) for a, b in zip(p, c)))
+            )
+            for c in centers
+        )
+        for _, p in pts
+    )
+    assert got[-1][2] == brute
+
+
+def test_kcenter_coreset_edge_cases(spark):
+    from earthquake_data_pipeline_spark.operators.clustering import (
+        kcenter_select_coreset,
+    )
+
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    assert kcenter_select_coreset(empty, k=3) == []
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0])], ["id", "v"]
+    )
+    assert kcenter_select_coreset(df, k=0) == []
+    got = kcenter_select_coreset(df, k=10, sample_size=8)
+    ids = [cid for _, cid, _ in got]
+    assert len(ids) == len(set(ids)) == 2  # early stop, no dup centers

@@ -632,6 +632,114 @@ def test_prefix_filter_join_matches_brute_force(spark):
     assert (23, 24) in got and (23, 25) in got  # the exact-dup clique
 
 
+def test_prefix_filter_join_asymmetric_prefix_no_false_negatives(spark):
+    """Round-10 candidate-cut filters (PPJoin index prefix + positional
+    filter) vs brute force on an ADVERSARIAL corpus: heavily varied set
+    sizes (1..60 tokens) so the size-canonical index prefix actually
+    prunes, shared rare tokens so global df-ranks differ per doc, and
+    thresholds spanning loose to tight. Also pins that disabling the
+    positional filter changes nothing (both are exact bounds)."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_filter_join,
+    )
+
+    rng = random.Random(1009)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = []
+    for _ in range(60):
+        sz = rng.randint(1, 60)
+        texts.append(" ".join(rng.sample(vocab, sz)))
+    # planted near-dup pairs at several size scales
+    for base_sz in (5, 20, 55):
+        base = rng.sample(vocab, base_sz)
+        texts.append(" ".join(base))
+        texts.append(" ".join(base[:-1] + [rng.choice(vocab)]))
+    docs = _docs(spark, texts)
+
+    toks = {i: set(t.lower().split()) for i, t in enumerate(texts)}
+    for num, den in [(1, 3), (1, 2), (4, 5), (49, 50)]:
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_join(
+                docs, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        nopos = {
+            (r.id_a, r.id_b)
+            for r in prefix_filter_join(
+                docs, threshold_num=num, threshold_den=den,
+                positional_filter=False,
+            ).collect()
+        }
+        want = set()
+        for a in toks:
+            for b in toks:
+                if a < b and toks[a] and toks[b]:
+                    inter = len(toks[a] & toks[b])
+                    union = len(toks[a] | toks[b])
+                    if inter * den >= union * num:
+                        want.add((a, b))
+        assert got == want, f"t={num}/{den}: {got ^ want}"
+        assert nopos == want, f"t={num}/{den} (positional off)"
+
+
+def test_prefix_filter_candidates_are_cut_by_index_prefix(spark):
+    """The asymmetric index prefix must CUT candidates on a mixed-size
+    corpus (the round-10 profiling claim), while staying a superset of
+    the verified result."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        _prefix_candidates,
+        prefix_filter_join,
+    )
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.sample(vocab, rng.randint(2, 40))) for _ in range(80)]
+    docs = _docs(spark, texts)
+
+    _, cand_new = _prefix_candidates(docs, "doc_id", "text", 4, 5, None, True)
+    new_pairs = {(r.id_a, r.id_b) for r in cand_new.collect()}
+    verified = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_join(
+            docs, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert verified <= new_pairs  # candidates remain a superset
+    # symmetric-prefix baseline (the pre-round-10 candidate set): both
+    # sides probe-prefix only, no positional filter
+    toks = {i: set(t.split()) for i, t in enumerate(texts)}
+    import math
+
+    def probe_prefix(ts, dfreq):
+        order = sorted(ts, key=lambda w: (dfreq[w], w))
+        p = len(ts) - math.ceil(len(ts) * 4 / 5) + 1
+        return set(order[:p])
+
+    dfreq = {}
+    for ts in toks.values():
+        for w in ts:
+            dfreq[w] = dfreq.get(w, 0) + 1
+    old_pairs = set()
+    for a in toks:
+        for b in toks:
+            if a < b and toks[a] and toks[b]:
+                if min(len(toks[a]), len(toks[b])) * 5 < max(
+                    len(toks[a]), len(toks[b])
+                ) * 4:
+                    continue
+                if probe_prefix(toks[a], dfreq) & probe_prefix(toks[b], dfreq):
+                    old_pairs.add((a, b))
+    assert verified <= old_pairs
+    assert len(new_pairs) < len(old_pairs), (
+        f"index prefix cut nothing: {len(new_pairs)} vs {len(old_pairs)}"
+    )
+
+
 def test_prefix_filter_join_tight_threshold_prunes_candidates(spark):
     """At t→1 the prefix shrinks to ~1 token; unrelated docs that share
     only common words must never be emitted."""
