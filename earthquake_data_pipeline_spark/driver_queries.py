@@ -2271,10 +2271,13 @@ _GATE_FIRST = [
     #     round: enrichment.py's _DIM_CACHE eviction now destroys the
     #     evicted dim's live-context broadcasts (ADVICE r09); the
     #     prefix-filter candidate stage (fuzzy_dedup.py) and k-center
-    #     (clustering.py) take the VERDICT-r09 profiling/coreset work.
+    #     (clustering.py) take the VERDICT-r09 profiling/coreset work;
+    #     split_oversized_clusters' sub key became an md5 bucket
+    #     (strided-id degeneracy found by the constants sweep), churning
+    #     semdedup_prune's plan AND its oracle SQL.
     "spatial_join", "enrich_events", "enrich_coalesce",
     "regex_token_match", "prefix_filter_join", "lsh_recall_audit",
-    "kcenter_select",
+    "kcenter_select", "semdedup_prune",
     # (3) table-type sentinels for the round-10 txnlog churn (vacuum
     #     stage-dir age guard; txnlog hosts no catalog query):
     #     events / documents / lineitem / embeddings
@@ -2299,9 +2302,9 @@ _GATE_FIRST = [
     "cohort_retention", "column_profile", "compaction_plan",
     "cumulative_reach", "domain_mixture", "event_debounce",
     "event_transitions", "exact_substring_dup", "expectations_report",
-    "fact_reconciliation",
-    # still banked on r06 rows (round-11's oldest-first pool, 23):
-    # fingerprint_dedup, funnel_steps, funnel_windowed, heavy_hitters,
+    # still banked on r06 rows (round-11's oldest-first pool, 24):
+    # fact_reconciliation, fingerprint_dedup, funnel_steps,
+    # funnel_windowed, heavy_hitters,
     # histogram_drift, hourly_profile, incremental_agg, interval_merge,
     # join_explosion, length_batching, mad_outliers, mp4_probe,
     # ngram_containment, quality_deciles, rfm_segments, scd2_snapshot,

@@ -1462,8 +1462,10 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (which real embedding corpora reliably produce) would
     otherwise be a quadratic blow-up on a single key at 100 TB. With the
     cap the worst key costs C(cap, 2) pairs and total pair work is
-    O(n · cap): linear in the corpus. The split is id-modulo arithmetic,
-    so the SQL oracle replays it exactly.
+    O(n · cap): linear in the corpus. The sub key is an md5 bucket of
+    the id (plain id-modulo degenerates on strided ids — round-10 fix),
+    so the SQL oracle replays it exactly via the standard
+    ``('0x' || substring(md5(...), 1, 8))::BIGINT`` idiom.
 
     One Lloyd update then final assignment (pipeline shape matters here,
     not cluster quality — kmeans_clusters proves the iteration itself).
@@ -1562,10 +1564,13 @@ WITH e AS (
 ), sz AS (
   SELECT cluster_id, count(*) AS cn FROM a2 GROUP BY 1
 ), a3 AS (
-  -- deterministic modulo split of oversized clusters (cap = 256),
+  -- deterministic md5-bucket split of oversized clusters (cap = 256),
   -- replaying operators/clustering.py::split_oversized_clusters
+  -- (md5 bucket, not id % n_subs: plain modulo degenerates on strided
+  -- ids — round-10 fix)
   SELECT a2.id, a2.v, a2.cluster_id,
-         a2.id % CAST(ceil(sz.cn / 256.0) AS BIGINT) AS sub
+         ('0x' || substring(md5('sub|' || CAST(a2.id AS VARCHAR)), 1, 8))::BIGINT
+           % CAST(ceil(sz.cn / 256.0) AS BIGINT) AS sub
   FROM a2 JOIN sz USING (cluster_id)
 ), p AS (
   SELECT a.cluster_id, b.id AS id_b

@@ -221,8 +221,8 @@ def split_oversized_clusters(
 ) -> DataFrame:
     """Bound every cluster at ~``cap`` members by deterministically
     splitting oversized ones into ``ceil(n/cap)`` sub-clusters
-    (``sub = id % n_subs``); adds a ``sub`` column (0 for clusters already
-    under the cap).
+    (``sub = md5_bucket(id) % n_subs``); adds a ``sub`` column (0 for
+    clusters already under the cap).
 
     Why: within-cluster pair search is C(n_c, 2). Real embedding corpora
     reliably produce one dense mega-mode cluster, and at 100 TB that one
@@ -230,25 +230,42 @@ def split_oversized_clusters(
     cap, the worst cluster costs ceil(n/cap) · C(cap, 2) ≈ n·cap/2 pairs:
     LINEAR in n for fixed cap.
 
-    Trade: pairs straddling sub-clusters are not searched (~(1 − 1/n_subs)
-    of a mega-cluster's pairs). That is the standard SemDeDup-style
-    recall trade; when recall inside huge clusters matters, band-LSH the
-    oversized clusters instead (similarity.py::embedding_near_dup_lsh
-    applies hyperplane bands — run it per oversized cluster).
+    The sub key is an md5-derived bucket of the id, NOT ``id % n_subs``:
+    plain modulo silently degenerates when ids are strided — with
+    sharded id schemes (low bits = shard, e.g. all-even ids) every
+    member of a cluster can share ``id mod n_subs``, so the "split"
+    produces ONE sub-cluster and the quadratic blow-up survives intact
+    (round-10 constants sweep caught exactly this: a 64k-member
+    mega-cluster of even ids, n_subs=2, pair-mass ratio 1.0). The md5
+    bucket is near-uniform for ANY id distribution; per-sub load is
+    binomial around cap with overflow probability exp(-Θ(cap)) by
+    Chernoff, so the linear pair-mass bound holds with high probability
+    instead of only for dense ids.
 
-    Deterministic and SQL-replayable by design: the sub key is plain
-    modulo arithmetic on the id, not a hash, so a DuckDB oracle can
-    replay the split exactly. The sizes side of the join is one row per
-    cluster — broadcast, no extra shuffle of the points.
+    Deterministic and SQL-replayable by design: the bucket is
+    ``conv(substring(md5('sub|' || id), 1, 8), 16, 10) % n_subs`` —
+    DuckDB replays it exactly as
+    ``('0x' || substring(md5('sub|' || id), 1, 8))::BIGINT % n_subs``
+    (the repo-standard md5-bucket idiom; 8 hex chars < 2^32 so the
+    value is non-negative and fits BIGINT in both engines). The sizes
+    side of the join is one row per cluster — broadcast, no extra
+    shuffle of the points.
     """
     sizes = assigned.groupBy(cluster_col).agg(F.count("*").alias("_n"))
     n_subs = F.ceil(F.col("_n") / F.lit(int(cap))).cast("long")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sub|"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
     return (
         assigned.join(
             F.broadcast(sizes.select(cluster_col, n_subs.alias("_n_subs"))),
             cluster_col,
         )
-        .withColumn("sub", (F.col(id_col) % F.col("_n_subs")).cast("long"))
+        .withColumn("sub", F.pmod(bucket, F.col("_n_subs")).cast("long"))
         .drop("_n_subs")
     )
 

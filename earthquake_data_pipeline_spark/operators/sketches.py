@@ -88,6 +88,34 @@ def heavy_hitters_sketch(df: DataFrame, key_col: str, k: int = 31) -> DataFrame:
     )
 
 
+def cms_auto_width(n_distinct_hint: int, floor: int = 64) -> int:
+    """Scale-safe Count-Min width from a distinct-key estimate: the next
+    power of two ≥ 2 × the hint, floored at ``floor`` (the historical
+    default).
+
+    Why auto-size (round-10 constants sweep, DESIGN.md): a FIXED
+    width=64 grid is fine while distinct keys ≲ width (45 keys → mean
+    relative overestimate 0.21) but collision mass explodes past it —
+    at 358 distinct keys the sweep measured mean rel err 10.9 and max
+    677 on a zipf-ish mix, i.e. the point estimates become noise. With
+    width = next-pow2(2·distinct) the same mixes stay at mean rel err
+    0.14–0.62 across 2k→128k rows. Memory cost is depth × width
+    counters — 3 × 1024 longs for half a million distinct keys — so
+    over-sizing is cheap and under-sizing is the only real failure
+    mode. Get the hint from ``approx_count_distinct`` (one cheap pass /
+    an existing column statistic); like ivf auto-nlist (round 8), the
+    hint only tunes accuracy, never correctness: any width yields the
+    same one-sided est ≥ true guarantee and the SQL oracle replays
+    whatever width is used.
+
+    Power of two keeps widths comparable across runs (and the pmod
+    cheap); NOT used for mergeability — sketches merge only at EQUAL
+    (depth, width), which callers must pin, auto or not.
+    """
+    n = max(1, int(n_distinct_hint))
+    return max(int(floor), 1 << (2 * n - 1).bit_length())
+
+
 def _cms_bucket(key, j: int, width: int):
     """Row j's bucket for ``key``: the repo-standard md5-prefix integer
     of the salted key, floor-mod width — engine-neutral and exactly
@@ -121,6 +149,11 @@ def cms_sketch(
     the d×w cell grid. The shuffle moves at most depth×width rows per
     task — the sketch is mergeable by construction because addition
     commutes. No UDF, no Python: md5 + pmod stay in codegen.
+
+    Sizing: the width=64 default is only safe while distinct keys stay
+    ≲ width — past that, collision mass makes point estimates useless
+    (round-10 sweep: 358 keys at width 64 → mean rel err 10.9). Size
+    real workloads with ``cms_auto_width(approx distinct count)``.
     """
     cells = df.select(
         F.explode(

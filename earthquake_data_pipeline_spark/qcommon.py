@@ -95,6 +95,16 @@ def round6u(col):
     never silently. Same discipline assign_clusters' argmin uses
     (operators/clustering.py:77-85).
 
+    Envelope note (round-10, Hypothesis-found): the ENGINE-IDENTITY
+    claim above holds over the whole range, but "equals round-half-up
+    to 6 dp" only holds while x·1e6 < 2^52 (x ≲ 4.5e9). Past that,
+    double spacing at x·1e6 is ≥ 1, so x·1e6 is already an integer N
+    and +0.5 creates an exact tie that rounds HALF-EVEN: odd N bumps
+    one micro-unit above DuckDB's round(x, 6). That is a semantic
+    quirk, not an oracle hazard — both engines run the identical
+    micro-unit expression and still agree bit-for-bit (6-dp resolution
+    does not exist in a double there anyway).
+
     The DuckDB twin is: floor(x*1e6 + 0.5)/1e6.
     """
     return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6)

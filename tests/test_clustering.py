@@ -119,10 +119,17 @@ def test_kmeans_tolerance_convergence_stops_early(spark):
             assert abs(a - b) < 1e-12
 
 
+def _md5_sub(i: int, n_subs: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"sub|{i}".encode()).hexdigest()[:8], 16) % n_subs
+
+
 def test_split_oversized_clusters_bounds_pairs(spark):
     # one deliberately skewed cluster (90 of 100 points) must be split
     # into ceil(90/16)=6 sub-clusters; pair counts per (cluster, sub) key
-    # drop from C(90,2)=4005 to at most C(ceil(90/6),2)=C(15,2)=105-ish
+    # drop from C(90,2)=4005 toward C(~15,2) per sub key (md5 bucket:
+    # near-uniform, not perfectly balanced)
     rows = [(i, 0 if i < 90 else 1) for i in range(100)]
     df = spark.createDataFrame(rows, "id long, cluster_id long")
     out = split_oversized_clusters(df, cap=16)
@@ -132,14 +139,37 @@ def test_split_oversized_clusters_bounds_pairs(spark):
             F.count("*").alias("n")
         ).collect()
     }
-    # skewed cluster split into exactly ceil(90/16) = 6 subs, balanced
+    # skewed cluster split over ceil(90/16) = 6 subs, all populated at
+    # this density, each load binomial around 15 (assert a loose 2x cap)
     assert {s for (c, s) in sizes if c == 0} == set(range(6))
-    assert all(n <= 16 for (c, _), n in sizes.items() if c == 0)
+    assert all(n <= 32 for (c, _), n in sizes.items() if c == 0)
     # small cluster untouched (single sub 0)
     assert {s for (c, s) in sizes if c == 1} == {0}
-    # split is deterministic id-modulo: replayable
+    # split is a deterministic md5 bucket: replayable bit-for-bit
     row = out.filter(F.col("id") == 77).collect()[0]
-    assert row["sub"] == 77 % 6
+    assert row["sub"] == _md5_sub(77, 6)
+
+
+def test_split_oversized_clusters_strided_ids_still_split(spark):
+    """Regression (round-10 constants sweep): with the old ``id %
+    n_subs`` sub key, a mega-cluster whose members are ALL-EVEN ids and
+    n_subs == 2 put every member in sub 0 — the split silently did
+    nothing and the quadratic pair blow-up survived. Sharded id schemes
+    (low bits = shard id) make this a realistic 100 TB hazard, not a
+    synthetic corner. The md5 bucket must spread any id stride."""
+    rows = [(2 * i, 0) for i in range(1000)]  # even ids only, one cluster
+    df = spark.createDataFrame(rows, "id long, cluster_id long")
+    out = split_oversized_clusters(df, cap=512)  # n_subs = 2
+    sizes = {
+        r["sub"]: r["n"]
+        for r in out.groupBy("sub").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == {0, 1}, f"strided ids collapsed to subs {set(sizes)}"
+    # near-uniform: each sub within 20% of the 500 expectation
+    assert all(400 <= n <= 600 for n in sizes.values()), sizes
+    # and the assignment matches the documented replayable formula
+    row = out.filter(F.col("id") == 1234).collect()[0]
+    assert row["sub"] == _md5_sub(1234, 2)
 
 
 def test_assign_clusters_large_magnitude_argmin_correct(spark):

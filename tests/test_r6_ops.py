@@ -469,6 +469,26 @@ def test_cms_width_one_degenerates_to_total(spark):
     assert all(r.cms_est == 4 for r in est)
 
 
+def test_cms_auto_width_scales_and_floors():
+    """Round-10 constants sweep: fixed width=64 is only safe while
+    distinct keys ≲ width (358 keys → mean rel err 10.9); the auto
+    width must be the next power of two ≥ 2 × the distinct-key hint,
+    never below the historical 64 floor."""
+    from earthquake_data_pipeline_spark.operators.sketches import cms_auto_width
+
+    assert cms_auto_width(1) == 64  # floor dominates tiny domains
+    assert cms_auto_width(32) == 64  # 2n == 64 exactly: no over-round
+    assert cms_auto_width(33) == 128
+    assert cms_auto_width(358) == 1024  # the sweep's 128k-row mix
+    assert cms_auto_width(500_000) == 1 << 20
+    # monotone and always a power of two with headroom >= 2x
+    prev = 0
+    for n in (1, 7, 64, 100, 1000, 12345):
+        w = cms_auto_width(n)
+        assert w >= max(64, 2 * n) and (w & (w - 1)) == 0 and w >= prev
+        prev = w
+
+
 def test_cms_sketch_is_mergeable(spark):
     from earthquake_data_pipeline_spark.operators.sketches import cms_sketch
     from pyspark.sql import functions as F
