@@ -1452,13 +1452,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup endgame: MinHash-LSH candidate pairs → connected
     components (iterative min-label propagation) → one canonical doc per
     duplicate group. Deterministic output (component id = min doc id), so
-    the oracle is the same pair SQL + a recursive CTE."""
+    the oracle is the same pair SQL + a recursive CTE.
+
+    ``star_over=2``: components consume pairs only for CONNECTIVITY, so
+    hot buckets emit O(m) star edges instead of the C(m, 2) clique —
+    bit-identical components (the oracle still replays the full clique,
+    which is the proof), and duplicate-mass corpora (the web-scale norm)
+    stop being quadratic (round-10 probe: 8k identical docs, 32.0M
+    clique pairs / 100 s → linear under the star guard). Fires at both
+    gate scales (max bench bucket 3 at sf0.01, 7 at sf0.1)."""
     _utc(spark)
     from .operators.dedup import connected_components
     from .operators.fuzzy_dedup import minhash_lsh_pairs
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    pairs = minhash_lsh_pairs(docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS, star_over=2
+    )
     return connected_components(pairs).orderBy("doc_id")
 
 
@@ -2274,10 +2284,19 @@ _GATE_FIRST = [
     #     (clustering.py) take the VERDICT-r09 profiling/coreset work;
     #     split_oversized_clusters' sub key became an md5 bucket
     #     (strided-id degeneracy found by the constants sweep), churning
-    #     semdedup_prune's plan AND its oracle SQL.
+    #     semdedup_prune's plan AND its oracle SQL; bucket_pairs gained
+    #     the star_over hot-bucket guard (duplicate-mass quadratic
+    #     blow-up), churning dedup_components + dedup_keep_list (their
+    #     oracles still replay the clique — that equality IS the
+    #     component-invariance proof) and, via the shared module, every
+    #     other bucket_pairs/minhash_lsh_pairs consumer: minhash_lsh,
+    #     lsh_jaccard_refine, embedding_near_dup_lsh (all default-path,
+    #     seated anyway), lsh_recall_audit (already seated above).
     "spatial_join", "enrich_events", "enrich_coalesce",
     "regex_token_match", "prefix_filter_join", "lsh_recall_audit",
-    "kcenter_select", "semdedup_prune",
+    "kcenter_select", "semdedup_prune", "dedup_components",
+    "dedup_keep_list", "minhash_lsh", "lsh_jaccard_refine",
+    "embedding_near_dup_lsh",
     # (3) table-type sentinels for the round-10 txnlog churn (vacuum
     #     stage-dir age guard; txnlog hosts no catalog query):
     #     events / documents / lineitem / embeddings
@@ -2300,9 +2319,10 @@ _GATE_FIRST = [
     "approx_distinct", "approx_quality_bins", "bigram_lm_score",
     "bloom_prune", "boilerplate_strip", "char_diversity",
     "cohort_retention", "column_profile", "compaction_plan",
-    "cumulative_reach", "domain_mixture", "event_debounce",
-    "event_transitions", "exact_substring_dup", "expectations_report",
-    # still banked on r06 rows (round-11's oldest-first pool, 24):
+    "cumulative_reach",
+    # still banked on r06 rows (round-11's oldest-first pool, 29):
+    # domain_mixture, event_debounce, event_transitions,
+    # exact_substring_dup, expectations_report,
     # fact_reconciliation, fingerprint_dedup, funnel_steps,
     # funnel_windowed, heavy_hitters,
     # histogram_drift, hourly_profile, incremental_agg, interval_merge,

@@ -1421,8 +1421,11 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _fanout(
         _table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
     )
+    # star_over=2: keep-list consumes pairs only for connectivity +
+    # per-component counts — star edges are bit-identical there and
+    # bound the duplicate-mass hot bucket at O(m) (see bucket_pairs)
     pairs = minhash_lsh_pairs(
-        docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS
+        docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS, star_over=2
     )
     return dedup_keep_list(docs, pairs)
 

@@ -73,6 +73,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     num_hashes: int = 12,
     num_bands: int = 4,
+    star_over: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash+LSH banding.
 
@@ -84,6 +85,12 @@ def minhash_lsh_pairs(
     would give 0-row bands whose constant key puts EVERY document in one
     bucket (the quadratic explosion this operator exists to avoid), and
     a non-divisor silently discards trailing signatures — both rejected.
+
+    ``star_over`` passes through to pairing.bucket_pairs: banding bounds
+    bucket sizes only for DISTINCT documents — byte-identical duplicate
+    mass (ubiquitous at web scale) collides in every band and cliques
+    quadratically. Connectivity consumers (components/keep-lists) should
+    set it; pair-list consumers must leave ``None`` (see bucket_pairs).
     """
     if not (1 <= num_bands <= num_hashes) or num_hashes % num_bands:
         raise ValueError(
@@ -133,7 +140,7 @@ def minhash_lsh_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     # Bucket-side pair expansion instead of a self-join (shared shape:
     # operators/pairing.py::bucket_pairs — see its docstring for why).
-    return bucket_pairs(bands, ["band", "band_key"], id_col)
+    return bucket_pairs(bands, ["band", "band_key"], id_col, star_over=star_over)
 
 
 def ngram_jaccard_pairs(

@@ -90,6 +90,86 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (1, 3) not in pairs and (3, 4) not in pairs
 
 
+def test_bucket_pairs_star_guard_component_exact(spark):
+    """Round-10 hot-bucket guard: star_over caps a duplicate-mass bucket
+    at O(m) star edges. For connectivity consumers the result must be
+    BIT-IDENTICAL to the clique — same components, same canonical ids,
+    same component sizes — on a corpus mixing one identical-doc mass,
+    a genuine near-dup pair, and unique docs."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    n_dup = 40
+    rows = [(i, "the same boilerplate body repeated everywhere") for i in range(n_dup)]
+    rows += [
+        (100, "a quick brown fox jumps over the lazy dog today"),
+        (101, "a quick brown fox jumps over the lazy dog tonight"),
+        (200, "completely unrelated text about earthquake magnitudes"),
+        (201, "another unrelated body mentioning nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    clique = minhash_lsh_pairs(docs)
+    star = minhash_lsh_pairs(docs, star_over=2)
+
+    # the guard actually fires and is linear in the mass
+    n_clique = clique.count()
+    n_star = star.count()
+    assert n_clique >= n_dup * (n_dup - 1) // 2  # quadratic clique
+    assert n_star < 2 * n_dup + 10  # ~one star edge per mass member
+    # star pairs keep the (id_a < id_b) contract
+    assert star.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    # connectivity consumers see identical results
+    cc_clique = sorted(map(tuple, connected_components(clique).collect()))
+    cc_star = sorted(map(tuple, connected_components(star).collect()))
+    assert cc_clique == cc_star
+
+
+def test_bucket_pairs_star_guard_randomized_component_exact(spark):
+    """Star-vs-clique component equality on randomized corpora: mixed
+    duplicate families of varying sizes (deterministic seed via md5 —
+    no RNG), all bucket sizes straddle the star_over threshold."""
+    import hashlib
+
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        minhash_lsh_pairs,
+    )
+
+    for seed in ("a", "b"):
+        rows = []
+        i = 0
+        for fam in range(12):
+            # family sizes 1..6, deterministic from the seed
+            size = int(hashlib.md5(f"{seed}|{fam}".encode()).hexdigest()[:4], 16) % 6 + 1
+            body = f"family {seed} {fam} shared body of words " * 3
+            for _ in range(size):
+                rows.append((i, body))
+                i += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for so in (2, 3):
+            cc_clique = sorted(
+                map(tuple, connected_components(minhash_lsh_pairs(docs)).collect())
+            )
+            cc_star = sorted(
+                map(
+                    tuple,
+                    connected_components(
+                        minhash_lsh_pairs(docs, star_over=so)
+                    ).collect(),
+                )
+            )
+            assert cc_clique == cc_star, (seed, so)
+
+
 def test_ngram_jaccard_values(spark, docs):
     out = {
         (r.id_a, r.id_b): r.jaccard
