@@ -57,14 +57,59 @@ def bucket_pairs(
     C(m, 2): the round-10 probe's 8k-identical-doc corpus drops from
     32.0M pairs / 100 s to ~8k pairs, and duplicate-mass corpora stop
     being a scale-killer for the dedup pipelines (dedup_components /
-    dedup_keep_list opt in). Hub choice is ids[0] — the bucket's min
-    id in the sorted collect_set — so star pairs keep id_a < id_b and
-    stay deterministic/SQL-replayable.
+    dedup_keep_list opt in). Hub choice is the bucket's min id, so
+    star pairs keep id_a < id_b and stay deterministic/SQL-replayable.
+
+    Memory shape of the guarded path: the oversized branch NEVER
+    collects the bucket into an array — the hub comes from a plain
+    groupBy-min (constant state per bucket) and star pairs are emitted
+    by an equi-join of the band rows against the hub row, so a bucket
+    of a BILLION identical ids streams through in O(1) task memory.
+    ``collect_set`` runs only over buckets already counted ≤
+    ``star_over`` (the size filter happens BEFORE the collect, on the
+    count aggregate). Both aggregations and the join hash-partition on
+    the same bucket key, so the guard costs one extra exchange-reused
+    pass, not a new shuffle of the data.
     """
-    buckets = (
-        bands.groupBy(*bucket_cols)
+    if star_over is None:
+        buckets = (
+            bands.groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        combos = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(combos).alias("p"))
+            .select(F.col("p.id_a"), F.col("p.id_b"))
+            .distinct()
+        )
+
+    cols = list(bucket_cols)
+    # the guarded path references bands three times (sizes, small join,
+    # big join) — checkpoint so the signature subtree runs ONCE
+    # (Catalyst reuses exchanges, not arbitrary subtrees)
+    bands = bands.localCheckpoint(eager=False)
+    # constant-state per-bucket stats: never an array, any bucket size
+    sizes = bands.groupBy(*cols).agg(
+        F.min(id_col).alias("_hub"), F.count_distinct(id_col).alias("_n")
+    ).localCheckpoint(eager=False)
+    small = (
+        bands.join(
+            sizes.filter(
+                (F.col("_n") > 1) & (F.col("_n") <= F.lit(int(star_over)))
+            ).select(*cols),
+            cols,
+        )
+        .groupBy(*cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     clique = F.flatten(
         F.transform(
@@ -75,20 +120,17 @@ def bucket_pairs(
             ),
         )
     )
-    if star_over is None:
-        combos = clique
-    else:
-        star = F.transform(
-            F.slice(F.col("ids"), 2, F.size("ids")),
-            lambda y: F.struct(
-                F.col("ids")[0].alias("id_a"), y.alias("id_b")
-            ),
-        )
-        combos = F.when(F.size("ids") <= F.lit(int(star_over)), clique).otherwise(
-            star
-        )
-    return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
+    small_pairs = small.select(F.explode(clique).alias("p")).select(
+        F.col("p.id_a"), F.col("p.id_b")
     )
+    big_pairs = (
+        bands.join(
+            sizes.filter(F.col("_n") > F.lit(int(star_over))).select(
+                *cols, "_hub"
+            ),
+            cols,
+        )
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return small_pairs.union(big_pairs).distinct()
