@@ -462,6 +462,7 @@ def embedding_near_dup_pairs_lsh(
     num_planes: int | None = None,
     num_bands: int = 3,
     dim: int | None = None,
+    star_over: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded hyperplane-LSH candidate
     generation + exact cosine re-rank on candidates only.
@@ -505,6 +506,22 @@ def embedding_near_dup_pairs_lsh(
     that relied on the old fixed 12-plane banding get a different
     candidate set (different recall) plus one extra count() action;
     pin ``num_planes=12`` for replay-stable pre-r08 output.
+
+    ``star_over`` (round 10, opt-in): auto-banding keeps buckets O(1)
+    for DISTINCT vectors, but byte-identical embedding mass (dead
+    pages embedded alike, zero vectors, default-initialized rows)
+    shares every band key at ANY banding, so the candidate clique is
+    C(m, 2) regardless of num_planes — the residual hazard the r08
+    auto-sizing fix cannot touch. With ``star_over=k``, hot buckets
+    emit O(m) hub-star candidates (see pairing.bucket_pairs; O(1)
+    task memory at any mass size). Contract is WEAKER than the
+    minhash connectivity case because step 4 verifies each pair: for
+    identical-vector mass the output is connectivity-exact (every
+    hub pair has cosine 1 ≥ threshold, so the mass stays one
+    component downstream), but a hot bucket of merely-similar vectors
+    keeps only hub-centered verified pairs — a documented recall
+    trade. Use for dedup pipelines; leave ``None`` when the full
+    verified pair list is the product.
     """
     if dim is None:
         first = df.select(vec_col).first()
@@ -524,7 +541,7 @@ def embedding_near_dup_pairs_lsh(
     bands = _plane_signatures(df, id_col, vec_col, planes, num_bands)
     # Bucket-side pair expansion instead of a self-join (shared shape:
     # operators/pairing.py::bucket_pairs — see its docstring for why).
-    cand = bucket_pairs(bands, ["band", "key"], "vid")
+    cand = bucket_pairs(bands, ["band", "key"], "vid", star_over=star_over)
     # Norms are precomputed per ROW, not per pair: _norm on the same values
     # yields the same double either way, so the cosine is bit-identical to
     # the naive form while the per-pair work drops to one dot fold.

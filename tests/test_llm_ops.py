@@ -220,6 +220,41 @@ def test_lsh_topk_subset_of_exact(spark):
         assert (r.query_id, r.neighbor_id, r.cosine_sim) in exact
 
 
+def test_embedding_lsh_star_guard_identical_vector_mass(spark):
+    """Round-10: identical embeddings share every band signature at ANY
+    banding (auto-sizing can't separate them), so the unguarded
+    candidate clique is C(m,2). star_over must cap the mass at m−1
+    hub pairs, every one verified at cosine 1, and the mass must stay
+    one connected component downstream."""
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    m = 30
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(m)]
+    rows += [(100, [4.0, -3.0, 2.0, -1.0]), (101, [-1.0, 2.0, -3.0, 4.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    clique = embedding_near_dup_pairs_lsh(
+        df, threshold=0.95, num_planes=12, num_bands=3, dim=4
+    )
+    star = embedding_near_dup_pairs_lsh(
+        df, threshold=0.95, num_planes=12, num_bands=3, dim=4, star_over=2
+    )
+    assert clique.count() == m * (m - 1) // 2
+    got = star.collect()
+    assert len(got) == m - 1  # exactly the hub star over the mass
+    assert all(r.id_a == 0 and r.cosine_sim == 1.0 for r in got)
+    # connectivity downstream is identical to the clique's
+    cc_c = sorted(map(tuple, connected_components(clique).collect()))
+    cc_s = sorted(map(tuple, connected_components(star).collect()))
+    assert cc_c == cc_s
+
+
 def test_embedding_near_dup_threshold(spark):
     rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
