@@ -2292,11 +2292,15 @@ _GATE_FIRST = [
     #     other bucket_pairs/minhash_lsh_pairs consumer: minhash_lsh,
     #     lsh_jaccard_refine, embedding_near_dup_lsh (all default-path,
     #     seated anyway), lsh_recall_audit (already seated above).
+    #     Late-round count-first guards (collect-before-filter OOM
+    #     class): fingerprint_match_pairs hosts fingerprint_dedup +
+    #     ngram_containment; inverted_index hosts inverted_index.
     "spatial_join", "enrich_events", "enrich_coalesce",
     "regex_token_match", "prefix_filter_join", "lsh_recall_audit",
     "kcenter_select", "semdedup_prune", "dedup_components",
     "dedup_keep_list", "minhash_lsh", "lsh_jaccard_refine",
-    "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh", "fingerprint_dedup", "ngram_containment",
+    "inverted_index",
     # (3) table-type sentinels for the round-10 txnlog churn (vacuum
     #     stage-dir age guard; txnlog hosts no catalog query):
     #     events / documents / lineitem / embeddings
@@ -2318,16 +2322,16 @@ _GATE_FIRST = [
     # (4c) alphabetical front of the r06 bank
     "approx_distinct", "approx_quality_bins", "bigram_lm_score",
     "bloom_prune", "boilerplate_strip", "char_diversity",
-    "cohort_retention", "column_profile", "compaction_plan",
-    "cumulative_reach",
-    # still banked on r06 rows (round-11's oldest-first pool, 29):
+    "cohort_retention",
+    # still banked on r06 rows (round-11's oldest-first pool, 30):
+    # column_profile, compaction_plan, cumulative_reach,
     # domain_mixture, event_debounce, event_transitions,
     # exact_substring_dup, expectations_report,
-    # fact_reconciliation, fingerprint_dedup, funnel_steps,
+    # fact_reconciliation, funnel_steps,
     # funnel_windowed, heavy_hitters,
     # histogram_drift, hourly_profile, incremental_agg, interval_merge,
     # join_explosion, length_batching, mad_outliers, mp4_probe,
-    # ngram_containment, quality_deciles, rfm_segments, scd2_snapshot,
+    # quality_deciles, rfm_segments, scd2_snapshot,
     # snapshot_diff, split_assignment, top_p_select, url_canonical,
     # winnow_fingerprint, zorder_layout, zscore_outliers
 ]

@@ -122,19 +122,38 @@ def fingerprint_match_pairs(
     - ``min_shared ≥ 2`` suppresses single-hash coincidences before the
       pair aggregate, shrinking the groupBy input.
 
+    The ``max_df`` guard is applied COUNT-FIRST (round 10): df comes
+    from a plain count aggregate (constant state per fingerprint) and
+    only surviving fingerprints reach the ``collect_set``. The old
+    shape collected the bucket array first and filtered on its size —
+    which meant a corpus-wide hot fingerprint (every doc sharing its
+    first ``cap`` chars shares its ENTIRE fingerprint set) built a
+    corpus-sized array in one aggregation buffer before being thrown
+    away: OOM at mass scale, for work the guard was about to discard.
+    Same pattern as exact_substring_pairs' keep-join and the
+    bucket_pairs star guard; both aggregations hash-partition on fp,
+    so the pre-count reuses the exchange.
+
     The final (id_a, id_b) count aggregate is an equi-shuffle on the
     pair key, map-side combined.
     """
     fps = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(fingerprint_set(text_col, k=k, w=w, cap=cap)).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     # fingerprint_set is array_distinct per doc, so (doc, fp) is already
-    # unique — no extra distinct pass needed before bucketing.
-    buckets = (
+    # unique — no extra distinct pass needed before bucketing, and the
+    # df count is a plain count aggregate.
+    keep = (
         fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    buckets = (
+        fps.join(keep, "fp")
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_set("doc")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
     combos = F.flatten(
         F.transform(

@@ -50,6 +50,18 @@ def inverted_index(
     hapax noise, `max_df` drops stopword-degree terms (the skew cap —
     at corpus scale a term appearing in every document otherwise
     funnels the whole corpus through one reducer).
+
+    When ``max_df`` is set, it is applied COUNT-FIRST (round 10): df
+    comes from a plain count over (term, doc) rows and only surviving
+    terms reach the postings ``collect_list``. The old shape built the
+    full postings string for EVERY term and then filtered on df — for
+    a stopword-degree term that is a corpus-sized string in one
+    aggregation buffer, constructed only to be discarded. (With no
+    ``max_df`` the single-pass shape is kept: every built posting list
+    is output, so there is no wasted work to avoid — and min_df only
+    DROPS small lists, which are bounded anyway.) The pre-count and
+    both aggregates hash-partition on term, so the guard reuses the
+    exchange rather than adding a shuffle.
     """
     tok = (
         docs.select(
@@ -69,6 +81,15 @@ def inverted_index(
             ",",
         ).alias("poss"),
     )
+    if max_df is not None:
+        per_doc = per_doc.localCheckpoint(eager=False)
+        keep = (
+            per_doc.groupBy("term")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("term")
+        )
+        per_doc = per_doc.join(keep, "term")
     entry = F.concat(
         F.col("doc").cast("string"), F.lit(":"), F.col("poss")
     )
@@ -79,10 +100,7 @@ def inverted_index(
             "postings"
         ),
     )
-    cond = F.col("df") >= min_df
-    if max_df is not None:
-        cond = cond & (F.col("df") <= max_df)
-    return idx.filter(cond)
+    return idx.filter(F.col("df") >= min_df)
 
 
 def bm25_scores(

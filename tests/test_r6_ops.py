@@ -137,6 +137,55 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert not (sets[1] & sets[3])
 
 
+def test_fingerprint_match_pairs_count_first_guard(spark):
+    """Round-10 count-first guard: a corpus-wide hot fingerprint family
+    (every doc shares its full cap-window prefix, so every doc shares
+    its ENTIRE fingerprint set) must be dropped by the df pre-count
+    BEFORE any bucket array is collected — output empty, and a small
+    legitimate near-dup family must still pair."""
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        fingerprint_match_pairs,
+    )
+
+    boiler = "identical boilerplate text that fills the whole cap " * 5
+    rows = [(i, boiler) for i in range(30)]  # df=30 > max_df=20 → dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert fingerprint_match_pairs(docs).count() == 0
+
+    # the same mass PLUS a 3-doc legit family below max_df still pairs
+    fam = "a rare shared eleven-plus-character run xyzzy plugh " * 4
+    rows += [(100 + i, fam + f"tail {i}") for i in range(3)]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b) for r in fingerprint_match_pairs(docs2).collect()
+    }
+    assert got == {(100, 101), (100, 102), (101, 102)}
+
+
+def test_inverted_index_count_first_max_df(spark):
+    """max_df now filters on a plain pre-count before postings are
+    collected; results must equal the old post-filter shape: stopword
+    terms absent, surviving postings byte-identical."""
+    from earthquake_data_pipeline_spark.operators.indexing import (
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox"),
+            (2, "the lazy dog"),
+            (3, "the fox again"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.term: r for r in inverted_index(docs, max_df=2).collect()}
+    assert "the" not in out  # df=3 > max_df=2, dropped pre-collect
+    assert out["fox"].df == 2 and out["fox"].postings == "1:3;3:2"
+    # no max_df: single-pass shape, stopword kept
+    full = {r.term: r for r in inverted_index(docs).collect()}
+    assert full["the"].df == 3 and full["the"].postings == "1:1;2:1;3:1"
+
+
 def test_winnowing_short_doc_has_no_fingerprints(spark):
     docs = spark.createDataFrame([(1, "tiny"), (2, "x" * 11)], ["doc_id", "text"])
     out = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
