@@ -2295,12 +2295,18 @@ _GATE_FIRST = [
     #     Late-round count-first guards (collect-before-filter OOM
     #     class): fingerprint_match_pairs hosts fingerprint_dedup +
     #     ngram_containment; inverted_index hosts inverted_index.
+    #     Late-round reuse() seam (qcommon.reuse replaces direct
+    #     localCheckpoint at every head-covered site; default flavor
+    #     byte-identical): adds exact_substring_pairs' host
+    #     exact_substring_dup and q_token_bucket's token_bucket to the
+    #     churn set (all other touched functions' hosts were already
+    #     seated below).
     "spatial_join", "enrich_events", "enrich_coalesce",
     "regex_token_match", "prefix_filter_join", "lsh_recall_audit",
     "kcenter_select", "semdedup_prune", "dedup_components",
     "dedup_keep_list", "minhash_lsh", "lsh_jaccard_refine",
     "embedding_near_dup_lsh", "fingerprint_dedup", "ngram_containment",
-    "inverted_index",
+    "inverted_index", "exact_substring_dup", "token_bucket",
     # (3) table-type sentinels for the round-10 txnlog churn (vacuum
     #     stage-dir age guard; txnlog hosts no catalog query):
     #     events / documents / lineitem / embeddings
@@ -2319,11 +2325,13 @@ _GATE_FIRST = [
     #      is the only driver evidence the streaming stack gets)
     "stream_dedup_days", "stream_window_counts",
     "stream_running_totals",
-    # (4c) alphabetical front of the r06 bank
+    # (4c) alphabetical front of the r06 bank (char_diversity +
+    #      cohort_retention displaced back to the pool by the reuse()
+    #      churn seats above)
     "approx_distinct", "approx_quality_bins", "bigram_lm_score",
-    "bloom_prune", "boilerplate_strip", "char_diversity",
-    "cohort_retention",
-    # still banked on r06 rows (round-11's oldest-first pool, 30):
+    "bloom_prune", "boilerplate_strip",
+    # still banked on r06 rows (round-11's oldest-first pool, 32):
+    # char_diversity, cohort_retention,
     # column_profile, compaction_plan, cumulative_reach,
     # domain_mixture, event_debounce, event_transitions,
     # exact_substring_dup, expectations_report,

@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc, round6x
+from .qcommon import _fanout, _table, _utc, reuse, round6x
 
 QUERIES_R7: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_R7: dict[str, str] = {}
@@ -316,11 +316,9 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     out = token_bucket_admit(ev, burst=2, refill_num=1, refill_den=43200)
-    # localCheckpoint: the ORDER BY's range partitioner samples its
-    # child — without this the applyInPandas stage runs twice
-    return out.localCheckpoint(eager=False).orderBy(
-        "user_id", "ts_s", "event_id"
-    )
+    # reuse(): the ORDER BY's range partitioner samples its child —
+    # without the pin the applyInPandas stage runs twice
+    return reuse(out).orderBy("user_id", "ts_s", "event_id")
 
 
 SQL_TOKEN_BUCKET = """

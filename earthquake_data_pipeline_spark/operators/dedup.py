@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..qcommon import reuse
+
 
 def dedup_keep_any(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """W2 — keep-any keyed dedup; Spark plans it as a HashAggregate(first)."""
@@ -85,27 +87,32 @@ def connected_components(
     pointer-jumps (label := label's label), which halves remaining label
     paths so convergence is ~log2(diameter) rounds instead of diameter.
     Labels only ever decrease, so the convergence check is a filter on
-    the stepped frame, not a compare join. ``localCheckpoint`` truncates
-    lineage so plans don't grow with iterations.
+    the stepped frame, not a compare join. Each iteration re-publishes
+    labels through ``qcommon.reuse``: in the checkpoint flavors the
+    lineage truncates so plans don't grow with iterations; in persist
+    mode the logical tower grows by one cached layer per round —
+    bounded, since path halving converges in ~log2(diameter) rounds.
 
     Output: (doc_id, component_id = min id in component, is_canonical) —
     fully deterministic, so it carries an exact recursive-CTE oracle.
     """
-    # checkpoint the edge list BEFORE symmetrizing: union references the
+    # pin the edge list BEFORE symmetrizing: union references the
     # subtree twice, and Catalyst re-evaluates it (an LSH pair-generation
-    # input would run twice); the checkpoint makes the second reference a
-    # cheap re-scan
-    base = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint(eager=False)
-    sym = base.union(
-        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
-    labels = (
+    # input would run twice); the reuse() pin makes the second reference
+    # a cheap re-scan
+    base = reuse(
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+    )
+    sym = reuse(
+        base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels = reuse(
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -113,7 +120,7 @@ def connected_components(
             .groupBy(F.col("a").alias("id2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = (
+        stepped = reuse(
             labels.join(nbr_min, labels["id"] == F.col("id2"), "left")
             .select(
                 "id",
@@ -122,7 +129,6 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("comp") < F.col("comp_old")).count()
         if changed == 0:
@@ -133,13 +139,12 @@ def connected_components(
         lookup = stepped.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
-        labels = (
+        labels = reuse(
             stepped.join(lookup, stepped["comp"] == F.col("jid"), "left")
             .select(
                 "id",
                 F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
             )
-            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("id").alias("doc_id"),

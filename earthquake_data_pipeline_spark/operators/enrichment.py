@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from ..functions.geo import parse_wkt_polygon, points_in_polygon, ring_bbox
 from ..functions.scalar import token_pattern
+from ..qcommon import reuse
 
 # Linear per-batch polygon scan is fine to ~16× the reference's 259-row
 # world dim; past this the operator switches to the bbox-grid index
@@ -413,9 +414,9 @@ def enrich_events(
         # reference this subtree): pin the ids with a lineage barrier so
         # every branch sees the same assignment. Pass a natural id_col
         # at scale to skip the materialization.
-        events = events.withColumn(
-            "__row_id", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        events = reuse(
+            events.withColumn("__row_id", F.monotonically_increasing_id())
+        )
         id_col = "__row_id"
 
     # The spatial result is referenced by BOTH branches below (the miss
@@ -424,9 +425,7 @@ def enrich_events(
     # plan showed py=3/scan=3). Materialize it once — the Python stage
     # is the expensive part; at scale prefer paying one events-sized
     # cache over three polygon sweeps.
-    spatial = spatial_join(
-        events, polygons, lon_col, lat_col
-    ).localCheckpoint(eager=False)
+    spatial = reuse(spatial_join(events, polygons, lon_col, lat_col))
 
     misses = spatial.filter(F.col("country").isNull()).select(id_col, place_col)
     tokens = [c for c, _ in country_lookup]

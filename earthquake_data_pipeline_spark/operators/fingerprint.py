@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..qcommon import reuse
+
 
 def _gram_hash(t: Column, i: Column, k: int) -> Column:
     # md5-prefix integer of the k-gram at 1-based position i — the same
@@ -137,10 +139,12 @@ def fingerprint_match_pairs(
     The final (id_a, id_b) count aggregate is an equi-shuffle on the
     pair key, map-side combined.
     """
-    fps = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(fingerprint_set(text_col, k=k, w=w, cap=cap)).alias("fp"),
-    ).localCheckpoint(eager=False)
+    fps = reuse(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(fingerprint_set(text_col, k=k, w=w, cap=cap)).alias("fp"),
+        )
+    )
     # fingerprint_set is array_distinct per doc, so (doc, fp) is already
     # unique — no extra distinct pass needed before bucketing, and the
     # df count is a plain count aggregate.
@@ -213,10 +217,9 @@ def exact_substring_pairs(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-    e = (
+    e = reuse(
         docs.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
         .select("doc", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-        .localCheckpoint(eager=False)
     )
     keep = (
         e.groupBy("h")

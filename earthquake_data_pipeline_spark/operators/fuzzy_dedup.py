@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..qcommon import reuse
 from .pairing import bucket_pairs
 from .text import tokens_of
 
@@ -202,9 +203,12 @@ def ngram_containment_pairs(
     """
     from ..qcommon import round6x
 
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_of(text_col, shingle_n).alias("sh")
-    ).localCheckpoint(eager=False)
+    sh = reuse(
+        docs.select(
+            F.col(id_col).alias("id"),
+            shingles_of(text_col, shingle_n).alias("sh"),
+        )
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -304,7 +308,7 @@ def _prefix_candidates(
     Every filter is an exact bound — cand is a superset of the true
     result for any input (no false negatives by construction)."""
     base_tokens = tokens_of(text_col) if tokens_expr is None else tokens_expr
-    toks = (
+    toks = reuse(
         docs.select(
             F.col(id_col).alias("id"),
             F.array_distinct(
@@ -313,7 +317,6 @@ def _prefix_candidates(
         )
         .withColumn("sz", F.size("toks"))
         .filter(F.col("sz") > 0)
-        .localCheckpoint(eager=False)
     )
     ex = toks.select("id", "sz", F.explode("toks").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
@@ -324,15 +327,14 @@ def _prefix_candidates(
         + 1
     )
     # pref is referenced twice by the self-join below; without a
-    # checkpoint the df-agg + join + window subtree runs once per side
+    # reuse() pin the df-agg + join + window subtree runs once per side
     # (alias-renamed exchanges defeat ReusedExchange) — measured 4x
     # wall on the sf0.1 corpus.
-    pref = (
+    pref = reuse(
         ex.join(dfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("id", "sz", "tok", "rn")
-        .localCheckpoint(eager=False)
     )
     # Asymmetric prefixes (AllPairs/PPJoin indexing lemma): canonicalize
     # each pair by (sz, id) — a is the SMALLER record, b the larger

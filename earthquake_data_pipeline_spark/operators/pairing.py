@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..qcommon import reuse
+
 
 def bucket_pairs(
     bands: DataFrame,
@@ -94,13 +96,15 @@ def bucket_pairs(
 
     cols = list(bucket_cols)
     # the guarded path references bands three times (sizes, small join,
-    # big join) — checkpoint so the signature subtree runs ONCE
+    # big join) — pin with reuse() so the signature subtree runs ONCE
     # (Catalyst reuses exchanges, not arbitrary subtrees)
-    bands = bands.localCheckpoint(eager=False)
+    bands = reuse(bands)
     # constant-state per-bucket stats: never an array, any bucket size
-    sizes = bands.groupBy(*cols).agg(
-        F.min(id_col).alias("_hub"), F.count_distinct(id_col).alias("_n")
-    ).localCheckpoint(eager=False)
+    sizes = reuse(
+        bands.groupBy(*cols).agg(
+            F.min(id_col).alias("_hub"), F.count_distinct(id_col).alias("_n")
+        )
+    )
     small = (
         bands.join(
             sizes.filter(

@@ -6,6 +6,8 @@ import them without a cycle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
@@ -59,6 +61,58 @@ def _fanout(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def reuse(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Pin a multiply-referenced derived subtree so it evaluates ONCE.
+
+    Catalyst reuses exchanges, not arbitrary subtrees: a frame fed to
+    both sides of a self-join (or to a df-aggregate AND the verification
+    join that consumes it) re-runs its whole plan per reference unless
+    something pins the intermediate. Every operator that fans a derived
+    frame out more than once routes through this helper; the flavor of
+    pinning is a DEPLOYMENT property, selected by ``SPARK_GRAFT_REUSE``:
+
+    - ``auto`` (default): ``df.checkpoint()`` — a RELIABLE checkpoint,
+      written to the cluster's checkpoint directory and recoverable
+      after executor loss — when the SparkContext has one configured
+      (production clusters should: ``sc.setCheckpointDir("hdfs://…")``);
+      otherwise ``localCheckpoint()``. Local checkpoint blocks live in
+      executor storage with lineage TRUNCATED, so losing one executor
+      mid-job (spot preemption, dynamic deallocation, OOM kill) fails
+      the whole job — acceptable on ``local[n]`` where executor loss
+      cannot happen, fatal-by-design never silent-wrong on a static
+      cluster, and the reason a 1000-executor deployment should set a
+      checkpoint dir and get the reliable flavor with no code change.
+    - ``local`` / ``reliable``: force either checkpoint flavor
+      (``reliable`` without a checkpoint dir fails loudly at action
+      time, by Spark contract).
+    - ``persist``: ``MEMORY_AND_DISK`` cache — keeps lineage, so tasks
+      recompute after executor loss instead of failing the job. The
+      trade: columnar encode cost per build, and Dataset cache entries
+      are held by the CacheManager until explicitly unpersisted (NOT
+      GC-cleaned like checkpoint RDD blocks) — a long-lived driver must
+      ``spark.catalog.clearCache()`` between jobs, which is why this is
+      an opt-in, not the default.
+
+    All flavors are lazy unless ``eager=True`` (first action
+    materializes the pin); results are identical across flavors — only
+    recovery semantics and storage residency differ.
+    """
+    mode = os.environ.get("SPARK_GRAFT_REUSE", "auto")
+    if mode == "persist":
+        from pyspark.storagelevel import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            out.count()
+        return out
+    if mode == "auto":
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+        mode = "reliable" if has_dir else "local"
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def round6x(col):

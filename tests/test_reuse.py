@@ -1,0 +1,120 @@
+"""qcommon.reuse — the subtree-pinning seam (round 10).
+
+Every operator that fans a derived frame out to multiple consumers
+routes through ``reuse()``; which pinning flavor runs is a deployment
+property (SPARK_GRAFT_REUSE / the cluster's checkpoint dir), not an
+operator decision. These tests pin the mode-selection contract and
+prove the flavors are result-identical on an operator that exercises
+the seam end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from earthquake_data_pipeline_spark.qcommon import reuse
+
+
+def _toy(spark):
+    return spark.range(0, 200).selectExpr("id", "id % 7 as k")
+
+
+def _reset_checkpoint_dir(spark):
+    """Clear the session-wide checkpoint dir (sticky; no public unset)."""
+    jsc = spark.sparkContext._jsc.sc()
+    none = getattr(getattr(spark.sparkContext._jvm.scala, "None$"), "MODULE$")
+    getattr(jsc, "checkpointDir_$eq")(none)
+    assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_reuse_default_is_local_checkpoint(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_REUSE", raising=False)
+    assert spark.sparkContext.getCheckpointDir() is None
+    df = reuse(_toy(spark))
+    # both checkpoint flavors rebase the plan onto a LogicalRDD
+    # immediately (lazily materialized); persist would show
+    # InMemoryRelation instead
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan
+    assert "InMemoryRelation" not in plan
+    assert df.count() == 200
+
+
+def test_reuse_persist_keeps_lineage_and_caches(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_REUSE", "persist")
+    df = reuse(_toy(spark))
+    try:
+        assert df.storageLevel.useMemory  # cache registered
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # lineage kept: the plan is NOT rebased onto an opaque RDD scan
+        assert "LogicalRDD" not in plan
+        assert df.count() == 200
+        # eager persist materializes on the spot
+        df2 = reuse(_toy(spark), eager=True)
+        assert df2.storageLevel.useMemory
+    finally:
+        df.unpersist()
+        spark.catalog.clearCache()
+
+
+def test_reuse_auto_upgrades_to_reliable_checkpoint(spark, monkeypatch, tmp_path):
+    monkeypatch.delenv("SPARK_GRAFT_REUSE", raising=False)
+    ckdir = tmp_path / "ck"
+    spark.sparkContext.setCheckpointDir(str(ckdir))
+    try:
+        df = reuse(_toy(spark))
+        assert df.count() == 200
+        # reliable checkpoint wrote recoverable files under the dir
+        files = [p for p in ckdir.rglob("*") if p.is_file()]
+        assert files, "no reliable checkpoint files written in auto mode"
+    finally:
+        _reset_checkpoint_dir(spark)
+
+
+def test_reuse_explicit_local_ignores_checkpoint_dir(spark, monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_REUSE", "local")
+    ckdir = tmp_path / "ck"
+    spark.sparkContext.setCheckpointDir(str(ckdir))
+    try:
+        df = reuse(_toy(spark))
+        assert df.count() == 200
+        files = [p for p in ckdir.rglob("*") if p.is_file()]
+        assert not files, "local mode must not write reliable checkpoints"
+    finally:
+        _reset_checkpoint_dir(spark)
+
+
+@pytest.mark.parametrize("mode", ["local", "reliable", "persist"])
+def test_prefix_filter_join_is_flavor_invariant(spark, monkeypatch, tmp_path, mode):
+    """End-to-end through a seam consumer: the pinning flavor changes
+    recovery semantics only, never results."""
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        prefix_filter_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different document about spark"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "spark document about something completely different"),
+        ],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setenv("SPARK_GRAFT_REUSE", mode)
+    if mode == "reliable":
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in prefix_filter_join(
+                docs, threshold_num=1, threshold_den=2
+            ).collect()
+        )
+    finally:
+        if mode == "reliable":
+            _reset_checkpoint_dir(spark)
+        if mode == "persist":
+            spark.catalog.clearCache()
+    assert got == [(1, 2), (1, 4), (2, 4), (3, 5)]
