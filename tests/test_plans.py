@@ -204,9 +204,12 @@ def test_inverted_index_two_keyed_aggregates(spark):
 
 def test_token_bucket_one_shuffle_one_python_stage(spark):
     # the sequential recurrence costs exactly one hash exchange on the
-    # key and one Arrow-batched Python stage — checked on the raw
-    # operator (the query checkpoints before its ORDER BY, so the
-    # Python subtree hides behind a Scan ExistingRDD there)
+    # key, one partition-LOCAL sort, and one streaming Arrow Python
+    # stage (mapInPandas with cross-batch state — hot-key safe; the
+    # groupBy/applyInPandas shape would materialize a whole key's
+    # history per task). Checked on the raw operator (the query pins
+    # its output before the ORDER BY, so the Python subtree hides
+    # behind a Scan ExistingRDD there)
     from pyspark.sql import functions as F
 
     from earthquake_data_pipeline_spark.operators.admission import (
@@ -222,8 +225,11 @@ def test_token_bucket_one_shuffle_one_python_stage(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+    # the sort is partition-local (global=false): no range exchange
+    assert "Exchange rangepartitioning" not in plan
     # and the query's sort samples the CHECKPOINTED output, not a
     # second run of the Python stage
     qplan = plan_of(spark, "token_bucket")

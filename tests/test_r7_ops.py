@@ -245,6 +245,54 @@ def test_token_bucket_tie_order_by_id(spark):
     assert out == {6: True, 7: False}
 
 
+def test_token_bucket_hot_key_state_survives_arrow_batches(spark):
+    # the hot-key-safe shape streams a key's history across Arrow
+    # batches with rolling state: force tiny batches so one key spans
+    # many, and check bit-exact parity with a pure-Python replay
+    from earthquake_data_pipeline_spark.operators.admission import (
+        token_bucket_admit,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "64")
+    try:
+        rows = [(i, 1, i * 3) for i in range(1000)] + [
+            (10_000 + i, 2, i * 7) for i in range(100)
+        ]
+        got = {
+            r["event_id"]: (r["units_before"], r["admitted"])
+            for r in token_bucket_admit(
+                _events(spark, rows), burst=2, refill_num=1, refill_den=10
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    def replay(evts, burst=2, num=1, den=10):
+        cap = burst * den
+        exp = {}
+        by_key: dict = {}
+        for eid, k, ts in evts:
+            by_key.setdefault(k, []).append((ts, eid))
+        for k, es in by_key.items():
+            units, prev_ts = cap, None
+            for ts, eid in sorted(es):
+                if prev_ts is not None:
+                    units = min(cap, units + (ts - prev_ts) * num)
+                prev_ts = ts
+                ok = units >= den
+                exp[eid] = (units, ok)
+                if ok:
+                    units -= den
+        return exp
+
+    assert got == replay(rows)
+
+
 # ---------- cms_join_size ----------
 
 
