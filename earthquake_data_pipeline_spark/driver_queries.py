@@ -2325,23 +2325,34 @@ _GATE_FIRST = [
     #      is the only driver evidence the streaming stack gets)
     "stream_dedup_days", "stream_window_counts",
     "stream_running_totals",
-    # (4c) alphabetical front of the r06 bank (char_diversity +
-    #      cohort_retention displaced back to the pool by the reuse()
-    #      churn seats above)
-    "approx_distinct", "approx_quality_bins", "bigram_lm_score",
-    "bloom_prune", "boilerplate_strip",
-    # still banked on r06 rows (round-11's oldest-first pool, 32):
-    # char_diversity, cohort_retention,
+    # (2, late-round) numeric-envelope overflow fixes (round-10 audit):
+    #     cms_join_size (count-product sums → decimal, double outputs,
+    #     oracle churned), epoch_shuffle (modular checksum, oracle
+    #     churned), zscore_outliers / hourly_profile / trend_fit
+    #     (decimal moments, Spark-side only). These take the five 4c
+    #     fill seats (approx_distinct, approx_quality_bins,
+    #     bigram_lm_score, bloom_prune, boilerplate_strip returned to
+    #     the r06 pool). The SIXTH audit finding, cluster_purity's
+    #     Σc² (driver_queries_r7.py::q_cluster_purity), is DEFERRED —
+    #     no seat left without breaking the r05-retirement commitment;
+    #     its code is untouched this round and it leads the round-11
+    #     churn list together with histogram_drift's c·n products
+    #     (profiling.py, also untouched).
+    "cms_join_size", "epoch_shuffle", "zscore_outliers",
+    "hourly_profile", "trend_fit",
+    # still banked on r06 rows (round-11's oldest-first pool, 35):
+    # approx_distinct, approx_quality_bins, bigram_lm_score,
+    # bloom_prune, boilerplate_strip, char_diversity, cohort_retention,
     # column_profile, compaction_plan, cumulative_reach,
     # domain_mixture, event_debounce, event_transitions,
     # exact_substring_dup, expectations_report,
     # fact_reconciliation, funnel_steps,
     # funnel_windowed, heavy_hitters,
-    # histogram_drift, hourly_profile, incremental_agg, interval_merge,
+    # histogram_drift, incremental_agg, interval_merge,
     # join_explosion, length_batching, mad_outliers, mp4_probe,
     # quality_deciles, rfm_segments, scd2_snapshot,
     # snapshot_diff, split_assignment, top_p_select, url_canonical,
-    # winnow_fingerprint, zorder_layout, zscore_outliers
+    # winnow_fingerprint, zorder_layout
 ]
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 

@@ -1146,7 +1146,8 @@ WITH e AS (
 )
 SELECT CAST(epoch AS INT) AS epoch, CAST(shard AS INT) AS shard,
        count(*) AS n_docs,
-       CAST(sum(pos * (id + 1)) AS BIGINT) AS order_checksum
+       CAST(sum(((pos % 2147483647) * ((id + 1) % 2147483647))
+                % 2147483647) % 2147483647 AS BIGINT) AS order_checksum
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
 

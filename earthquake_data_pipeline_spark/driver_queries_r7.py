@@ -355,6 +355,11 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     the statistics pass a cost-based planner runs before committing to
     a shuffle join. Grid-sized frames end-to-end except the two
     one-pass sketch builds.
+
+    Round-10 overflow audit: size columns are decimal-accumulated and
+    emitted as double — a join size at 10^12×10^12 rows (~10^24 pairs)
+    exceeds int64 outright, and the old long accumulation wrapped
+    silently in an ANSI-off driver session (see cms_join_size).
     """
     _utc(spark)
     from .operators.sketches import cms_join_size, cms_sketch
@@ -374,7 +379,14 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = li.groupBy("d").agg(F.count("*").alias("cb"))
     exact = (
         ca.join(cb, "d")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("exact_size"))
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(19,0)")
+                * F.col("cb").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("exact_size")
+        )
     )
     return (
         est.crossJoin(F.broadcast(exact))
@@ -417,12 +429,12 @@ WITH js AS (
          count(*) AS nb
   FROM lb, js GROUP BY 1, 2
 ), per_row AS (
-  SELECT j, CAST(sum(na * nb) AS BIGINT) AS row_est
+  SELECT j, CAST(sum(na * nb) AS DOUBLE) AS row_est
   FROM ga JOIN gb USING (j, bucket) GROUP BY 1
 ), est AS (
   SELECT j, row_est, min(row_est) OVER () AS join_size_est FROM per_row
 ), ex AS (
-  SELECT CAST(sum(ca * cb) AS BIGINT) AS exact_size FROM
+  SELECT CAST(sum(ca * cb) AS DOUBLE) AS exact_size FROM
     (SELECT d, count(*) ca FROM oa GROUP BY 1) a
     JOIN (SELECT d, count(*) cb FROM lb GROUP BY 1) b USING (d)
 )

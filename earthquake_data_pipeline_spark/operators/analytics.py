@@ -148,10 +148,17 @@ def zscore_outlier_stats(
         z² > T²  ⟺  n·(n·v − S)² > T²·n·(n·SS − S²)
                  ⟺  (n·v − S)² > T²·(n·SS − S²)
 
-    with S = Σcents, SS = Σcents² (all BIGINT, exact in any engine;
-    safe while n·SS < 2^63 — cents ≤ 1e4 keeps that true to ~9e5 rows
-    per key, far past the gate scales). The reported mean is an
-    int/int ratio, tie-free under the round6x contract.
+    with S = Σcents, SS = Σcents², accumulated and compared in exact
+    decimal(38,0) (round-10 overflow audit: the old int64 moments
+    overflowed at n·SS ≥ 2^63 — a few 10^5 rows per key at 1e4-cent
+    values, i.e. the FIRST hot key at warehouse scale; DuckDB replays
+    bit-for-bit because its integer sums are int128). Decimal envelope:
+    cents ≤ 1e9 and n ≤ 1e9 per key keeps every product — dev² and
+    T²·(n·SS − S²), both ~n²·cents² — under 10^38; past that Spark
+    raises (ANSI) or nulls the flag (permissive) instead of silently
+    wrapping. The reported mean is an int/int ratio (decimal→double
+    cast is value-determined, not order-dependent), tie-free under the
+    round6x contract.
 
     Exactly two passes, by information flow (a value cannot know its
     key's mean until the key is fully aggregated): a map-side-combined
@@ -166,14 +173,16 @@ def zscore_outlier_stats(
         (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     ).alias("cents")
     ev = events.select(F.col(key_col).alias("k"), cents)
+    cents_d = F.col("cents").cast("decimal(19,0)")
     stats = ev.groupBy("k").agg(
         F.count("*").alias("n"),
-        F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+        F.sum(cents_d).alias("s"),
+        F.sum(cents_d * cents_d).alias("ss"),
     )
     t2 = z_threshold * z_threshold
-    dev = F.col("n") * F.col("cents") - F.col("s")
-    var_n3 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")  # = n³·var/n
+    n_d = F.col("n").cast("decimal(19,0)")
+    dev = n_d * cents_d - F.col("s")
+    var_n3 = n_d * F.col("ss") - F.col("s") * F.col("s")  # = n³·var/n
     flagged = ev.join(F.broadcast(stats), "k").select(
         "k",
         "n",
@@ -194,7 +203,11 @@ def zscore_outlier_stats(
             F.col("k").alias(key_col),
             "n_events",
             "n_outliers",
-            round6x(F.col("s") / (F.col("n") * 100)).alias("mean_value"),
+            # decimal→double first: the oracle divides int/int into a
+            # DOUBLE, so the dividend must be the same double here
+            round6x(
+                F.col("s").cast("double") / (F.col("n") * 100)
+            ).alias("mean_value"),
         )
         .orderBy(key_col)
     )
@@ -544,8 +557,14 @@ def hourly_profile(
     integer concentration index — 24·Σc_h² scaled against n² reads as
     ppm-above-uniform (0 for a flat profile, 10⁶ for a single-hour
     spike): conc_ppm = ⌊10⁶·(24·Σc² − n²)/(23·n²)⌋.
-    Everything int64 (n ≤ 3·10⁵ per key keeps 24·10⁶·Σc² < 2^63 —
-    beyond that, normalize per-shard and merge).
+
+    Σc² and the n² products run in exact decimal(38,0) (round-10
+    overflow audit: the old int64 form overflowed at n ≥ ~6·10⁵ rows
+    per key — and the key here is event_type, a LOW-cardinality key
+    whose every value is corpus-scale at 100 TB; decimal is good to
+    n ≤ 10^12 per key). The final ratio divides as double on both
+    engines (numerator/denominator are value-determined decimal→double
+    casts, exact below 2^53), and conc_ppm itself is bounded ≤ 10⁶.
 
     One (key, hour) aggregate + a per-key rollup: key-domain-sized.
     """
@@ -553,16 +572,21 @@ def hourly_profile(
     per_hour = events.select(
         F.col(key_col).alias("k"), hour.alias("h")
     ).groupBy("k", "h").agg(F.count("*").alias("c"))
+    c_d = F.col("c").cast("decimal(19,0)")
     per_key = per_hour.groupBy("k").agg(
         F.sum("c").alias("n"),
         F.max_by("h", F.struct("c", (-F.col("h")).alias("nh"))).alias(
             "peak_hour"
         ),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum(c_d * c_d).alias("ss"),
     )
+    n_d = F.col("n").cast("decimal(19,0)")
+    # numerator/denominator exact in decimal, ONE value-determined cast
+    # to double each, then the same double division the oracle runs
     conc = F.floor(
-        (F.lit(1000000) * (24 * F.col("ss") - F.col("n") * F.col("n")))
-        / (23 * F.col("n") * F.col("n"))
+        (F.lit(1000000).cast("decimal(19,0)") * (24 * F.col("ss") - n_d * n_d))
+        .cast("double")
+        / (23 * n_d * n_d).cast("double")
     )
     return per_key.select(
         F.col("k").alias(key_col),
@@ -646,14 +670,17 @@ def trend_fit(
     (is this feed's quality score trending down?).
 
     Exactness discipline: x is integer hours (elapsed//3600), y is
-    integer milli-units (floor(value*1000)), so the five OLS moment
-    sums are exact int64 (magnitudes bounded: with n ≤ 2e3 rows/key,
-    x ≤ 1e3 h, |y| ≤ 5e5 milli, every moment product stays < 2^63;
-    beyond that, pre-center y per key or accumulate in decimals). The only
-    doubles are the final int/int divisions — engine-identical, sealed
-    with round6x. Spark's built-in regr_slope aggregates FLOATS in
-    shuffle order (run-to-run drift); the integer-moment formulation is
-    the deterministic equivalent.
+    integer milli-units (floor(value*1000)), and the five OLS moment
+    sums plus the n·sxy − sx·sy style cross-products run in exact
+    decimal(38,0) (round-10 overflow audit: the old int64 moments were
+    only safe to ~2e3 rows/key — a per-key envelope a 100 TB feed
+    blows immediately; decimal holds to n ≤ 10^9 per key at x ≤ 1e6 h,
+    |y| ≤ 1e9 milli, every product < 10^38, and DuckDB replays exactly
+    via int128 sums). The only doubles are the final division inputs —
+    each a value-determined decimal→double cast, exact below 2^53 —
+    sealed with round6x. Spark's built-in regr_slope aggregates FLOATS
+    in shuffle order (run-to-run drift); the integer-moment
+    formulation is the deterministic equivalent.
 
     One key-partitioned window (first-event timestamp) + one aggregate
     on the same key: a single hash exchange end-to-end.
@@ -672,27 +699,33 @@ def trend_fit(
         .alias("x"),
         "y",
     )
+    x_d = F.col("x").cast("decimal(19,0)")
+    y_d = F.col("y").cast("decimal(19,0)")
     m = xy.groupBy("k").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(x_d).alias("sx"),
+        F.sum(y_d).alias("sy"),
+        F.sum(x_d * y_d).alias("sxy"),
+        F.sum(x_d * x_d).alias("sxx"),
+        F.sum(y_d * y_d).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    n_d = F.col("n").cast("decimal(19,0)")
+    # cross-products exact in decimal; ONE value-determined cast to
+    # double per scalar feeds the same int/int double division the
+    # oracle's BIGINT (int128-summed) arithmetic produces
+    num = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n_d * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n_d * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    icpt = (
+        F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    ).cast("double")
     from ..qcommon import round6x
 
     return m.select(
         F.col("k").alias(key_col),
         F.col("n").alias("n_events"),
         F.when(denx != 0, round6x(num / denx)).alias("slope_milli_per_hr"),
-        F.when(
-            denx != 0,
-            round6x((F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / denx),
-        ).alias("intercept_milli"),
+        F.when(denx != 0, round6x(icpt / denx)).alias("intercept_milli"),
         F.when(
             (denx != 0) & (deny != 0), round6x((num / denx) * (num / deny))
         ).alias("r2"),

@@ -35,6 +35,17 @@ def epoch_shuffle(
     """Per-epoch shard + order assignment, summarized per (epoch,
     shard) cell as (n_docs, order_checksum). The full assignment is the
     ``p`` subframe; the summary keeps driver-facing output bounded.
+
+    The checksum is modular (round-10 overflow audit): the raw
+    Σ pos·(id+1) form overflows int64 PER ROW once pos·id passes 2^63
+    — at a 10^12-doc corpus pos ~ 10^11 and id ~ 10^12, so every
+    term blows the envelope (ANSI-on: job death; ANSI-off: silent
+    wrap). Each term and the running sum are reduced mod
+    M = 2^31 − 1: residues are < 2^31, their product stays < 2^62
+    (long-safe at ANY corpus size), and the sum accumulates in
+    decimal(38,0) before the final mod — same detection power for the
+    order-verification use (a swapped pair changes the residue with
+    probability 1 − 1/M), replayable in any engine with 64-bit ints.
     """
     if n_epochs <= 0 or n_shards <= 0:
         # sequence(0, n_epochs-1) auto-steps BACKWARDS when the end is
@@ -57,11 +68,17 @@ def epoch_shuffle(
     )
     w = Window.partitionBy("epoch", "shard").orderBy("h", "id")
     p = h.withColumn("pos", F.row_number().over(w))
+    m = F.lit(2147483647)  # 2^31 - 1; residue product < 2^62, long-safe
+    term = F.pmod(
+        F.pmod(F.col("pos").cast("long"), m) * F.pmod(F.col("id") + 1, m), m
+    )
     return (
         p.groupBy("epoch", "shard")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.col("pos") * (F.col("id") + 1)).alias("order_checksum"),
+            F.pmod(F.sum(term.cast("decimal(38,0)")), m.cast("decimal(38,0)"))
+            .cast("long")
+            .alias("order_checksum"),
         )
         .select(
             F.col("epoch").cast("int").alias("epoch"),

@@ -226,13 +226,27 @@ def cms_join_size(
     sketches are depth×width cells regardless of input size, so this
     entire estimator runs on grid-sized frames: an equi-join on
     (j, bucket) then a depth-sized aggregate.
+
+    Numeric envelope (round-10 overflow audit): a bucket count on a
+    10^12-row table is ~N/width ≈ 2·10^9, so a SINGLE na·nb product is
+    ~4·10^18 — already brushing 2^63 — and the sum over width buckets
+    definitively overflows int64 (silently, in a permissive ANSI-off
+    driver session). The estimate's own domain is ~Na·Nb/width, far
+    past any integer type, so the accumulation is exact decimal(38,0)
+    (good to 10^38) and the OUTPUT is double: a planner statistic
+    needs magnitude, not 19 significant digits, and the single
+    value-determined decimal→double cast is engine-identical (unlike
+    float accumulation, which is shuffle-order-dependent).
     """
     a = sketch_a.select("j", "bucket", F.col("n").alias("na"))
     b = sketch_b.select("j", "bucket", F.col("n").alias("nb"))
+    prod = F.col("na").cast("decimal(19,0)") * F.col("nb").cast(
+        "decimal(19,0)"
+    )
     per_row = (
         a.join(b, ["j", "bucket"])
         .groupBy("j")
-        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("row_est"))
+        .agg(F.sum(prod).cast("double").alias("row_est"))
     )
     w = Window.partitionBy()  # depth rows total — trivially small
     return per_row.select(
