@@ -308,12 +308,21 @@ def _prefix_candidates(
     Every filter is an exact bound — cand is a superset of the true
     result for any input (no false negatives by construction)."""
     base_tokens = tokens_of(text_col) if tokens_expr is None else tokens_expr
-    toks = reuse(
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                F.filter(base_tokens, lambda x: x != "")
-            ).alias("toks"),
+    # reuse() BEFORE the size/filter projection: CollapseProject folds
+    # withColumn("sz", size("toks")) and the sz>0 filter back INTO the
+    # select, substituting the full tokenize/shingle/distinct expression
+    # for each reference — measured 7x the materialization cost at
+    # sf0.1 (3.3 s vs 0.45 s). Pinning first evaluates the expensive
+    # expression exactly once; sz and the emptiness filter then read
+    # the materialized array (size() of a stored array is O(1)-ish).
+    toks = (
+        reuse(
+            docs.select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    F.filter(base_tokens, lambda x: x != "")
+                ).alias("toks"),
+            )
         )
         .withColumn("sz", F.size("toks"))
         .filter(F.col("sz") > 0)
