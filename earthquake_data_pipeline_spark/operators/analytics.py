@@ -137,6 +137,7 @@ def zscore_outlier_stats(
     key_col: str = "event_type",
     value_col: str = "value",
     z_threshold: int = 2,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-key z-score outlier census: count values more than
     ``z_threshold`` population standard deviations from their key's
@@ -168,6 +169,14 @@ def zscore_outlier_stats(
     THROUGH the flagging aggregate (constant per key → max()) instead
     of re-joining the stats subtree, which Catalyst would otherwise
     evaluate twice — a third fact scan for nothing.
+
+    ``broadcast_stats`` (round-10 broadcast-size audit): the stats
+    frame is KEY-DOMAIN-sized — tiny for an enumerated key like
+    event_type, but a caller keying by a high-cardinality column
+    (user_id at 10^9 users ≈ tens of GB of (n, s, ss) rows) must pass
+    False so the flagging join shuffles on the key instead of
+    broadcasting the key domain to every executor; AQE still
+    broadcasts at runtime whenever the frame turns out small.
     """
     cents = (
         (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
@@ -183,7 +192,8 @@ def zscore_outlier_stats(
     n_d = F.col("n").cast("decimal(19,0)")
     dev = n_d * cents_d - F.col("s")
     var_n3 = n_d * F.col("ss") - F.col("s") * F.col("s")  # = n³·var/n
-    flagged = ev.join(F.broadcast(stats), "k").select(
+    stats_side = F.broadcast(stats) if broadcast_stats else stats
+    flagged = ev.join(stats_side, "k").select(
         "k",
         "n",
         "s",
