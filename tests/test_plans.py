@@ -258,3 +258,31 @@ def test_weighted_sample_map_only_before_final_agg(spark):
     plan = plan_of(spark, "weighted_sample")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan and "Window" not in plan
+
+
+def test_prefix_candidates_shingle_frame_materializes_once(spark):
+    # CollapseProject regression guard (round-10, lsh_recall_audit
+    # -53%): the tokenize/shingle/distinct expression must live ONLY
+    # behind the reuse() pin — if the pin moves back after the
+    # size/filter projection, CollapseProject substitutes the full
+    # expression into every reference (~7x the materialization cost).
+    # The consumers' plans must read the checkpoint (Scan ExistingRDD)
+    # and contain no re-derived split(): the raw text column never
+    # reaches the candidate subtree.
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        _prefix_candidates,
+        shingles_of,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(20)], ["doc_id", "text"]
+    )
+    toks, cand = _prefix_candidates(
+        docs, "doc_id", "text", 4, 5, shingles_of("text"), True
+    )
+    for frame in (toks, cand):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan  # the reuse() checkpoint
+        assert "split(" not in plan
