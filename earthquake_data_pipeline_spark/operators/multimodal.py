@@ -18,8 +18,16 @@ that remains the integration seam in this container.
 
 Scale notes: binary payloads ride in the same parquet row groups as their
 metadata (no side-channel file fetch per row); mapInPandas streams Arrow
-record batches, so executor memory is bounded by batch size
-(spark.sql.execution.arrow.maxRecordsPerBatch), not partition size.
+record batches, so executor memory is bounded by batch size — Spark 4
+bounds batches by BYTES too (spark.sql.execution.arrow.maxBytesPerBatch,
+default 64 MB), which is what actually matters when one row carries a
+media blob and records-per-batch alone would admit gigabytes. The
+remaining hard ceiling (round-10 wide-row audit) is per-CELL: Arrow's
+BinaryType uses 32-bit offsets, so a single payload must stay under
+2 GiB. A feature-film MP4 breaches that — at ingest, oversize media
+must split into per-row chunks (media_id, chunk_idx, payload) and the
+frame-sampling path already works per-box/per-frame, never needing the
+whole file in one cell.
 """
 
 from __future__ import annotations
