@@ -142,3 +142,31 @@ def test_epoch_shuffle_checksum_is_modular_and_replayable(spark):
         assert r["order_checksum"] == exp
         assert 0 <= r["order_checksum"] < M
         assert r["n_docs"] == len(members)
+
+
+def test_fingerprint_set_let_bit_identical(spark):
+    # the O(m)-md5 let-bound form must select EXACTLY the same
+    # fingerprints as the O(w*m) least()-based form for every shape:
+    # short-of-w docs, exact boundaries, longer-than-cap docs
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.fingerprint import (
+        _fingerprint_set_let,
+        fingerprint_set,
+    )
+
+    texts = [
+        "", "ab", "abcdefgh", "abcdefghijk",
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "x" * 500,  # beyond cap
+        "aaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate repeats
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    for k, w, cap in ((8, 4, 200), (12, 6, 200), (3, 2, 16)):
+        out = df.select(
+            "i",
+            fingerprint_set("t", k=k, w=w, cap=cap).alias("a"),
+            _fingerprint_set_let("t", k=k, w=w, cap=cap).alias("b"),
+        ).collect()
+        for r in out:
+            assert r["a"] == r["b"], (k, w, cap, r["i"])
