@@ -84,6 +84,26 @@ def _compact_line(
     return line
 
 
+def _calibrate_ms() -> float:
+    """Single-thread CPU calibration: wall time of a fixed integer spin.
+
+    The pre-sweep loadavg gate cannot see co-tenants that ARRIVE
+    mid-sweep (loadavg_pre samples before Spark starts, and in-run
+    loadavg is dominated by our own executors). A fixed spin timed
+    before AND after the sweep separates the cases mechanically: our
+    own executors are idle at both sample points, so a post/pre ratio
+    well above 1 means someone else is eating the cores — the round-10
+    137.9 s ghost sweep (quiet pre-load, +18% scattered elevation)
+    would have shown it.
+    """
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    _ = acc
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -91,6 +111,7 @@ def main() -> None:
 
     # sample co-tenant load BEFORE Spark spins up its own threads
     loadavg_pre = [round(x, 2) for x in os.getloadavg()]
+    cal_pre = _calibrate_ms()
     noisy = load_noisy(loadavg_pre[0], os.cpu_count() or cpus)
     if noisy and "--require-quiet" in sys.argv[1:]:
         # isolation/certification runs refuse to measure on a loud host
@@ -132,6 +153,10 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    cal_post = _calibrate_ms()
+    # mid-sweep co-tenant arrival: the spin slowed although our own
+    # executors are idle at both sample points
+    cal_noisy = cal_post > 1.5 * cal_pre
     # order-guard runs must not clobber the canonical forward artifact
     path = _FULL_PATH.replace(".json", "_REVERSE.json") if reverse else _FULL_PATH
     with open(path, "w") as fh:
@@ -151,14 +176,19 @@ def main() -> None:
                 # inadmissible for regression adjudication.
                 "loadavg_pre": loadavg_pre,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "noisy": noisy,
+                # single-thread spin wall-ms before/after the sweep:
+                # post >> pre = co-tenants arrived MID-sweep (the case
+                # loadavg_pre cannot see); such sweeps are inadmissible
+                # for drift adjudication even with noisy=false
+                "calibration_ms": [cal_pre, cal_post],
+                "noisy": noisy or cal_noisy,
                 "sf": sf,
             },
             fh,
             indent=1,
         )
         fh.write("\n")
-    print(_compact_line(timings, total, sf, noisy))
+    print(_compact_line(timings, total, sf, noisy or cal_noisy))
 
 
 if __name__ == "__main__":
