@@ -1207,10 +1207,11 @@ SQL_COLUMN_PROFILE = (
 
 def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift census (operators/profiling.py::
-    histogram_drift): per event_type, the integer cross-multiplied L1
-    distance sum|c1*n2 - c2*n1| between the value histograms of the
-    month's two halves — zero iff proportionally identical, no float
-    ever formed.
+    histogram_drift): per event_type, the cross-multiplied L1 distance
+    sum|c1*n2 - c2*n1| between the value histograms of the month's two
+    halves — zero iff proportionally identical. Accumulated in exact
+    decimal(38,0) (round-10 overflow audit: c·n is ~10^24 at 10^12
+    rows), emitted as DOUBLE on both engines.
     """
     _utc(spark)
     from .operators.profiling import histogram_drift
@@ -1243,7 +1244,7 @@ WITH b AS (
 SELECT k AS event_type,
        CAST(max(n1) AS BIGINT) AS n1,
        CAST(max(n2) AS BIGINT) AS n2,
-       CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS drift_scaled
+       CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE) AS drift_scaled
 FROM g2 GROUP BY 1 ORDER BY 1
 """
 

@@ -1339,10 +1339,17 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("c"), F.asc("label")
     )
     ranked = per_label.withColumn("rn", F.row_number().over(w))
+    # Numeric envelope (round-10 overflow audit, fix landed r11): a
+    # label count on a 10^12-row cluster makes c*c ~10^24 — silent
+    # int64 wrap under the certified ANSI-off posture — so the Simpson
+    # sum accumulates in exact decimal(38,0) (the cms_join_size
+    # pattern); the ppm outputs below stay exact LONGs because DIV on
+    # decimals is an exact integral quotient.
+    c_dec = F.col("c").cast("decimal(19,0)")
     stats = per_label.groupBy("cluster_id").agg(
         F.sum("c").cast("long").alias("n_points"),
         F.count("*").cast("long").alias("n_labels"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.sum(c_dec * c_dec).alias("ss"),
     )
     top = ranked.filter(F.col("rn") == 1).select(
         "cluster_id",
@@ -1357,10 +1364,15 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_labels",
             "majority_label",
             "n_majority",
-            F.expr("(n_majority * 1000000) DIV n_points")
+            F.expr(
+                "(CAST(n_majority AS DECIMAL(19,0)) * 1000000) DIV n_points"
+            )
             .cast("long")
             .alias("purity_ppm"),
-            F.expr("(ss * 1000000) DIV (n_points * n_points)")
+            F.expr(
+                "(ss * 1000000) DIV (CAST(n_points AS DECIMAL(19,0))"
+                " * CAST(n_points AS DECIMAL(19,0)))"
+            )
             .cast("long")
             .alias("simpson_ppm"),
         )

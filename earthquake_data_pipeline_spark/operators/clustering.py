@@ -72,6 +72,15 @@ def assign_clusters(
     """
     k = len(centroids)
     d = len(next(iter(centroids.values()))) if k else 0
+    if k == 0:
+        # Empty centroid dict (an empty table reached lloyd_kmeans'
+        # driver-side init, or every cluster dropped out): zero structs
+        # would build a zero-arg F.array() literal typed VOID, which
+        # crashes at analysis — the round-10 empty-input audit's
+        # crash-on-empty class. A null assignment of the correct type
+        # keeps the operator total; at 100 TB an empty date-partition
+        # is routine and must not kill the job.
+        return df.withColumn("cluster_id", F.lit(None).cast("long"))
     if k * d > gemm_threshold:
         return assign_clusters_gemm(df, centroids, vec_col)
     # The comparison value is floor(dist·1e6 + 0.5) — the EXACT formula

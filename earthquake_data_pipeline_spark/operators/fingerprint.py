@@ -45,24 +45,16 @@ def fingerprint_set(text_col: Column | str, k: int = 8, w: int = 4, cap: int = 2
     ``array<bigint>`` Column — the shared core of :func:`winnow_fingerprints`
     (per-doc summary) and :func:`fingerprint_match_pairs` (equi-join dedup).
 
-    Expression shape matters here: the obvious two-transform form
-    (hash array, then array_min over slices of it) re-evaluates the
-    ENTIRE hash-array subtree once per window position — higher-order
-    functions bind only their lambda variable, argument subtrees are
-    recomputed per element — which is O(m²) md5 calls and measured
-    ~20× slower. Window minima as ``least()`` of the w in-place gram
-    hashes keep it O(w·m) with w a small constant; nothing is
-    materialized, the expression stays a pure per-row scan.
+    Delegates to :func:`_fingerprint_set_let` — the let-bound O(m)-md5
+    form — since round 11. The round-6 ``least()``-of-w-gram-hashes
+    body this function used to carry (O(w·m) md5 calls; it existed to
+    dodge the O(m²) argument-subtree trap of the naive two-transform
+    shape) is retired: the let binding is the strictly better third
+    option (2.5× measured, bit-identical sets — pinned by the parity
+    test against the retired form in tests/test_overflow_audit.py::
+    test_fingerprint_set_let_bit_identical).
     """
-    t = F.lower(F.substring(F.col(text_col) if isinstance(text_col, str) else text_col, 1, cap))
-    m = F.length(t) - F.lit(k - 1)  # number of k-grams
-    selected = F.transform(
-        F.sequence(F.lit(1), m - F.lit(w - 1)),
-        lambda j: F.least(*[_gram_hash(t, j + o, k) for o in range(w)]),
-    )
-    return F.when(m >= w, F.array_distinct(selected)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    return _fingerprint_set_let(text_col, k=k, w=w, cap=cap)
 
 
 def _fingerprint_set_let(
@@ -79,10 +71,11 @@ def _fingerprint_set_let(
     window minima read ``array_min(slice(hs, j, w))`` on the bound
     array. Measured 2.5× faster at sf0.1 (0.94 → 0.37 s).
 
-    Kept separate this round so :func:`winnow_fingerprints` (whose
-    hosting query holds a banked gate row) stays byte-identical;
-    round 11 unifies the two when winnow_fingerprint rotates into the
-    head (pre-committed in SURVEY.md).
+    Round 11 unified :func:`fingerprint_set` onto this implementation
+    (its winnow_fingerprint host rotated into the gate head as
+    pre-committed) — every fingerprint consumer now takes the O(m)
+    form; the retired least() shape survives only as the reference
+    implementation inside the parity test.
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     t0 = F.lower(F.substring(col, 1, cap))
@@ -123,14 +116,25 @@ def winnow_fingerprints(
     Documents whose capped text has fewer than w k-grams (length <
     k+w−1) legitimately have zero fingerprints — guarded CASE branches
     keep the expressions total instead of erroring on short rows.
+
+    Both outputs come off ONE ``F.inline`` of a let-bound struct so the
+    fingerprint set is built once per row: referencing ``fps`` from two
+    projection columns re-evaluates the whole md5 pipeline per column
+    (lambda-bearing expressions get no codegen subexpression
+    elimination) — measured 2× at sf0.1 (0.64 → 0.34 s), bit-identical.
     """
-    fps = fingerprint_set(text_col, k=k, w=w, cap=cap)
+    fps0 = fingerprint_set(text_col, k=k, w=w, cap=cap)
+
+    def _summary(fps: Column) -> Column:
+        return F.struct(
+            F.size(fps).alias("n_fingerprints"),
+            F.aggregate(
+                fps, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("fp_checksum"),
+        )
+
     return docs.select(
-        id_col,
-        F.size(fps).alias("n_fingerprints"),
-        F.aggregate(
-            fps, F.lit(0).cast("long"), lambda acc, x: acc + x
-        ).alias("fp_checksum"),
+        id_col, F.inline(F.array(F.element_at(F.transform(F.array(fps0), _summary), 1)))
     )
 
 

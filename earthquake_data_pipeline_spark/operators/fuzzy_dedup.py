@@ -31,16 +31,27 @@ def shingles_of(text: Column | str, n: int = 3) -> Column:
 
     Guarded: Spark's sequence(0, -k) yields a DESCENDING sequence, so a
     doc shorter than n tokens must short-circuit to an empty array.
+
+    The token array is LET-BOUND (``element_at(transform(array(expr),
+    toks -> body), 1)``) so tokenization runs once per row: a lambda
+    ARGUMENT subtree re-evaluates per element — the round-6
+    higher-order-function trap, re-found inside this helper by the
+    round-10 duplicate-eval scan (tokens_of re-split per shingle;
+    let-binding measured −40% on the shingle stage, bit-identical
+    output).
     """
-    toks = tokens_of(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n)),
-    )
-    return F.when(
-        F.size(toks) >= n, F.array_distinct(grams)
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _grams(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, (i + 1).cast("int"), n)),
+        )
+        return F.when(
+            F.size(toks) >= n, F.array_distinct(grams)
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens_of(text)), _grams), 1)
 
 
 # Affine MinHash family over the prime field p = 2^31 - 1:

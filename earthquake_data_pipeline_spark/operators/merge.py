@@ -149,10 +149,14 @@ def incremental_agg_merge(
     mergeable primitives (count/sum/min/max; avg derives as sum/n at
     read time; non-mergeable aggregates like exact median need their own
     sketch and are out of scope by design). Sums accumulate as integer
-    cents (exact decimal → long), so merging is associative with NO
+    cents in exact decimal(38,0), so merging is associative with NO
     float-order drift: merge(state, b1+b2) ≡ merge(merge(state, b1), b2)
     bit-for-bit — the property that makes replay/restatement safe, and
-    the one the unit tests pin.
+    the one the unit tests pin. decimal(38,0), not long (round-10
+    overflow audit, fixed r11): 10^12 rows of ~10^6-cent values sum to
+    ~10^18 — brushing int64 under the certified ANSI-off posture where
+    the wrap is silent — while decimal(38,0) is exact to 10^38. A long
+    sum_cents in a pre-existing state frame is accepted and promoted.
 
     Shape: aggregate the batch (one shuffle over batch keys only), then
     full-outer join with the state on the key and coalesce-merge — with
@@ -162,9 +166,9 @@ def incremental_agg_merge(
     key_list = list(keys)
     agg = batch.groupBy(*key_list).agg(
         F.count("*").alias("__b_n"),
-        F.sum((F.col(value_col).cast("decimal(18,2)") * 100).cast("long")).alias(
-            "__b_sum"
-        ),
+        F.sum(
+            (F.col(value_col).cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+        ).alias("__b_sum"),
         F.min(value_col).alias("__b_min"),
         F.max(value_col).alias("__b_max"),
     )
@@ -181,9 +185,9 @@ def incremental_agg_merge(
         (F.coalesce("__s_n", F.lit(0)) + F.coalesce("__b_n", F.lit(0))).alias(
             "n_rows"
         ),
-        (F.coalesce("__s_sum", F.lit(0)) + F.coalesce("__b_sum", F.lit(0))).alias(
-            "sum_cents"
-        ),
+        (F.coalesce("__s_sum", F.lit(0)) + F.coalesce("__b_sum", F.lit(0)))
+        .cast("decimal(38,0)")  # pin: stable schema across repeated merges
+        .alias("sum_cents"),
         F.least(
             F.coalesce("__s_min", "__b_min"), F.coalesce("__b_min", "__s_min")
         ).alias("min_v"),

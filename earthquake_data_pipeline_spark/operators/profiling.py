@@ -89,8 +89,16 @@ def histogram_drift(
     predicate defines (half 0 where true). Per key: half sizes and the
     scaled L1 histogram distance sum|c1·n2 − c2·n1| — zero iff the
     binned distributions are proportionally identical, and equal to
-    n1·n2·(L1 distance between the normalized histograms) without ever
-    forming a float.
+    n1·n2·(L1 distance between the normalized histograms).
+
+    Numeric envelope (round-10 overflow audit, fixed r11): at 10^12
+    rows per key the c·n cross products are ~10^24 — silent int64 wrap
+    under the certified ANSI-off posture — so the accumulation is exact
+    decimal(38,0) (the cms_join_size pattern) and ``drift_scaled`` is
+    emitted as DOUBLE: a drift statistic needs magnitude, not 25
+    significant digits, and the single value-determined decimal→double
+    cast is engine-identical (unlike float accumulation, which is
+    shuffle-order-dependent).
     """
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     binned = events.select(
@@ -114,8 +122,15 @@ def histogram_drift(
             F.max("n1").alias("n1"),
             F.max("n2").alias("n2"),
             F.sum(
-                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
-            ).alias("drift_scaled"),
+                F.abs(
+                    F.col("c1").cast("decimal(19,0)")
+                    * F.col("n2").cast("decimal(19,0)")
+                    - F.col("c2").cast("decimal(19,0)")
+                    * F.col("n1").cast("decimal(19,0)")
+                )
+            )
+            .cast("double")
+            .alias("drift_scaled"),
         )
         .select(
             F.col("k").alias(key_col), "n1", "n2", "drift_scaled"

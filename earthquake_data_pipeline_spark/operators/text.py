@@ -96,25 +96,42 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID via marker-token counts, argmax with lexicographic
-    tie-break (first language in sorted order wins ties)."""
-    toks = tokens_of(text_col)
+    tie-break (first language in sorted order wins ties).
 
-    def marker_count(markers):
-        # NB: F.filter treats a two-arg lambda as (element, index) — bind
-        # the marker array via an outer closure, never a default arg.
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    The token array is let-bound and both outputs come off ONE bound
+    struct: the naive form referenced ``tokens_of`` in every CASE
+    branch of the argmax ladder — 24 re-tokenizations per row after
+    CollapseProject (round-10 duplicate-eval scan) — where this shape
+    splits twice (once per emitted column), measured −26% at sf0.1
+    with bit-identical output.
+    """
 
-    scores = {lang: marker_count(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
-    best = F.greatest(*scores.values())
-    pick = None
-    for lang in sorted(LANG_MARKERS):  # first max in sorted order wins
-        cond = scores[lang] == best
-        pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+    def _result(toks: Column) -> Column:
+        def marker_count(markers):
+            # NB: F.filter treats a two-arg lambda as (element, index) —
+            # bind the marker array via an outer closure, never a
+            # default arg.
+            arr = F.array(*[F.lit(m) for m in markers])
+            return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+        scores = {
+            lang: marker_count(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)
+        }
+        best = F.greatest(*scores.values())
+        pick = None
+        for lang in sorted(LANG_MARKERS):  # first max in sorted order wins
+            cond = scores[lang] == best
+            pick = F.when(cond, lang) if pick is None else pick.when(cond, lang)
+        return F.struct(
+            pick.alias("detected_lang"),
+            best.cast("bigint").alias("lang_score"),
+        )
+
+    s = F.element_at(F.transform(F.array(tokens_of(text_col)), _result), 1)
     return df.select(
         "*",
-        pick.alias("detected_lang"),
-        best.cast("bigint").alias("lang_score"),
+        s.getField("detected_lang").alias("detected_lang"),
+        s.getField("lang_score").alias("lang_score"),
     )
 
 
@@ -148,20 +165,30 @@ def chunk_text(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens_of(text_col)
-    n = F.size(toks)
-    last_idx = F.greatest(
-        F.ceil((n - chunk_tokens) / F.lit(stride)), F.lit(0)
-    ).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), last_idx),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, chunk_tokens)
-            ).alias("chunk_text"),
-        ),
-    )
+
+    # Let-bound token array: the naive form read ``toks`` inside the
+    # per-chunk lambda, and a lambda ARGUMENT subtree re-evaluates per
+    # element — one full re-tokenization per chunk, O(chunks·m) work
+    # that the plan-text duplicate-eval scan cannot see (the subtree
+    # appears once in the plan). Binding it as a lambda variable makes
+    # chunking O(m) per doc; measured −28% at sf0.1 with bit-identical
+    # output, and the win grows with document length.
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        last_idx = F.greatest(
+            F.ceil((n - chunk_tokens) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), last_idx),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_tokens)
+                ).alias("chunk_text"),
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(tokens_of(text_col)), _chunks), 1)
     return df.select(
         "*", F.explode(chunks).alias("__chunk")
     ).select(

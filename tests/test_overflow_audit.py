@@ -145,15 +145,28 @@ def test_epoch_shuffle_checksum_is_modular_and_replayable(spark):
 
 
 def test_fingerprint_set_let_bit_identical(spark):
-    # the O(m)-md5 let-bound form must select EXACTLY the same
-    # fingerprints as the O(w*m) least()-based form for every shape:
-    # short-of-w docs, exact boundaries, longer-than-cap docs
+    # the let-bound O(m)-md5 form (now THE fingerprint_set, round-11
+    # unification) must select EXACTLY the same fingerprints as the
+    # retired round-6 O(w*m) least()-based form — reconstructed here as
+    # the reference implementation — for every shape: short-of-w docs,
+    # exact boundaries, longer-than-cap docs
     from pyspark.sql import functions as F
 
     from earthquake_data_pipeline_spark.operators.fingerprint import (
-        _fingerprint_set_let,
+        _gram_hash,
         fingerprint_set,
     )
+
+    def least_form(text_col, k, w, cap):
+        t = F.lower(F.substring(F.col(text_col), 1, cap))
+        m = F.length(t) - F.lit(k - 1)
+        selected = F.transform(
+            F.sequence(F.lit(1), m - F.lit(w - 1)),
+            lambda j: F.least(*[_gram_hash(t, j + o, k) for o in range(w)]),
+        )
+        return F.when(m >= w, F.array_distinct(selected)).otherwise(
+            F.array().cast("array<bigint>")
+        )
 
     texts = [
         "", "ab", "abcdefgh", "abcdefghijk",
@@ -166,7 +179,7 @@ def test_fingerprint_set_let_bit_identical(spark):
         out = df.select(
             "i",
             fingerprint_set("t", k=k, w=w, cap=cap).alias("a"),
-            _fingerprint_set_let("t", k=k, w=w, cap=cap).alias("b"),
+            least_form("t", k=k, w=w, cap=cap).alias("b"),
         ).collect()
         for r in out:
             assert r["a"] == r["b"], (k, w, cap, r["i"])

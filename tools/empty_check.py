@@ -35,17 +35,14 @@ from check import TABLES, normalize, value_repr  # noqa: E402
 _EMPTY_DIR = "/tmp/edps-empty-sf"
 _SCHEMA_SRC = "/root/testdata/sf0.001"
 
-# The nine documented round-10 findings (DESIGN.md, empty-input audit).
-# class "spark_error": crash-on-empty (driver-collected constants ->
-#   zero-arg array()/create_map() typed VOID) — REAL bugs, fixes
-#   deferred to round 11 with their hosts' gate seats.
+# The documented empty-input findings (DESIGN.md, round-10 audit;
+# round 11 fixed the four crash-on-empty rows — assign_clusters and
+# q_approx_stats now build typed null literals instead of zero-arg
+# array()/create_map() VOID literals, so those queries match the
+# oracle's empty result and any regression shows up as NEW drift).
 # class "divergence": engines disagree on empty-input semantics or the
-#   oracle SQL synthesizes rows the operator correctly does not.
+# oracle SQL synthesizes rows the operator correctly does not.
 KNOWN_EMPTY_DIVERGENCES: dict[str, str] = {
-    "kmeans_clusters": "spark_error",  # empty seed -> F.array() VOID
-    "semdedup_prune": "spark_error",  # same assign_clusters path
-    "cluster_purity": "spark_error",  # same assign_clusters path
-    "approx_stats": "spark_error",  # empty sketch -> create_map() VOID
     "kcenter_select": "divergence",  # oracle synthesizes k seed rows
     "rollup_agg": "divergence",  # SQL grand-total row over empty set
     "cube_agg": "divergence",  # same super-aggregate semantics
