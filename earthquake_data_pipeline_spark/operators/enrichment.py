@@ -163,10 +163,21 @@ def parse_polygon_dim(
             # but its Broadcasts on still-LIVE contexts would keep
             # executor-side blocks pinned until GC (ADVICE r09 — same
             # leak class as the stopped-context path in broadcast_for).
-            # Destroy them eagerly; dead-context handles just no-op.
-            for _, bc in evicted._bcs.values():
+            # Live contexts get unpersist, NOT destroy (ADVICE r10):
+            # parse_polygon_dim returns dims to callers, so a lazy
+            # DataFrame built earlier can still hold the Broadcast
+            # handle in its closure — destroy() would fail that job at
+            # action time ("Attempted to use Broadcast after it was
+            # destroyed"), while unpersist() frees the executor blocks
+            # and lets any late action re-fetch from the driver.
+            # destroy() is reserved for STOPPED contexts, where no
+            # action can ever run again.
+            for ctx, bc in evicted._bcs.values():
                 try:
-                    bc.destroy(blocking=False)
+                    if _sc_stopped(ctx):
+                        bc.destroy(blocking=False)
+                    else:
+                        bc.unpersist(blocking=False)
                 except Exception:
                     pass  # JVM already gone or handle already destroyed
             evicted._bcs.clear()
