@@ -95,13 +95,24 @@ def _calibrate_ms() -> float:
     well above 1 means someone else is eating the cores — the round-10
     137.9 s ghost sweep (quiet pre-load, +18% scattered elevation)
     would have shown it.
+
+    min-of-3 consecutive spins per sample point (ADVICE r10): a
+    one-shot spin can land on a momentary scheduler hiccup (GC, page
+    cache flush) and flip cal_noisy on an otherwise-quiet sweep — or a
+    lucky single post-sample can miss real co-tenancy. The minimum is
+    robust to transient preemption (a preempted spin only ever reads
+    HIGH), so both false directions shrink.
     """
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(2_000_000):
-        acc += i ^ (i >> 3)
-    _ = acc
-    return round((time.perf_counter() - t0) * 1000, 2)
+
+    def spin() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i ^ (i >> 3)
+        _ = acc
+        return time.perf_counter() - t0
+
+    return round(min(spin() for _ in range(3)) * 1000, 2)
 
 
 def main() -> None:

@@ -156,8 +156,10 @@ def zscore_outlier_stats(
     bit-for-bit because its integer sums are int128). Decimal envelope:
     cents ≤ 1e9 and n ≤ 1e9 per key keeps every product — dev² and
     T²·(n·SS − S²), both ~n²·cents² — under 10^38; past that Spark
-    raises (ANSI) or nulls the flag (permissive) instead of silently
-    wrapping. The reported mean is an int/int ratio (decimal→double
+    raises (ANSI) or nulls the flag (permissive) — and because F.sum
+    would silently SKIP a nulled flag, an assert_true tripwire on the
+    null count fails the query loudly instead of undercounting
+    (ADVICE r10). The reported mean is an int/int ratio (decimal→double
     cast is value-determined, not order-dependent), tie-free under the
     round6x contract.
 
@@ -206,13 +208,32 @@ def zscore_outlier_stats(
         .agg(
             F.count("*").alias("n_events"),
             F.sum("is_outlier").alias("n_outliers"),
+            # overflow tripwire (ADVICE r10): a breached decimal
+            # envelope nulls is_outlier in a permissive session and
+            # F.sum would silently SKIP it — count the nulls so the
+            # breach is surfaced, not absorbed
+            F.sum(F.col("is_outlier").isNull().cast("int")).alias(
+                "__n_overflow"
+            ),
             F.max("n").alias("n"),  # constant per key
             F.max("s").alias("s"),
         )
         .select(
             F.col("k").alias(key_col),
             "n_events",
-            "n_outliers",
+            # assert_true returns NULL when the guard holds, so the
+            # coalesce passes n_outliers through untouched in-envelope
+            # and raises LOUDLY (both ANSI and permissive) the moment
+            # any flag overflowed to null
+            F.coalesce(
+                F.assert_true(
+                    F.col("__n_overflow") == 0,
+                    "zscore_outlier_stats: decimal envelope breached — "
+                    "is_outlier overflowed to null; n_outliers would "
+                    "silently undercount",
+                ).cast("long"),
+                F.col("n_outliers"),
+            ).alias("n_outliers"),
             # decimal→double first: the oracle divides int/int into a
             # DOUBLE, so the dividend must be the same double here
             round6x(

@@ -90,14 +90,28 @@ def reuse(df: DataFrame, eager: bool = False) -> DataFrame:
     - ``persist``: ``MEMORY_AND_DISK`` cache — keeps lineage, so tasks
       recompute after executor loss instead of failing the job. The
       trade: columnar encode cost per build, and Dataset cache entries
-      are held by the CacheManager until explicitly unpersisted (NOT
-      GC-cleaned like checkpoint RDD blocks) — a long-lived driver must
-      ``spark.catalog.clearCache()`` between jobs, which is why this is
-      an opt-in, not the default.
+      are held by the CacheManager until explicitly unpersisted — a
+      long-lived driver must ``spark.catalog.clearCache()`` between
+      jobs, which is why this is an opt-in, not the default.
 
-    All flavors are lazy unless ``eager=True`` (first action
+    Reliable-flavor mechanics (ADVICE r10): ``Dataset.checkpoint`` does
+    NOT cache before checkpointing — the checkpoint job RECOMPUTES the
+    subtree, so an unpinned reliable checkpoint pays the plan twice.
+    This helper therefore persists (MEMORY_AND_DISK) before a reliable
+    checkpoint, materializes EAGERLY (ignoring ``eager=False`` — a lazy
+    reliable pin would strand its staging cache until session cleanup,
+    one entry per call in iterative drivers like connected_components),
+    and unpersists as soon as the checkpoint files exist. Reliable
+    checkpoint FILES are cleaned by the ContextCleaner only when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set in
+    session.get_spark); on a foreign session without it, a long-lived
+    driver leaks checkpoint-dir storage per pin and should clean its
+    checkpoint dir itself.
+
+    Local/persist flavors are lazy unless ``eager=True`` (first action
     materializes the pin); results are identical across flavors — only
-    recovery semantics and storage residency differ.
+    recovery semantics, storage residency, and materialization timing
+    differ.
     """
     mode = os.environ.get("SPARK_GRAFT_REUSE", "auto")
     if mode == "persist":
@@ -111,7 +125,16 @@ def reuse(df: DataFrame, eager: bool = False) -> DataFrame:
         has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
         mode = "reliable" if has_dir else "local"
     if mode == "reliable":
-        return df.checkpoint(eager=eager)
+        from pyspark.storagelevel import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # always eager: the checkpoint job fills the cache, writes the
+        # files from it, and the staging cache is dropped immediately —
+        # a lazy pin could not unpersist (its checkpoint job would not
+        # have run yet) and would strand one cache entry per call
+        out = cached.checkpoint(eager=True)
+        cached.unpersist(blocking=False)
+        return out
     return df.localCheckpoint(eager=eager)
 
 

@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Reliable checkpoints (qcommon.reuse with a checkpoint dir) are
+        # only GC-cleaned by the ContextCleaner with this flag; without
+        # it a long-lived driver leaks checkpoint-dir storage per pin
+        # (ADVICE r10). Harmless when no checkpoint dir is set.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

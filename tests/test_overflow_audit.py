@@ -183,3 +183,35 @@ def test_fingerprint_set_let_bit_identical(spark):
         ).collect()
         for r in out:
             assert r["a"] == r["b"], (k, w, cap, r["i"])
+
+
+def test_zscore_overflow_tripwire_fails_loud_in_permissive_session(spark):
+    """ADVICE r10: in a permissive (ANSI-off) session a breached decimal
+    envelope nulls is_outlier and F.sum would silently skip it. The
+    assert_true tripwire must turn that into a loud failure instead of
+    an undercounted n_outliers."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        zscore_outlier_stats,
+    )
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        # 1e17 overflows the decimal(18,2) cents cast -> null cents ->
+        # null comparison -> null is_outlier (permissive semantics)
+        ev = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 1e17)], ["event_type", "value"]
+        )
+        with pytest.raises(Exception, match="envelope breached"):
+            zscore_outlier_stats(ev).collect()
+        # in-envelope inputs still pass through the tripwire untouched
+        ok = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0)], ["event_type", "value"]
+        )
+        rows = zscore_outlier_stats(ok).collect()
+        assert rows[0]["n_outliers"] == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -118,3 +118,46 @@ def test_prefix_filter_join_is_flavor_invariant(spark, monkeypatch, tmp_path, mo
         if mode == "persist":
             spark.catalog.clearCache()
     assert got == [(1, 2), (1, 4), (2, 4), (3, 5)]
+
+
+def test_reliable_reuse_computes_once_and_drops_staging_cache(
+    spark, monkeypatch, tmp_path
+):
+    """ADVICE r10: Dataset.checkpoint does NOT cache first — the
+    checkpoint pass RE-COMPUTES the subtree (2x the plan) unless reuse()
+    stages it through a persist. Pin both halves of the fix: the subtree
+    evaluates exactly once per row, and the staging cache is gone once
+    the checkpoint files exist (no per-pin cache residue in iterative
+    drivers)."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.qcommon import reuse
+
+    monkeypatch.setenv("SPARK_GRAFT_REUSE", "reliable")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(x):
+        acc.add(1)
+        return x
+
+    u = F.udf(counting, "long")
+    try:
+        # other tests' localCheckpoint blocks share the session's RDD
+        # storage — diff against a pre-snapshot instead of asserting 0
+        pre = {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+        base = spark.range(0, 100, 1, 4).select(u("id").alias("id"))
+        out = reuse(base)  # reliable: eager persist+checkpoint+unpersist
+        assert acc.value == 100, "checkpoint pass recomputed the subtree"
+        # the staging cache must not linger after the files are written
+        infos = [
+            i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.id() not in pre
+        ]
+        assert len(infos) == 0, [i.name() for i in infos]
+        # and the pinned frame replays from the checkpoint, not the plan
+        assert out.count() == 100
+        assert acc.value == 100, "action re-ran the original subtree"
+    finally:
+        _reset_checkpoint_dir(spark)
