@@ -2276,84 +2276,65 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 # sentinels cover the round-10 txnlog vacuum churn per VERDICT r09
 # item 3 (txnlog hosts no catalog query).
 _GATE_FIRST = [
-    # ---- round-10 head (executes the deferred round-9 rotation) ----
-    # (2) round-10 churn — queries whose called operator changed this
-    #     round: enrichment.py's _DIM_CACHE eviction now destroys the
-    #     evicted dim's live-context broadcasts (ADVICE r09); the
-    #     prefix-filter candidate stage (fuzzy_dedup.py) and k-center
-    #     (clustering.py) take the VERDICT-r09 profiling/coreset work;
-    #     split_oversized_clusters' sub key became an md5 bucket
-    #     (strided-id degeneracy found by the constants sweep), churning
-    #     semdedup_prune's plan AND its oracle SQL; bucket_pairs gained
-    #     the star_over hot-bucket guard (duplicate-mass quadratic
-    #     blow-up), churning dedup_components + dedup_keep_list (their
-    #     oracles still replay the clique — that equality IS the
-    #     component-invariance proof) and, via the shared module, every
-    #     other bucket_pairs/minhash_lsh_pairs consumer: minhash_lsh,
-    #     lsh_jaccard_refine, embedding_near_dup_lsh (all default-path,
-    #     seated anyway), lsh_recall_audit (already seated above).
-    #     Late-round count-first guards (collect-before-filter OOM
-    #     class): fingerprint_match_pairs hosts fingerprint_dedup +
-    #     ngram_containment; inverted_index hosts inverted_index.
-    #     Late-round reuse() seam (qcommon.reuse replaces direct
-    #     localCheckpoint at every head-covered site; default flavor
-    #     byte-identical): adds exact_substring_pairs' host
-    #     exact_substring_dup and q_token_bucket's token_bucket to the
-    #     churn set (all other touched functions' hosts were already
-    #     seated below).
-    "spatial_join", "enrich_events", "enrich_coalesce",
-    "regex_token_match", "prefix_filter_join", "lsh_recall_audit",
-    "kcenter_select", "semdedup_prune", "dedup_components",
-    "dedup_keep_list", "minhash_lsh", "lsh_jaccard_refine",
-    "embedding_near_dup_lsh", "fingerprint_dedup", "ngram_containment",
-    "inverted_index", "exact_substring_dup", "token_bucket",
-    # (3) table-type sentinels for the round-10 txnlog churn (vacuum
-    #     stage-dir age guard; txnlog hosts no catalog query):
-    #     events / documents / lineitem / embeddings
+    # ---- round-11 head (executes the pre-committed r11 churn list +
+    #      the r06-pool retirement sketched at round-10 close) ----
+    # (2) round-11 churn — queries whose code/oracle/called operator
+    #     changed this round:
+    #     * shingles_of let-binding (fuzzy_dedup.py — the round-10
+    #       dupe-eval scan's one genuine class) churns every shingle
+    #       consumer: minhash_lsh, lsh_jaccard_refine, dedup_components,
+    #       dedup_keep_list, ngram_jaccard, ngram_containment,
+    #       prefix_filter_join, lsh_recall_audit, eval_overlap,
+    #       doc_repetition;
+    #     * text.py let-bindings: language_id hosts lang_id; chunk_text
+    #       hosts chunk_documents; (quality_score / redact_pii measured
+    #       no-win and left untouched — DESIGN.md r11);
+    #     * q_array_suite inline rewrite, q_approx_stats create_map
+    #       empty guard, q_incremental_agg decimal cents (ext);
+    #     * assign_clusters empty-seed guard churns kmeans_clusters,
+    #       semdedup_prune, cluster_purity (+ its Σc² decimal fix);
+    #     * histogram_drift c·n decimal fix (profiling.py);
+    #     * fingerprint_set→let unification hosts winnow_fingerprint
+    #       (fingerprint_match_pairs calls _fingerprint_set_let
+    #       directly — byte-untouched, so fingerprint_dedup's r10 row
+    #       stands);
+    #     * enrichment.py LRU unpersist fix (ADVICE r10 medium) churns
+    #       the polygon-dim path: spatial_join, enrich_coalesce,
+    #       enrich_events (regex_token_match takes no dim — unchurned);
+    #     * packing.py pack_documents refactor hosts pack_sequences +
+    #       length_batching;
+    #     * analytics.py zscore overflow-guard (ADVICE r10) hosts
+    #       zscore_outliers.
+    "prefix_filter_join", "lsh_recall_audit", "minhash_lsh",
+    "lsh_jaccard_refine", "dedup_components", "dedup_keep_list",
+    "ngram_jaccard", "ngram_containment", "eval_overlap",
+    "doc_repetition", "lang_id", "chunk_documents", "array_suite",
+    "approx_stats", "incremental_agg", "kmeans_clusters",
+    "semdedup_prune", "cluster_purity", "histogram_drift",
+    "winnow_fingerprint", "spatial_join", "enrich_coalesce",
+    "enrich_events", "pack_sequences", "length_batching",
+    "zscore_outliers",
+    # (3) table-type sentinels for the round-11 qcommon.py churn
+    #     (reuse() reliable-flavor persist-before-checkpoint fix,
+    #     ADVICE r10): events / documents / lineitem / embeddings
     "yearly_stats", "token_stats", "fact_fact_join",
     "embedding_near_dup",
-    # (4a) the COMPLETE r05 bank — 20 rows, the oldest proofs in the
-    #      ledger (due for refresh since round 9); retires the r05
-    #      generation entirely
-    "tfidf_top_terms", "hash_sample", "corpus_curation",
-    "multimodal_features", "salted_join", "usgs_pipeline",
-    "range_frame", "grouping_sets", "sessionization", "asof_join",
-    "json_extract", "range_join", "null_census", "gap_fill",
-    "approx_stats", "codec_roundtrip", "label_centroids",
-    "url_domains", "value_histogram", "eval_overlap",
-    # (4b) the once-proven r06 stream queries (gate-proven streaming
-    #      is the only driver evidence the streaming stack gets)
-    "stream_dedup_days", "stream_window_counts",
-    "stream_running_totals",
-    # (2, late-round) numeric-envelope overflow fixes (round-10 audit):
-    #     cms_join_size (count-product sums → decimal, double outputs,
-    #     oracle churned), epoch_shuffle (modular checksum, oracle
-    #     churned), zscore_outliers / hourly_profile / trend_fit
-    #     (decimal moments, Spark-side only). These take the five 4c
-    #     fill seats (approx_distinct, approx_quality_bins,
-    #     bigram_lm_score, bloom_prune, boilerplate_strip returned to
-    #     the r06 pool). The SIXTH audit finding, cluster_purity's
-    #     Σc² (driver_queries_r7.py::q_cluster_purity), is DEFERRED —
-    #     no seat left without breaking the r05-retirement commitment;
-    #     its code is untouched this round and it leads the round-11
-    #     churn list together with histogram_drift's c·n products
-    #     (profiling.py, also untouched).
-    "cms_join_size", "epoch_shuffle", "zscore_outliers",
-    "hourly_profile", "trend_fit",
-    # still banked on r06 rows (round-11's oldest-first pool, 35):
-    # approx_distinct, approx_quality_bins, bigram_lm_score,
-    # bloom_prune, boilerplate_strip, char_diversity, cohort_retention,
-    # column_profile, compaction_plan, cumulative_reach,
-    # domain_mixture, event_debounce, event_transitions,
-    # exact_substring_dup, expectations_report,
-    # fact_reconciliation, funnel_steps,
-    # funnel_windowed, heavy_hitters,
-    # histogram_drift, incremental_agg, interval_merge,
-    # join_explosion, length_batching, mad_outliers, mp4_probe,
-    # quality_deciles, rfm_segments, scd2_snapshot,
-    # snapshot_diff, split_assignment, top_p_select, url_canonical,
-    # winnow_fingerprint, zorder_layout
+    # (4) the r06 pool, oldest-first per the round-10 tail-comment
+    #     order — 20 of the 31 remaining rows (histogram_drift,
+    #     incremental_agg, winnow_fingerprint, length_batching rotate
+    #     in as churn above); the 11 leftovers lead round 12:
+    #     join_explosion, mad_outliers, mp4_probe, quality_deciles,
+    #     rfm_segments, scd2_snapshot, snapshot_diff, split_assignment,
+    #     top_p_select, url_canonical, zorder_layout
+    "approx_distinct", "approx_quality_bins", "bigram_lm_score",
+    "bloom_prune", "boilerplate_strip", "char_diversity",
+    "cohort_retention", "column_profile", "compaction_plan",
+    "cumulative_reach", "domain_mixture", "event_debounce",
+    "event_transitions", "exact_substring_dup", "expectations_report",
+    "fact_reconciliation", "funnel_steps", "funnel_windowed",
+    "heavy_hitters", "interval_merge",
 ]
+
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
 
 
