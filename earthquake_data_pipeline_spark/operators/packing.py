@@ -10,11 +10,13 @@ operators in this package.
 Design for 100 TB:
 - ``pack_documents`` is greedy FIRST-FIT-IN-ORDER within a shard — the
   packing decision is inherently sequential, so the parallel unit is the
-  SHARD, not the row: ``groupBy(shard).applyInPandas`` gives each shard
-  one Arrow-batched pandas pass. Shard count is the parallelism knob;
-  shards are hash-assigned so they stay balanced and each must fit one
-  executor's memory (docs-per-shard × row width — the same contract any
-  grouped-map operator carries).
+  SHARD, not the row: a shard-hash exchange + partition-local sort feeds
+  a streaming ``mapInPandas`` whose per-shard (bin_id, fill) state
+  survives Arrow batch boundaries. Shard count is the parallelism knob;
+  shards are hash-assigned so they stay balanced, and a shard LARGER
+  than one task's memory streams through in O(arrow_batch) residency
+  (round-11 — the round-10 hot-key audit's per-key residency fix; the
+  old grouped-map form required whole-shard residency).
 - Determinism everywhere: shard = hash-mod of the id, packing order =
   id order. Re-running on the same input yields byte-identical bins —
   resumable exports, reproducible training batches, and a SQL oracle
@@ -45,9 +47,10 @@ def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
 
 def greedy_pack(token_counts, budget: int):
     """The pure greedy first-fit-in-order fold: token counts (in packing
-    order) → [(bin_id, running_fill_after_placement)]. Factored out of the
-    grouped-map stage so its invariants are property-testable without a
-    Spark job."""
+    order) → [(bin_id, running_fill_after_placement)]. The reference
+    implementation the streaming mapInPandas stage must replay row for
+    row — kept separate so its invariants are property-testable without
+    a Spark job."""
     out = []
     bin_id, fill = 0, 0
     first = True
@@ -80,6 +83,18 @@ def pack_documents(
     ``text.chunk_documents``). Output: one row per doc with its
     ``bin_id`` (dense, 0-based per shard) and the running ``bin_fill``
     after placement.
+
+    Execution shape (hot-key safe, round-11 — the token_bucket_admit
+    template): one hash exchange on the shard key, a partition-local
+    (shard, id) sort, then a streaming ``mapInPandas`` stage whose
+    per-shard (bin_id, fill) state survives Arrow batch boundaries.
+    The old ``groupBy(shard).applyInPandas`` form required EVERY row of
+    a shard resident in one task's memory at once — the per-key
+    residency class from the round-10 hot-key audit; a 100 TB corpus
+    over a few thousand shards breaks that contract long before the
+    packing arithmetic does. This form holds O(arrow_batch +
+    shards_per_partition) regardless of shard size, and the fold is
+    identical (greedy_pack replays it row for row).
     """
     out_schema = T.StructType(
         [
@@ -91,25 +106,55 @@ def pack_documents(
         ]
     )
 
-    def pack(pdf):
+    def pack_stream(batches):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values(id_col, kind="mergesort")
-        packed = greedy_pack(pdf[tokens_col], budget)
-        bins = [b for b, _ in packed]
-        fills = [f for _, f in packed]
-        return pd.DataFrame(
-            {
-                shard_col: pdf[shard_col].values,
-                id_col: pdf[id_col].values,
-                "n_tokens": pdf[tokens_col].astype("int64").values,
-                "bin_id": bins,
-                "bin_fill": fills,
-            }
-        )
+        state: dict = {}  # shard -> (bin_id, fill, started)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sarr = pdf[shard_col].to_numpy()
+            toks = pdf[tokens_col].to_numpy().astype("int64")
+            bins = np.empty(n, dtype=np.int64)
+            fills = np.empty(n, dtype=np.int64)
+            # contiguous shard runs (the partition is sorted by shard, id)
+            starts = np.flatnonzero(
+                np.concatenate(([True], sarr[1:] != sarr[:-1]))
+            )
+            bounds = np.append(starts, n)
+            for s, t in zip(bounds[:-1], bounds[1:]):
+                key = sarr[s]
+                key = key.item() if hasattr(key, "item") else key
+                bin_id, fill, started = state.get(key, (0, 0, False))
+                for i in range(s, t):
+                    tok = toks[i]
+                    if not started:
+                        started, fill = True, tok
+                    elif fill + tok <= budget:
+                        fill += tok
+                    else:
+                        bin_id += 1
+                        fill = tok
+                    bins[i] = bin_id
+                    fills[i] = fill
+                state[key] = (bin_id, fill, started)
+            yield pd.DataFrame(
+                {
+                    shard_col: pdf[shard_col],
+                    id_col: pdf[id_col],
+                    "n_tokens": toks,
+                    "bin_id": bins,
+                    "bin_fill": fills,
+                }
+            )
 
-    return df.select(shard_col, id_col, tokens_col).groupBy(shard_col).applyInPandas(
-        pack, out_schema
+    return (
+        df.select(shard_col, id_col, tokens_col)
+        .repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, id_col)
+        .mapInPandas(pack_stream, out_schema)
     )
 
 

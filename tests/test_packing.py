@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from earthquake_data_pipeline_spark.operators.packing import (
     export_shards,
+    greedy_pack,
     pack_documents,
     with_shard,
 )
@@ -88,3 +89,37 @@ def test_export_shards_writes_dirs_and_manifest(spark, tmp_path):
         .collect()
     }
     assert rederived == on_disk
+
+
+def test_pack_documents_hot_shard_state_survives_arrow_batches(spark):
+    """Round-11 per-key-residency fix (token_bucket template): a shard
+    with far more docs than one Arrow batch must stream through the
+    mapInPandas stage with rolling (bin_id, fill) state and replay the
+    pure greedy_pack fold bit-exactly — the probe that pins O(batch)
+    residency instead of whole-shard residency."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "64")
+    try:
+        # one hot shard (1000 docs) + one small shard interleaved
+        rows = [(i * 2, i * 2 % 2, 30 + (i % 17)) for i in range(1000)] + [
+            (i * 2 + 1, (i * 2 + 1) % 2, 10 + (i % 5)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, shard int, n_tokens long")
+        got = {
+            r["doc_id"]: (r["bin_id"], r["bin_fill"])
+            for r in pack_documents(df, budget=256).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    exp = {}
+    for shard in (0, 1):
+        docs = sorted((d, t) for d, s, t in rows if s == shard)
+        packed = greedy_pack([t for _, t in docs], 256)
+        for (d, _), (b, f) in zip(docs, packed):
+            exp[d] = (b, f)
+    assert got == exp

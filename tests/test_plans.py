@@ -112,9 +112,12 @@ def test_simhash_is_map_only(spark):
 def test_pack_sequences_single_shard_exchange(spark):
     plan = plan_of(spark, "pack_sequences")
     # greedy packing is sequential per shard: exactly one hash exchange
-    # (on the shard key) feeds the grouped-map stage; no other shuffle
+    # (on the shard key) + a partition-local sort feed the STREAMING
+    # mapInPandas stage (round-11 residency fix — no grouped-map, which
+    # required whole-shard task residency); no other shuffle
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
 
 
