@@ -298,3 +298,48 @@ def test_incremental_agg_merge_new_keys_and_empty_batch(spark):
     empty = batch.filter(F.lit(False))
     out2 = {r["k"]: r for r in incremental_agg_merge(state, empty, ["k"], "v").collect()}
     assert out2["a"]["n_rows"] == 2 and len(out2) == 1
+
+
+def test_dedup_keep_first_matches_window_form_under_total_order(spark):
+    """Round-11 window-skew audit: the aggregate twin must be
+    row-for-row identical to dedup_row_number whenever the tiebreak is
+    a total order — including across Arrow/partition boundaries and
+    with a 90%-duplicate hot key (the case the window form serializes
+    into one task)."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        dedup_keep_first,
+        dedup_row_number,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        # hot key: 90% of rows share k=0
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97).alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 31 % 1000).alias("v"),
+    )
+    a = sorted(
+        (r["k"], r["rid"], r["v"])
+        for r in dedup_row_number(df, ["k"], tiebreak=["v", "rid"]).collect()
+    )
+    b = sorted(
+        (r["k"], r["rid"], r["v"])
+        for r in dedup_keep_first(df, ["k"], tiebreak=["v", "rid"]).collect()
+    )
+    assert a == b
+    assert len(a) == len({k for k, _, _ in a})  # exactly one row per key
+
+
+def test_dedup_keep_first_plan_is_partial_aggregate(spark):
+    """The point of the aggregate twin: map-side partial aggregation
+    (skew reduces before the shuffle) and NO window exchange."""
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+
+    df = spark.range(100).selectExpr("id % 5 AS k", "id AS rid")
+    plan = dedup_keep_first(df, ["k"], tiebreak=["rid"])._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "Window" not in plan
