@@ -2304,7 +2304,13 @@ _GATE_FIRST = [
     #     * packing.py pack_documents refactor hosts pack_sequences +
     #       length_batching;
     #     * analytics.py zscore overflow-guard (ADVICE r10) hosts
-    #       zscore_outliers.
+    #       zscore_outliers;
+    #     * similarity.cosine let-binding (norm folds evaluated once —
+    #       −34% measured) churns cosine_topk, ann_lsh, ann_ivf (and
+    #       semdedup_prune, already seated above) — these three take
+    #       the last three pool seats by churn priority; dedup_keep_list
+    #       (seated above) also churned: keep-winner is now an argmin
+    #       aggregate (window-skew audit).
     "prefix_filter_join", "lsh_recall_audit", "minhash_lsh",
     "lsh_jaccard_refine", "dedup_components", "dedup_keep_list",
     "ngram_jaccard", "ngram_containment", "eval_overlap",
@@ -2313,16 +2319,18 @@ _GATE_FIRST = [
     "semdedup_prune", "cluster_purity", "histogram_drift",
     "winnow_fingerprint", "spatial_join", "enrich_coalesce",
     "enrich_events", "pack_sequences", "length_batching",
-    "zscore_outliers",
+    "zscore_outliers", "cosine_topk", "ann_lsh", "ann_ivf",
     # (3) table-type sentinels for the round-11 qcommon.py churn
     #     (reuse() reliable-flavor persist-before-checkpoint fix,
     #     ADVICE r10): events / documents / lineitem / embeddings
     "yearly_stats", "token_stats", "fact_fact_join",
     "embedding_near_dup",
     # (4) the r06 pool, oldest-first per the round-10 tail-comment
-    #     order — 20 of the 31 remaining rows (histogram_drift,
+    #     order — 17 of the 31 remaining rows (histogram_drift,
     #     incremental_agg, winnow_fingerprint, length_batching rotate
-    #     in as churn above); the 11 leftovers lead round 12:
+    #     in as churn above; the cosine churn claims the last three
+    #     seats by priority); the 14 leftovers lead round 12:
+    #     funnel_windowed, heavy_hitters, interval_merge,
     #     join_explosion, mad_outliers, mp4_probe, quality_deciles,
     #     rfm_segments, scd2_snapshot, snapshot_diff, split_assignment,
     #     top_p_select, url_canonical, zorder_layout
@@ -2331,8 +2339,7 @@ _GATE_FIRST = [
     "cohort_retention", "column_profile", "compaction_plan",
     "cumulative_reach", "domain_mixture", "event_debounce",
     "event_transitions", "exact_substring_dup", "expectations_report",
-    "fact_reconciliation", "funnel_steps", "funnel_windowed",
-    "heavy_hitters", "interval_merge",
+    "fact_reconciliation", "funnel_steps",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
