@@ -124,10 +124,69 @@ def run_flavor(flavor: str) -> str:
         time.sleep(3)
 
 
+def run_mid_stage_kill() -> str:
+    """Live task-retry determinism: kill every executor WHILE a job is
+    running (not between actions). The standalone master relaunches
+    executors, Spark retries the dead tasks, and the job must complete
+    with results identical to an undisturbed run — the property the
+    round-10 retry-determinism audit verified by inspection, driven
+    here for real. The job is a deterministic md5-heavy aggregate over
+    64 partitions (~10 s undisturbed) so the kill reliably lands
+    mid-stage."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    os.environ["SPARK_GRAFT_REUSE"] = "auto"
+    spark = fresh_session("midstage")
+    try:
+        def job():
+            return (
+                spark.range(0, 400_000, 1, 64)
+                .select(
+                    (F.col("id") % 193).alias("k"),
+                    F.md5(F.md5(F.col("id").cast("string"))).alias("h"),
+                )
+                .groupBy("k")
+                .agg(F.count("*").alias("n"), F.max("h").alias("mx"))
+            )
+
+        baseline = sorted((r["k"], r["n"], r["mx"]) for r in job().collect())
+        killed: list[int] = []
+
+        def killer():
+            time.sleep(2)  # land inside the stage
+            killed.extend(kill_all_executors())
+
+        t = threading.Thread(target=killer)
+        t.start()
+        try:
+            disturbed = sorted(
+                (r["k"], r["n"], r["mx"]) for r in job().collect()
+            )
+        except Exception as e:  # noqa: BLE001 - the experiment records it
+            t.join()
+            return f"JOB FAILED under mid-stage kill ({type(e).__name__})"
+        t.join()
+        if not killed:
+            return "INCONCLUSIVE (no executors killed — job too fast?)"
+        ok = disturbed == baseline
+        return (
+            f"SURVIVES mid-stage kill of pids {killed}: task retries "
+            f"returned {'identical' if ok else 'DIFFERENT'} results"
+        )
+    finally:
+        try:
+            spark.stop()
+        except Exception:
+            pass
+
+
 def main() -> int:
     for flavor in ("reliable", "persist", "local"):
         verdict = run_flavor(flavor)
         print(f"VERDICT {flavor}: {verdict}", flush=True)
+    print(f"VERDICT mid-stage-retry: {run_mid_stage_kill()}", flush=True)
     return 0
 
 
