@@ -90,3 +90,22 @@ def test_testdata_schema_contract(table):
                 f"families {families} — update the reader AND this contract"
             )
     assert not problems, "\n".join(problems)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="no testdata mounted")
+def test_documents_text_has_no_vertical_tab():
+    """Cross-engine tokenization dialect pin (round-11 fuzz finding):
+    Java's \\s matches VERTICAL TAB (\\x0B) but RE2's — and therefore
+    DuckDB's regexp_split_to_array — does not, so a document containing
+    \\x0B would tokenize differently in the engine and the oracle. Every
+    other probed whitespace/exotic character (NBSP, em space,
+    ideographic space, zero-width space, \\f, \\r\\n) agrees. The corpus
+    contract therefore excludes \\x0B; if the generator ever emits it,
+    this names the divergence instead of a cryptic hash mismatch."""
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    bad = [
+        i
+        for i, v in enumerate(tbl.column("text").to_pylist())
+        if v and "\x0b" in v
+    ]
+    assert not bad, f"documents rows with \\x0B (Java-only whitespace): {bad[:5]}"
