@@ -4,6 +4,17 @@ Local-mode defaults match the test/bench container (local[N], single JVM);
 the same config block is what we would ship to a 1000-executor cluster with
 only the master/memory lines swapped — AQE, UTC timestamps, and Arrow are
 scale-independent choices.
+
+Multi-executor deployment contract (round-11 multi-JVM axis): this
+package must be IMPORTABLE on the executors' Python workers —
+cloudpickle serializes the module-level helpers inside the mapInPandas
+operators (spatial ray-cast, codec kernels, USGS fetchers) by module
+REFERENCE, not by value, so a worker that cannot import
+``earthquake_data_pipeline_spark`` dies with ModuleNotFoundError on
+first use. pip-install the package into the executor image, ship a zip
+via ``--py-files``, or set ``spark.executorEnv.PYTHONPATH``;
+tools/multijvm_check.py proves the full catalog across real process
+boundaries on ``local-cluster[2,4]``.
 """
 
 from __future__ import annotations
