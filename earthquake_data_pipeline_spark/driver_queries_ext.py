@@ -920,13 +920,13 @@ def q_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("initials5"),
             )
 
-        return F.element_at(
-            F.transform(F.array(F.array_distinct(toks)), _with_arr), 1
-        )
+        from .qcommon import let
 
-    s = F.element_at(
-        F.transform(F.array(F.split(F.lower(F.trim("text")), r"\s+")), _outputs), 1
-    )
+        return let(F.array_distinct(toks), _with_arr)
+
+    from .qcommon import let
+
+    s = let(F.split(F.lower(F.trim("text")), r"\s+"), _outputs)
     return docs.select("doc_id", F.inline(F.array(s))).orderBy("doc_id")
 
 

@@ -183,7 +183,15 @@ def zscore_outlier_stats(
     cents = (
         (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     ).alias("cents")
-    ev = events.select(F.col(key_col).alias("k"), cents)
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        cents,
+        # presence of the RAW value: distinguishes a legitimately-NULL
+        # input row (skipped by the sums, matching the oracle — must
+        # not trip the overflow guard) from a present value whose
+        # cents cast or comparison overflowed to null (must trip)
+        F.col(value_col).isNotNull().alias("has_value"),
+    )
     cents_d = F.col("cents").cast("decimal(19,0)")
     stats = ev.groupBy("k").agg(
         F.count("*").alias("n"),
@@ -200,6 +208,13 @@ def zscore_outlier_stats(
         "n",
         "s",
         (dev * dev > F.lit(t2) * var_n3).cast("int").alias("is_outlier"),
+        # tripwire scope: a NULL flag is only an OVERFLOW when the raw
+        # input value was present (a NULL value_col row has always been
+        # skipped by the sum, matching the oracle — must not trip; a
+        # PRESENT value whose cents cast overflowed must)
+        (F.col("is_outlier").isNull() & F.col("has_value"))
+        .cast("int")
+        .alias("__overflowed"),
     )
     from ..qcommon import round6x
 
@@ -212,7 +227,7 @@ def zscore_outlier_stats(
             # envelope nulls is_outlier in a permissive session and
             # F.sum would silently SKIP it — count the nulls so the
             # breach is surfaced, not absorbed
-            F.sum(F.col("is_outlier").isNull().cast("int")).alias(
+            F.sum("__overflowed").alias(
                 "__n_overflow"
             ),
             F.max("n").alias("n"),  # constant per key

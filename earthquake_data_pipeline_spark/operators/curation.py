@@ -246,9 +246,10 @@ def dedup_keep_list(
     duplicate-mass components (10^9 byte-identical copies of a hot
     page) are exactly where this operator runs, so the hot component
     became an unsplittable straggler (windows are AQE-opaque). The
-    winner is now an ARGMIN AGGREGATE — min of the (−quality, id)
-    struct, lexicographic, identical to the (quality desc, id asc)
-    total order for the numeric quality this contract takes — which
+    winner is now an ARGMIN AGGREGATE — min of a (null-rank, nan-rank,
+    −quality, id) struct, lexicographically identical to the window's
+    (quality DESC NULLS LAST, id ASC) total order including NULL and
+    NaN quality (review-hardened round 11) — which
     partial-aggregates map-side, plus a component-count-sized stats
     join that AQE can skew-split: measured −45% on a 400k-row hot
     component at local[32], bit-identical output. The quality join and
@@ -262,11 +263,25 @@ def dedup_keep_list(
         F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality")
     )
     j = comp.join(q, "doc_id")
+    # argmin struct replaying the window's (quality DESC NULLS LAST,
+    # id ASC) total order exactly: null quality loses to everything
+    # (field 1 — a bare -quality would sort nulls FIRST and crown
+    # them), NaN quality beats every number for float/double columns
+    # (field 2 — desc ordering puts NaN first), then magnitude, then
+    # id. doc_id is assumed unique in ``docs`` (it is an id): the
+    # keep flag marks every row equal to the winner id.
+    order_fields = [F.col("quality").isNull().cast("int").alias("q_null")]
+    qtype = dict(docs.dtypes).get(quality_col, "")
+    if qtype in ("float", "double"):
+        order_fields.append(
+            (~F.isnan(F.coalesce(F.col("quality"), F.lit(0.0))))
+            .cast("int")
+            .alias("q_not_nan")
+        )
+    order_fields.append((-F.col("quality")).alias("nq"))
     stats = j.groupBy("component_id").agg(
         F.min(
-            F.struct(
-                (-F.col("quality")).alias("nq"), F.col("doc_id").alias("id")
-            )
+            F.struct(*order_fields, F.col("doc_id").alias("id"))
         ).alias("win"),
         F.count("*").alias("n_in_component"),
     ).select(

@@ -74,14 +74,20 @@ def dedup_keep_first(
     order, the aggregate by the remaining payload columns) — pass a
     total order when survivor identity matters.
     """
-    order = [F.col(c) for c in tiebreak]
-    payload = F.struct(*[F.col(c) for c in df.columns]).alias("__row")
-    out = df.groupBy(*[F.col(k) for k in keys]).agg(
+    # backtick-quoted references and getField, never a bare dotted
+    # string: a column literally named "user.id" must round-trip (the
+    # window twin never re-parses payload names, so this form must not
+    # either; both F.col and df[...] dot-parse unquoted names)
+    def _c(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    order = [_c(c) for c in tiebreak]
+    payload = F.struct(*[_c(c) for c in df.columns]).alias("__row")
+    out = df.groupBy(*[_c(k) for k in keys]).agg(
         F.min(F.struct(*order, payload)).alias("__w")
     )
-    return out.select(
-        *[F.col(f"__w.__row.{c}").alias(c) for c in df.columns]
-    )
+    row = F.col("__w").getField("__row")
+    return out.select(*[row.getField(c).alias(c) for c in df.columns])
 
 
 def exact_dedup(

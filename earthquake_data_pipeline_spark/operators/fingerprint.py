@@ -133,9 +133,9 @@ def winnow_fingerprints(
             ).alias("fp_checksum"),
         )
 
-    return docs.select(
-        id_col, F.inline(F.array(F.element_at(F.transform(F.array(fps0), _summary), 1)))
-    )
+    from ..qcommon import let
+
+    return docs.select(id_col, F.inline(F.array(let(fps0, _summary))))
 
 
 def fingerprint_match_pairs(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..qcommon import reuse
+from ..qcommon import let, reuse
 from .pairing import bucket_pairs
 from .text import tokens_of
 
@@ -51,7 +51,7 @@ def shingles_of(text: Column | str, n: int = 3) -> Column:
             F.size(toks) >= n, F.array_distinct(grams)
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(tokens_of(text)), _grams), 1)
+    return let(tokens_of(text), _grams)
 
 
 # Affine MinHash family over the prime field p = 2^31 - 1:

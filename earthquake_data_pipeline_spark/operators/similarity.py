@@ -89,9 +89,9 @@ def cosine(a: Column, b: Column) -> Column:
             _dot(a, b) / denom
         )
 
-    return F.element_at(
-        F.transform(F.array(_norm(a) * _norm(b)), _with_denom), 1
-    )
+    from ..qcommon import let
+
+    return let(_norm(a) * _norm(b), _with_denom)
 
 
 def cosine_topk(

@@ -127,7 +127,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             best.cast("bigint").alias("lang_score"),
         )
 
-    s = F.element_at(F.transform(F.array(tokens_of(text_col)), _result), 1)
+    from ..qcommon import let
+
+    s = let(tokens_of(text_col), _result)
     return df.select(
         "*",
         s.getField("detected_lang").alias("detected_lang"),
@@ -188,7 +190,9 @@ def chunk_text(
             ),
         )
 
-    chunks = F.element_at(F.transform(F.array(tokens_of(text_col)), _chunks), 1)
+    from ..qcommon import let
+
+    chunks = let(tokens_of(text_col), _chunks)
     return df.select(
         "*", F.explode(chunks).alias("__chunk")
     ).select(

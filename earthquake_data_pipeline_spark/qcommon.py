@@ -127,15 +127,47 @@ def reuse(df: DataFrame, eager: bool = False) -> DataFrame:
     if mode == "reliable":
         from pyspark.storagelevel import StorageLevel
 
-        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # respect a caller-held pin: persist() returns the same
+        # plan-keyed cache entry, so unconditionally unpersisting here
+        # would silently drop the CALLER's cache (review finding r11) —
+        # stage our own only when the frame is not already persisted
+        already_pinned = df.storageLevel != StorageLevel.NONE
+        cached = df if already_pinned else df.persist(StorageLevel.MEMORY_AND_DISK)
         # always eager: the checkpoint job fills the cache, writes the
         # files from it, and the staging cache is dropped immediately —
         # a lazy pin could not unpersist (its checkpoint job would not
         # have run yet) and would strand one cache entry per call
         out = cached.checkpoint(eager=True)
-        cached.unpersist(blocking=False)
+        if not already_pinned:
+            cached.unpersist(blocking=False)
         return out
     return df.localCheckpoint(eager=eager)
+
+
+def let(expr, body):
+    """Bind ``expr`` as a lambda VARIABLE so ``body`` can reference it
+    any number of times at the cost of ONE evaluation per row:
+    ``element_at(transform(array(expr), x -> body(x)), 1)``.
+
+    Why this exists (round-6 trap → round-10 scan → round-11 unification):
+    higher-order functions bind only their lambda variable — an ARGUMENT
+    subtree referenced inside a lambda re-evaluates per element (O(m²)
+    for an O(m) subtree), and CollapseProject/pushdown substitute an
+    aliased expression into every downstream reference while codegen's
+    subexpression elimination rescues plain expressions but NOT
+    lambda-bearing ones. This helper is the engine's one named fix for
+    both; measured wins range from −26% (language_id) to 20× (the
+    winnowing hash array). For MANY outputs off one bound struct, pair
+    it with ``F.inline(F.array(struct))`` (single evaluation, columns
+    exploded) — but measure first: Generate is interpreted row
+    machinery and LOSES on cheap duplicate work (quality_score inline
+    measured +49%; DESIGN.md round-11 shape table).
+
+    ``body`` receives the bound Column and returns a Column; the result
+    type is whatever ``body`` returns. NULL-safe: ``array(expr)`` always
+    has exactly one element, so element_at(…, 1) is total.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
 
 
 def round6x(col):

@@ -74,3 +74,34 @@ def test_token_pattern_word_boundaries(spark):
     got = [r.m for r in df.select(
         F.col("place").rlike(token_pattern("Japan")).alias("m")).collect()]
     assert got == [True, False, False]
+
+
+def test_let_resists_collapse_project_duplication(spark):
+    """qcommon.let (review-extracted r11): CollapseProject substitutes
+    an aliased expression into EVERY downstream reference (and codegen
+    CSE does not rescue lambda-bearing trees); the let form must keep
+    the bound expression appearing ONCE in the optimized plan however
+    many times the body references it — and produce identical values."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.qcommon import let
+
+    base = spark.range(0, 20, 1, 2)
+    h = F.md5(F.col("id").cast("string"))
+    # the trap shape: one Column expression referenced from several
+    # places in one projection (exactly how the lang-id ladder and the
+    # cosine guard duplicated their subtrees) — each reference is a
+    # fresh copy of the whole tree in the plan. (CollapseProject across
+    # two selects has a multi-reference cost guard in Spark 4, so an
+    # intermediate alias would NOT reproduce the trap.)
+    naive = base.select("id", F.concat(h, h, h).alias("q"))
+    letform = base.select(
+        "id", let(h, lambda b: F.concat(b, b, b)).alias("q")
+    )
+    nplan = naive._jdf.queryExecution().optimizedPlan().toString()
+    lplan = letform._jdf.queryExecution().optimizedPlan().toString()
+    assert nplan.count("md5(") == 3  # the trap the helper exists for
+    assert lplan.count("md5(") == 1  # bound once
+    a = sorted((r.id, r.q) for r in naive.collect())
+    b = sorted((r.id, r.q) for r in letform.collect())
+    assert a == b

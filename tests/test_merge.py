@@ -343,3 +343,21 @@ def test_dedup_keep_first_plan_is_partial_aggregate(spark):
     plan = dedup_keep_first(df, ["k"], tiebreak=["rid"])._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_dedup_keep_first_handles_dotted_column_names(spark):
+    """Review-hardened (r11): payload rehydration must use getField,
+    not dotted string paths — a column literally named 'user.id' works
+    through the window twin and must work here too."""
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 7, "x"), (1, 3, "y"), (2, 5, "z")], ["k", "`t`", "v"]
+    ).withColumnRenamed("`t`", "user.id")
+    out = sorted(
+        (r["k"], r["user.id"], r["v"])
+        for r in dedup_keep_first(df, ["k"], tiebreak=["v"]).collect()
+    )
+    assert out == [(1, 7, "x"), (2, 5, "z")]

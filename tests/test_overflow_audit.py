@@ -213,5 +213,12 @@ def test_zscore_overflow_tripwire_fails_loud_in_permissive_session(spark):
         )
         rows = zscore_outlier_stats(ok).collect()
         assert rows[0]["n_outliers"] == 0
+        # a legitimately-NULL input value is SKIPPED (pre-guard and
+        # oracle semantics), never misreported as an envelope breach
+        withnull = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", None)], ["event_type", "value"]
+        )
+        rows = zscore_outlier_stats(withnull).collect()
+        assert rows[0]["n_events"] == 3 and rows[0]["n_outliers"] == 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -1163,6 +1163,42 @@ def test_dedup_keep_list_prefers_quality_over_min_id(spark):
     assert out[1].n_in_component == 3
 
 
+def test_dedup_keep_list_null_and_nan_quality_match_window_order(spark):
+    """Review-hardened (round 11): the argmin aggregate must replay
+    the retired window's (quality DESC NULLS LAST, id ASC) order —
+    NULL quality always LOSES, NaN quality (float columns) always
+    WINS, exactly one keep=1 per component either way."""
+    from earthquake_data_pipeline_spark.operators.curation import (
+        dedup_keep_list,
+    )
+
+    # NULL quality must not be crowned (bare -quality would sort it first)
+    docs = spark.createDataFrame(
+        [(1, None), (2, 50), (3, 99)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = {r.doc_id: r.keep for r in dedup_keep_list(docs, pairs).collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
+    # all-null component: min id wins (ties fall through to id asc)
+    docs2 = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, n_chars long"
+    )
+    pairs2 = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out2 = {r.doc_id: r.keep for r in dedup_keep_list(docs2, pairs2).collect()}
+    assert out2 == {1: 1, 2: 0}
+    # NaN beats every number on a float quality column (desc-NaN-first)
+    docs3 = spark.createDataFrame(
+        [(1, 99.0), (2, float("nan")), (3, None)],
+        "doc_id long, score double",
+    )
+    pairs3 = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out3 = {
+        r.doc_id: r.keep
+        for r in dedup_keep_list(docs3, pairs3, quality_col="score").collect()
+    }
+    assert out3 == {1: 0, 2: 1, 3: 0}
+
+
 # ---------------------------------------------------------------- batch 7
 
 

@@ -161,3 +161,29 @@ def test_reliable_reuse_computes_once_and_drops_staging_cache(
         assert acc.value == 100, "action re-ran the original subtree"
     finally:
         _reset_checkpoint_dir(spark)
+
+
+def test_reliable_reuse_respects_caller_held_cache_pin(
+    spark, monkeypatch, tmp_path
+):
+    """Review-hardened (r11): persist() is plan-keyed, so reuse()'s
+    staging unpersist must NOT drop a cache entry the CALLER created —
+    only a pin reuse() itself staged."""
+    from pyspark.storagelevel import StorageLevel
+
+    from earthquake_data_pipeline_spark.qcommon import reuse
+
+    monkeypatch.setenv("SPARK_GRAFT_REUSE", "reliable")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        df = spark.range(50).selectExpr("id", "id * 2 AS d")
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize the caller's pin
+        out = reuse(df)
+        assert out.count() == 50
+        # the caller's cache entry survives reuse()'s staging pass
+        assert df.storageLevel != StorageLevel.NONE
+        assert spark.sparkContext._jsc.sc().getRDDStorageInfo()  # blocks live
+    finally:
+        df.unpersist(blocking=True)
+        _reset_checkpoint_dir(spark)

@@ -37,8 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def executor_pids() -> set[int]:
+    # pgrep invoked DIRECTLY (no shell wrapper): pgrep excludes its own
+    # process, but a `bash -c "pgrep -f PATTERN"` wrapper's command line
+    # contains the pattern and matches itself — the first version of
+    # this harness "killed" one phantom pid per sweep (review finding).
     out = subprocess.run(
-        ["bash", "-c", "pgrep -f CoarseGrainedExecutorBackend || true"],
+        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
         capture_output=True,
         text=True,
     ).stdout

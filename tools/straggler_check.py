@@ -101,21 +101,26 @@ def main() -> int:
 
     stage_to_query: dict[int, str] = {}
     stage_tasks: dict[int, list[float]] = {}
-    if True:
-        for ev in events():
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                if group:
-                    for sid in ev.get("Stage IDs", []):
-                        stage_to_query[sid] = group
-            elif kind == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                info = ev.get("Task Info") or {}
-                dur = float(
-                    info.get("Finish Time", 0) - info.get("Launch Time", 0)
-                )
-                stage_tasks.setdefault(sid, []).append(dur)
+    for ev in events():
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if group:
+                for sid in ev.get("Stage IDs", []):
+                    stage_to_query[sid] = group
+        elif kind == "SparkListenerTaskEnd":
+            # only SUCCESSFUL tasks: killed/failed tasks report
+            # truncated durations that depress p50 and fake (or mask)
+            # a straggler ratio (review finding r11)
+            reason = (ev.get("Task End Reason") or {}).get("Reason")
+            if reason != "Success":
+                continue
+            sid = ev["Stage ID"]
+            info = ev.get("Task Info") or {}
+            dur = float(
+                info.get("Finish Time", 0) - info.get("Launch Time", 0)
+            )
+            stage_tasks.setdefault(sid, []).append(dur)
 
     per_query: dict[str, dict] = {}
     for sid, durs in stage_tasks.items():
