@@ -518,6 +518,91 @@ def rfm_segments(
     )
 
 
+def percentile_by_counts(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    percentiles: list[float],
+) -> DataFrame:
+    """EXACT interpolated percentiles (percentile_cont semantics) per
+    key, computed from a VALUE-COUNT HISTOGRAM instead of a per-key
+    row sort — the skew-immune twin of ``F.percentile``.
+
+    Why (round-11 straggler audit): ``F.percentile`` buffers and sorts
+    every row of a key inside one aggregation buffer, so a
+    low-cardinality key over 10^12 rows is a single-task straggler
+    (the audit's one flag, ratio 40.5) and an OOM risk. This form
+    aggregates to (key, value, count) first — one map-side-combined
+    shuffle, output bounded by the DISTINCT VALUE domain — then runs
+    the cumulative window over distinct values per key: a key with
+    10^12 rows but 10^5 distinct values does 10^5-row window work.
+
+    Exactness: identical interpolation arithmetic to percentile_cont —
+    for p over n rows, rank r = p·(n−1) (0-based, double), result =
+    v_lo + (r − floor(r))·(v_hi − v_lo) where v_lo/v_hi are the sorted
+    values at positions floor(r)+1 / min(floor(r)+2, n). The covering
+    distinct value for a position i is the one whose cumulative range
+    (cum − count, cum] contains i — a conditional max per key, no
+    explode. Parity with F.percentile is test-pinned (including
+    duplicate-heavy and two-value edge shapes).
+
+    Output: one row per key with ``p_<idx>`` double columns in
+    ``percentiles`` order, plus ``n`` (row count). NULL values are
+    excluded, matching percentile_cont; a key with zero non-null
+    values drops out (as with F.percentile over an all-null group in
+    a groupBy of non-null keys).
+
+    Domain contract (measured r11): this is the scale form for
+    BOUNDED-DOMAIN values (quantities, cents, scores, ratings — the
+    distinct-value count stays O(domain) as rows grow). For a
+    near-continuous column the histogram degenerates to one row per
+    input row and the window becomes the row-level straggler again —
+    keep the sort aggregate as the bounded-scale face and
+    approx_percentile as the scale path there. At toy scale the sort
+    aggregate is also ~1.8× faster wall-clock (one in-memory sort vs
+    two shuffles + window); the histogram's win is RESIDENCY — a
+    10^12-row key needs O(distinct values) memory per task, where the
+    sort aggregate's single buffer holds every row of the key and
+    cannot run at all.
+    """
+    v = F.col(value_col).cast("double")
+    counts = (
+        events.filter(v.isNotNull())
+        .groupBy(F.col(key_col).alias("k"), v.alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    c = counts.withColumn("cum", F.sum("c").over(w))
+    totals = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    j = c.join(totals, "k")
+    aggs = [F.max("n").alias("n")]
+    outs = []
+    for idx, p in enumerate(percentiles):
+        r = F.lit(float(p)) * (F.col("n") - 1).cast("double")
+        lo_pos = F.floor(r) + 1
+        hi_pos = F.least(F.floor(r) + 2, F.col("n"))
+        covers_lo = (F.col("cum") - F.col("c") < lo_pos) & (
+            lo_pos <= F.col("cum")
+        )
+        covers_hi = (F.col("cum") - F.col("c") < hi_pos) & (
+            hi_pos <= F.col("cum")
+        )
+        aggs.append(F.max(F.when(covers_lo, F.col("v"))).alias(f"__lo{idx}"))
+        aggs.append(F.max(F.when(covers_hi, F.col("v"))).alias(f"__hi{idx}"))
+        frac = r - F.floor(r).cast("double")
+        outs.append(
+            (
+                F.col(f"__lo{idx}")
+                + frac * (F.col(f"__hi{idx}") - F.col(f"__lo{idx}"))
+            ).alias(f"p_{idx}")
+        )
+    return (
+        j.groupBy("k")
+        .agg(*aggs)
+        .select(F.col("k").alias(key_col), *outs, F.col("n"))
+    )
+
+
 def mad_outliers(
     events: DataFrame,
     key_col: str = "event_type",

@@ -140,3 +140,72 @@ def test_zorder_layout_bounds_both_dims(spark, tmp_path):
     # versus >3500 for the un-clustered dim above)
     assert avg_range(zpath, "x") < 2048
     assert avg_range(zpath, "y") < 2048
+
+
+def test_percentile_by_counts_matches_exact_percentile(spark):
+    """Round-11 straggler-audit fix (pre-staged for r12 migration): the
+    value-count-histogram percentile must be BIT-identical to
+    F.percentile (percentile_cont semantics) across hot-key duplicate
+    mass, tiny groups, two-value groups, and integer-rank boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        percentile_by_counts,
+    )
+
+    random.seed(11)
+    rows = []
+    # hot key: 5k rows over only 7 distinct values (duplicate mass)
+    rows += [("hot", float(random.choice([1, 2, 3, 5, 8, 13, 21])))
+             for _ in range(5000)]
+    # continuous-ish key
+    rows += [("cont", round(random.uniform(0, 100), 3)) for _ in range(997)]
+    # tiny and two-value edge groups
+    rows += [("one", 42.0)]
+    rows += [("two", 1.0), ("two", 2.0)]
+    # exact integer-rank boundary: 11 rows, p=0.5 lands on a row
+    rows += [("elev", float(i)) for i in range(11)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    want = {
+        r["k"]: (r["pc"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("pc"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        r["k"]: ([r[f"p_{i}"] for i in range(len(ps))], r["n"])
+        for r in percentile_by_counts(df, "k", "v", ps).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        for i, (a, b) in enumerate(zip(got[k][0], want[k][0])):
+            assert a == b, (k, ps[i], a, b)  # exact bits, no tolerance
+
+
+def test_percentile_by_counts_plan_has_no_row_level_sort_buffer(spark):
+    """The point of the histogram form: the only per-key window runs
+    over DISTINCT VALUES (post-aggregation), and no sort-based
+    percentile aggregate appears in the plan."""
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        percentile_by_counts,
+    )
+
+    df = spark.range(1000).selectExpr("'k' AS k", "CAST(id % 10 AS DOUBLE) AS v")
+    plan = (
+        percentile_by_counts(df, "k", "v", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile" not in plan.lower()
+    # the count aggregate reduces BEFORE any window: partial_count on
+    # the raw side proves map-side combine ahead of the shuffle
+    assert "partial_count" in plan
