@@ -603,6 +603,78 @@ def percentile_by_counts(
     )
 
 
+def mad_stats_by_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Integer-exact per-key (median, MAD) from value-count histograms —
+    the skew-immune stats engine for :func:`mad_outliers`' family
+    (pre-staged r12; same 2×-scale arithmetic, so med2/mad2 are
+    bit-identical to the window form's internals).
+
+    Shape: ONE map-side-combined (key, cents) count aggregate bounds
+    everything after it by the distinct-value domain; the deviation
+    histogram |2x − med2| derives STRAIGHT from the value histogram
+    (deviations of equal-valued rows are equal — no second pass over
+    rows, unlike the window form's two full-key rank passes); both
+    cumulative windows run over distinct values. A 10^12-row key with
+    10^5 distinct cents does 10^5-row window work where the window
+    form sorts 10^12 rows in one task twice. Same bounded-domain
+    contract as :func:`percentile_by_counts`.
+
+    Output: (key_col, med2, mad2, n) — med2/mad2 at 2× scale (exact
+    int64 half-integer medians), n = non-null row count.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    counts = (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), cents.alias("x"))
+        .agg(F.count("*").alias("c"))
+    )
+
+    def _mid2(hist: DataFrame, val: str) -> DataFrame:
+        """sum of the lower+upper middle order statistics (2× median)
+        from a (k, val, c, n) histogram."""
+        w = Window.partitionBy("k").orderBy(val)
+        h = hist.withColumn("cum", F.sum("c").over(w))
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor((F.col("n") + 2) / 2)
+
+        def covers(pos):
+            return (F.col("cum") - F.col("c") < pos) & (pos <= F.col("cum"))
+
+        return h.groupBy("k", "n").agg(
+            (
+                F.max(F.when(covers(lo), F.col(val)))
+                + F.max(F.when(covers(hi), F.col(val)))
+            ).alias("__m2")
+        )
+
+    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    vh = counts.join(tot, "k")
+    med = _mid2(vh, "x").withColumnRenamed("__m2", "med2")
+    dev_hist = (
+        counts.join(med, "k")
+        .select(
+            "k",
+            "n",
+            "med2",
+            F.abs(F.col("x") * 2 - F.col("med2")).alias("d"),
+            "c",
+        )
+        .groupBy("k", "n", "med2", "d")
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = _mid2(dev_hist.select("k", "n", "d", "c"), "d").withColumnRenamed(
+        "__m2", "mad2"
+    )
+    return (
+        med.join(mad.select("k", "mad2"), "k")
+        .select(F.col("k").alias(key_col), "med2", "mad2", F.col("n"))
+    )
+
+
 def mad_outliers(
     events: DataFrame,
     key_col: str = "event_type",

@@ -209,3 +209,43 @@ def test_percentile_by_counts_plan_has_no_row_level_sort_buffer(spark):
     # the count aggregate reduces BEFORE any window: partial_count on
     # the raw side proves map-side combine ahead of the shuffle
     assert "partial_count" in plan
+
+
+def test_mad_stats_by_counts_matches_window_arithmetic(spark):
+    """Pre-staged r12 (straggler class): the histogram MAD engine must
+    reproduce mad_outliers' integer-exact 2x-scale internals — med2 =
+    lower+upper middle cents, mad2 likewise over |2x - med2| — on odd,
+    even, duplicate-heavy, and single-row keys."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        mad_stats_by_counts,
+    )
+
+    random.seed(23)
+    rows = []
+    rows += [("odd", float(v)) for v in (1, 7, 3, 9, 5)]
+    rows += [("even", float(v)) for v in (10, 20, 30, 40)]
+    rows += [("hot", float(random.choice([2, 4, 8])))
+             for _ in range(3001)]  # duplicate mass, odd n
+    rows += [("one", 12.34)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+
+    def replay(vals):
+        cents = sorted(round(v * 100) for v in vals)
+        n = len(cents)
+        lo, hi = (n + 1) // 2 - 1, (n + 2) // 2 - 1  # 0-based middles
+        med2 = cents[lo] + cents[hi]
+        devs = sorted(abs(2 * c - med2) for c in cents)
+        mad2 = devs[lo] + devs[hi]
+        return med2, mad2, n
+
+    by_key: dict = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    want = {k: replay(vs) for k, vs in by_key.items()}
+    got = {
+        r["event_type"]: (r["med2"], r["mad2"], r["n"])
+        for r in mad_stats_by_counts(df).collect()
+    }
+    assert got == want
