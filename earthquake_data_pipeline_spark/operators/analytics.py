@@ -1036,6 +1036,67 @@ def trimmed_mean(
     ).withColumnRenamed("k", key_col)
 
 
+def trimmed_mean_by_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Skew-immune twin of :func:`trimmed_mean` (pre-staged r12): the
+    same exact rank cut computed from a value-count histogram.
+
+    The window form's id tie-break only decides WHICH duplicate rows
+    drop at the trim boundary — tied rows have equal values, so the
+    kept VALUE MULTISET is id-independent and a histogram replays it
+    exactly: a distinct value covering sorted positions
+    (cum−c, cum] keeps ``min(cum, k_hi) − max(cum−c, k_lo)`` copies
+    (clamped at 0). Decimal accumulation of count·value keeps the mean
+    order-free and bit-identical to the row form (exact rational both
+    ways, one value-determined cast to double). Same bounded-domain
+    contract and O(distinct values) per-key window work as
+    :func:`percentile_by_counts`.
+    """
+    from ..qcommon import round6x
+
+    counts = (
+        events.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    h = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    j = h.join(tot, "k")
+    k_lo = F.expr(f"(n * {trim_pct}) DIV 100")
+    k_hi = F.expr(f"n - (n * {trim_pct}) DIV 100")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), k_hi) - F.greatest(F.col("cum") - F.col("c"), k_lo),
+    )
+    per_val = j.select(
+        "k",
+        "n",
+        "v",
+        kept.alias("kc"),
+    ).filter(F.col("kc") > 0)
+    return (
+        per_val.groupBy("k")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("kc").cast("long").alias("n_kept"),
+            F.min("v").alias("min_kept"),
+            F.max("v").alias("max_kept"),
+            round6x(
+                F.sum(F.col("kc") * F.col("v").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.sum("kc")
+            ).alias("trimmed_mean"),
+        )
+        .withColumnRenamed("k", key_col)
+    )
+
+
 def pareto_frontier_2d(
     df: DataFrame,
     x_col: str,

@@ -249,3 +249,42 @@ def test_mad_stats_by_counts_matches_window_arithmetic(spark):
         for r in mad_stats_by_counts(df).collect()
     }
     assert got == want
+
+
+def test_trimmed_mean_by_counts_matches_window_form(spark):
+    """Pre-staged r12: the histogram trim must be row-for-row identical
+    to trimmed_mean (the id tie-break only chooses WHICH duplicate
+    copies drop; the kept value multiset is id-independent)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        trimmed_mean,
+        trimmed_mean_by_counts,
+    )
+
+    random.seed(31)
+    rows = []
+    rows += [(i, "hot", float(random.choice([5, 5, 5, 7, 11])))
+             for i in range(4001)]  # ties ACROSS the trim boundary
+    rows += [(10_000 + i, "cont", round(random.uniform(0, 50), 2))
+             for i in range(503)]
+    rows += [(20_000, "one", 3.25)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    for pct in (10, 25):
+        a = {
+            r["event_type"]: (
+                r["n"], r["n_kept"], r["min_kept"], r["max_kept"],
+                r["trimmed_mean"],
+            )
+            for r in trimmed_mean(df, trim_pct=pct).collect()
+        }
+        b = {
+            r["event_type"]: (
+                r["n"], r["n_kept"], r["min_kept"], r["max_kept"],
+                r["trimmed_mean"],
+            )
+            for r in trimmed_mean_by_counts(df, trim_pct=pct).collect()
+        }
+        assert a == b, pct
