@@ -1036,6 +1036,48 @@ def trimmed_mean(
     ).withColumnRenamed("k", key_col)
 
 
+def percentile_disc_by_counts(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    pcts: list[int],
+) -> DataFrame:
+    """percentile_disc order statistics per key from a value-count
+    histogram (pre-staged r12; the stats engine for
+    :func:`robust_scale`'s winsorize bounds): the p-th percentile is
+    the VALUE at 1-based sorted rank ceil(p·n/100) — id tie-breaks
+    affect which ROW sits at a rank, never the value there, so the
+    covering distinct value of the cumulative histogram is exact.
+    Same bounded-domain contract and O(distinct values) window work as
+    :func:`percentile_by_counts`.
+
+    Output: (key_col, d_<idx>… in ``pcts`` order, n).
+    """
+    counts = (
+        events.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    h = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    j = h.join(tot, "k")
+    aggs = [F.max("n").alias("n")]
+    for idx, p in enumerate(pcts):
+        pos = F.expr(f"(n * {int(p)} + 99) DIV 100")
+        covers = (F.col("cum") - F.col("c") < pos) & (pos <= F.col("cum"))
+        aggs.append(F.max(F.when(covers, F.col("v"))).alias(f"d_{idx}"))
+    return (
+        j.groupBy("k")
+        .agg(*aggs)
+        .select(
+            F.col("k").alias(key_col),
+            *[F.col(f"d_{i}") for i in range(len(pcts))],
+            F.col("n"),
+        )
+    )
+
+
 def trimmed_mean_by_counts(
     events: DataFrame,
     key_col: str = "event_type",

@@ -288,3 +288,37 @@ def test_trimmed_mean_by_counts_matches_window_form(spark):
             for r in trimmed_mean_by_counts(df, trim_pct=pct).collect()
         }
         assert a == b, pct
+
+
+def test_percentile_disc_by_counts_matches_robust_scale_bounds(spark):
+    """Pre-staged r12: the disc-percentile histogram must select the
+    same winsorize bounds as robust_scale's rank windows (value at
+    1-based rank ceil(p*n/100) — id ties never change the value at a
+    rank)."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        percentile_disc_by_counts,
+        robust_scale,
+    )
+
+    random.seed(41)
+    rows = [(i, "hot", float(random.choice([1, 1, 2, 3, 50])))
+            for i in range(2003)]
+    rows += [(9_000 + i, "cont", round(random.uniform(-5, 5), 2))
+             for i in range(211)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    want = {
+        r["event_type"]: (r["p_lo"], r["p_hi"])
+        for r in robust_scale(df, lo_pct=5, hi_pct=95)
+        .select("event_type", "p_lo", "p_hi")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r["d_0"], r["d_1"])
+        for r in percentile_disc_by_counts(
+            df, "event_type", "value", [5, 95]
+        ).collect()
+    }
+    assert got == want
