@@ -372,14 +372,25 @@ WHERE ts > COALESCE(
 
 def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1+W1 (stg_earthquake first-run branch): union of two overlapping
-    slices, keyed dedup, per-type census."""
+    slices, keyed dedup, per-type census.
+
+    Migrated r12 (pre-committed at r11 close): the keep-1 dedup is
+    ``dedup_keep_first`` — a min-struct aggregate with a deterministic
+    ts tiebreak that partial-aggregates map-side, so a duplicate-mass
+    hot key collapses before the shuffle instead of serializing into
+    one window task. The W1 window form stays the reference-parity
+    face (stg_earthquake + the dedup_keep_first/dedup_row_number
+    total-order parity test)."""
     _utc(spark)
-    ev = _table(spark, sf_dir, "events")
+    from .operators.dedup import dedup_keep_first
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
     a = ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
     b = ev.filter(F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
     return (
-        a.unionByName(b)
-        .dropDuplicates(["event_id"])
+        dedup_keep_first(a.unionByName(b), ["event_id"], tiebreak=["ts"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type")

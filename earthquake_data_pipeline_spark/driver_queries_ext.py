@@ -379,28 +379,42 @@ ORDER BY 1
 def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median, p90) + stddev per group.
 
-    F.percentile is the exact sort-based aggregate (matches SQL
-    percentile_cont / DuckDB quantile_cont); the approx_percentile
-    variant is the 100-TB scale path when exactness can be traded.
+    Migrated r12 (straggler audit — this was the catalog's one flagged
+    straggler, max/p50 task ratio 40.5): the BOUNDED-DOMAIN quantity
+    percentiles come from percentile_by_counts (identical
+    percentile_cont interpolation computed over the (flag, quantity)
+    value-count histogram — l_quantity has ≤ 50 distinct values, so
+    per-key window work is O(50) instead of one task sorting the whole
+    flag's rows). The NEAR-CONTINUOUS l_extendedprice median keeps the
+    F.percentile sort aggregate per the by-counts domain contract (its
+    histogram would be row-sized), and stddev is a plain moment
+    aggregate — both ride one groupBy joined to the histogram result
+    on the 3-value flag key.
     """
     _utc(spark)
+    from .operators.analytics import percentile_by_counts
+
     # fanout: exact percentile buffers values per partition; more
     # partitions → smaller partial buffers and parallel partial sorts
     li = _fanout(_table(spark, sf_dir, "lineitem"))
-    # one-pass array-percentile: a single sort of l_quantity per group
-    # serves both quantiles (two scalar calls would sort twice)
-    qty_pcts = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)))
+    qty = percentile_by_counts(
+        li.select("l_returnflag", "l_quantity"),
+        "l_returnflag",
+        "l_quantity",
+        [0.5, 0.9],
+    )
+    rest = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias(
+            "median_price"
+        ),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            qty_pcts.alias("qp"),
-            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
-            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
-        )
+        qty.join(rest, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round(F.col("qp")[0], 6).alias("median_qty"),
-            F.round(F.col("qp")[1], 6).alias("p90_qty"),
+            F.round(F.col("p_0"), 6).alias("median_qty"),
+            F.round(F.col("p_1"), 6).alias("p90_qty"),
             "sd_qty",
             "median_price",
         )

@@ -141,15 +141,18 @@ GROUP BY f.k, st.s, st.n ORDER BY 1
 
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality deciles (operators/curation.py::
-    quality_decile_stats) keyed on document length — the audit table
-    behind bin-weighted mixture sampling. ntile runs per stratum
-    (key-partitioned window, never a global sort).
+    quality_decile_stats_by_counts) keyed on document length — the
+    audit table behind bin-weighted mixture sampling. Migrated r12
+    (straggler audit): ntile bin boundaries composed from the
+    (lang, n_chars) value-count histogram — O(distinct scores) per
+    stratum instead of one AQE-opaque whole-stratum sort task; the
+    ntile window form stays as the test-pinned parity face.
     """
     _utc(spark)
-    from .operators.curation import quality_decile_stats
+    from .operators.curation import quality_decile_stats_by_counts
 
-    docs = _table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
-    return quality_decile_stats(docs)
+    docs = _table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return quality_decile_stats_by_counts(docs)
 
 
 SQL_QUALITY_DECILES = """
@@ -1655,17 +1658,20 @@ FROM agg ORDER BY doc_id
 
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outlier census (operators/analytics.py
-    ::mad_outliers): the robust companion to zscore_outliers — exact
-    integer medians at 2x scale via row-number arithmetic, flag
-    |x-med| > 3*MAD, all int64.
+    ::mad_outliers_by_counts): the robust companion to zscore_outliers
+    — exact integer medians at 2x scale, flag |x-med| > 3*MAD, all
+    int64. Migrated r12 (straggler audit) from the two-window sort form
+    onto the value-count histogram: O(distinct cents) per-key work, no
+    per-key row sort; mad_outliers stays as the test-pinned parity
+    face. NULL values excluded on both engines (ADVICE r11 alignment).
     """
     _utc(spark)
-    from .operators.analytics import mad_outliers
+    from .operators.analytics import mad_outliers_by_counts
 
     ev = _table(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
-    return mad_outliers(ev, k_half=6)
+    return mad_outliers_by_counts(ev, k_half=6)
 
 
 SQL_MAD_OUTLIERS = """
@@ -1674,6 +1680,7 @@ WITH ev AS (
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
          event_id
   FROM events
+  WHERE value IS NOT NULL
 ), r AS (
   SELECT k, x, event_id,
          row_number() OVER (PARTITION BY k ORDER BY x, event_id) AS rn,

@@ -703,17 +703,21 @@ ORDER BY id_a, id_b
 
 def q_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-statistic winsorize + min-max scaling per event_type
-    (operators/analytics.py::robust_scale): percentile_disc semantics
-    (value at rank ceil(p·n/100)) make both engines pick the same
-    element; output is clamped ppm in [0, 1e6].
+    (operators/analytics.py::robust_scale_by_counts): percentile_disc
+    semantics (value at rank ceil(p·n/100)) make both engines pick the
+    same element; output is clamped ppm in [0, 1e6]. Migrated r12
+    (straggler audit): the winsorize bounds come from the value-count
+    histogram (percentile_disc_by_counts) and the fact side is a
+    map-only broadcast join — no per-key row-sort window anywhere;
+    robust_scale stays as the test-pinned parity face.
     """
     _utc(spark)
-    from .operators.analytics import robust_scale
+    from .operators.analytics import robust_scale_by_counts
 
     ev = _table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    return robust_scale(ev).orderBy("event_type", "event_id")
+    return robust_scale_by_counts(ev).orderBy("event_type", "event_id")
 
 
 SQL_ROBUST_SCALING = """
@@ -834,16 +838,18 @@ FROM c GROUP BY 1 ORDER BY 1
 
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed mean of value per event_type
-    (operators/analytics.py::trimmed_mean): exact rank cuts, decimal
-    accumulation for the order-free mean.
+    (operators/analytics.py::trimmed_mean_by_counts): exact rank cuts,
+    decimal accumulation for the order-free mean. Migrated r12
+    (straggler audit): the rank cut is computed from the value-count
+    histogram — the kept VALUE MULTISET is id-independent, so the
+    result is bit-identical to the window form (which stays as the
+    test-pinned parity face) with O(distinct values) per-key work.
     """
     _utc(spark)
-    from .operators.analytics import trimmed_mean
+    from .operators.analytics import trimmed_mean_by_counts
 
-    ev = _table(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value"
-    )
-    return trimmed_mean(ev).orderBy("event_type")
+    ev = _table(spark, sf_dir, "events").select("event_type", "value")
+    return trimmed_mean_by_counts(ev).orderBy("event_type")
 
 
 SQL_TRIMMED_MEAN = """

@@ -203,11 +203,23 @@ def zscore_outlier_stats(
     dev = n_d * cents_d - F.col("s")
     var_n3 = n_d * F.col("ss") - F.col("s") * F.col("s")  # = n³·var/n
     stats_side = F.broadcast(stats) if broadcast_stats else stats
+    # two stacked selects, not a lateral alias (ADVICE r11): the null
+    # check reads is_outlier from the PREVIOUS projection, so the flag
+    # evaluates once on any Spark — no reliance on
+    # spark.sql.lateralColumnAlias.enableImplicitResolution, and
+    # CollapseProject's multi-reference guard keeps the stacked form
+    # single-eval
     flagged = ev.join(stats_side, "k").select(
         "k",
         "n",
         "s",
+        "has_value",
         (dev * dev > F.lit(t2) * var_n3).cast("int").alias("is_outlier"),
+    ).select(
+        "k",
+        "n",
+        "s",
+        "is_outlier",
         # tripwire scope: a NULL flag is only an OVERFLOW when the raw
         # input value was present (a NULL value_col row has always been
         # skipped by the sum, matching the oracle — must not trip; a
@@ -603,6 +615,21 @@ def percentile_by_counts(
     )
 
 
+def _mad_value_counts(
+    events: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """(k, cents, count) histogram shared by the by-counts MAD family —
+    NULL values excluded, matching :func:`mad_outliers` (aligned r12,
+    ADVICE r11: the window form used to rank NULLs; both now drop
+    them, pinned by a null-bearing parity test)."""
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("k"), cents.alias("x"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def mad_stats_by_counts(
     events: DataFrame,
     key_col: str = "event_type",
@@ -610,8 +637,9 @@ def mad_stats_by_counts(
 ) -> DataFrame:
     """Integer-exact per-key (median, MAD) from value-count histograms —
     the skew-immune stats engine for :func:`mad_outliers`' family
-    (pre-staged r12; same 2×-scale arithmetic, so med2/mad2 are
-    bit-identical to the window form's internals).
+    (same 2×-scale arithmetic, so med2/mad2 are bit-identical to the
+    window form's internals — including on nullable columns, since r12
+    both forms exclude NULL values before ranking).
 
     Shape: ONE map-side-combined (key, cents) count aggregate bounds
     everything after it by the distinct-value domain; the deviation
@@ -626,12 +654,18 @@ def mad_stats_by_counts(
     Output: (key_col, med2, mad2, n) — med2/mad2 at 2× scale (exact
     int64 half-integer medians), n = non-null row count.
     """
-    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    counts = (
-        events.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(key_col).alias("k"), cents.alias("x"))
-        .agg(F.count("*").alias("c"))
+    counts = _mad_value_counts(events, key_col, value_col)
+    return _mad_stats_from_counts(counts).select(
+        F.col("k").alias(key_col), "med2", "mad2", F.col("n")
     )
+
+
+def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
+    """(k, med2, mad2, n) from a (k, x, c) value-count histogram — the
+    shared core of :func:`mad_stats_by_counts` and
+    :func:`mad_outliers_by_counts` (the latter joins the same histogram
+    back for the outlier census, so the histogram aggregate's exchange
+    is reused, not recomputed)."""
 
     def _mid2(hist: DataFrame, val: str) -> DataFrame:
         """sum of the lower+upper middle order statistics (2× median)
@@ -669,9 +703,69 @@ def mad_stats_by_counts(
     mad = _mid2(dev_hist.select("k", "n", "d", "c"), "d").withColumnRenamed(
         "__m2", "mad2"
     )
+    return med.join(mad.select("k", "mad2"), "k").select(
+        "k", "med2", "mad2", "n"
+    )
+
+
+def mad_outliers_by_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k_half: int = 6,
+) -> DataFrame:
+    """Skew-immune twin of :func:`mad_outliers` — the full outlier
+    census (n_events, n_outliers, med2, mad2) computed from the value-
+    count histogram instead of two per-key row-sort windows.
+
+    Why (round-11 straggler audit, executed r12): the window form
+    sorts every row of a key inside ONE task twice (rank for the value
+    median, rank for the deviation median) — AQE-opaque, so a
+    corpus-scale key (event_type has a handful of values at 100 TB) is
+    an unsplittable straggler. Here ONE map-side-combined (key, cents)
+    aggregate bounds all later work by the distinct-value domain; the
+    outlier census itself is the same histogram joined back to the
+    (med2, mad2) stats — sum of counts where |2x − med2|·2 > k·mad2 —
+    so no pass over ROWS happens after the first aggregate at all.
+    Spark's ReuseExchange serves the histogram to both subtrees.
+
+    Bit-identical to :func:`mad_outliers` (test-pinned, including a
+    null-bearing case): identical 2×-scale integer arithmetic, and
+    equal-valued rows have equal deviations, so the flag census over
+    counts replays the per-row census exactly.
+
+    Bounded-domain contract as :func:`percentile_by_counts`: cents of
+    a capped value column (scores, magnitudes, prices) keep the
+    histogram O(domain); a near-continuous column degenerates to one
+    histogram row per input row — keep the window form there.
+    """
+    counts = _mad_value_counts(events, key_col, value_col)
+    stats = _mad_stats_from_counts(counts)
+    # med2/mad2 ride THROUGH the census aggregate (constant per key →
+    # max()) instead of a second stats join, which would make Catalyst
+    # evaluate the whole two-window stats subtree twice (the zscore
+    # pattern)
     return (
-        med.join(mad.select("k", "mad2"), "k")
-        .select(F.col("k").alias(key_col), "med2", "mad2", F.col("n"))
+        counts.join(stats.select("k", "med2", "mad2"), "k")
+        .select(
+            "k",
+            "c",
+            "med2",
+            "mad2",
+            (
+                F.abs(F.col("x") * 2 - F.col("med2")) * 2
+                > F.lit(k_half) * F.col("mad2")
+            ).cast("long").alias("o"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("o") * F.col("c")).cast("long").alias("n_outliers"),
+            F.max("med2").cast("long").alias("median_cents_x2"),
+            F.max("mad2").cast("long").alias("mad_cents_x2"),
+        )
+        .withColumnRenamed("k", key_col)
+        .orderBy(key_col)
     )
 
 
@@ -697,9 +791,16 @@ def mad_outliers(
     the price of EXACT medians; the sketch path for mega-keys is
     percentile_approx, as with quality_deciles. Each pass reuses the
     same key partitioning.
+
+    NULL values are EXCLUDED (ADVICE r11 alignment): a NULL cents row
+    previously ranked first and inflated n, poisoning med2's rank
+    arithmetic with a meaningless order statistic; now both this form
+    and :func:`mad_stats_by_counts` drop NULLs before ranking, so the
+    two are bit-identical on nullable columns too (test-pinned with a
+    null-bearing case).
     """
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    ev = events.select(
+    ev = events.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("k"), cents.alias("x"), F.col("event_id")
     )
     w_rank = Window.partitionBy("k").orderBy("x", "event_id")
@@ -978,6 +1079,67 @@ def robust_scale(
         )
     )
     joined = base.join(pcts, "k")
+    wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    scaled = F.when(
+        F.col("p_hi") > F.col("p_lo"),
+        F.floor(
+            F.lit(1000000) * (wv - F.col("p_lo"))
+            / (F.col("p_hi") - F.col("p_lo"))
+        ).cast("long"),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("k").alias(key_col),
+        F.col("v").alias(value_col),
+        F.col("p_lo"),
+        F.col("p_hi"),
+        scaled.alias("scaled_ppm"),
+    )
+
+
+def robust_scale_by_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    broadcast_bounds: bool = True,
+) -> DataFrame:
+    """Skew-immune twin of :func:`robust_scale` (round-11 straggler
+    audit, executed r12): the winsorize bounds come from
+    :func:`percentile_disc_by_counts` — O(distinct values) per-key
+    window work — instead of a full per-key row sort, and the fact
+    side is never window-partitioned at all: the only row-level pass
+    is the map-only scaling join against the key-domain-sized bounds
+    frame.
+
+    Bit-identical to the window form (test-pinned): percentile_disc
+    selects the VALUE at rank ceil(p·n/100) and id tie-breaks never
+    change the value at a rank, so p_lo/p_hi match element-for-element;
+    the scaling arithmetic is shared.
+
+    ``broadcast_bounds`` follows zscore_outlier_stats' size law: the
+    bounds frame is key-domain-sized — broadcast for an enumerated key,
+    pass False for a high-cardinality key so the join shuffles instead.
+    """
+    pcts = percentile_disc_by_counts(
+        events.select(
+            F.col(key_col).alias("k"), F.col(value_col).alias("v")
+        ),
+        "k",
+        "v",
+        [lo_pct, hi_pct],
+    ).select(
+        "k", F.col("d_0").alias("p_lo"), F.col("d_1").alias("p_hi")
+    )
+    bounds = F.broadcast(pcts) if broadcast_bounds else pcts
+    base = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("v"),
+    )
+    joined = base.join(bounds, "k")
     wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
     scaled = F.when(
         F.col("p_hi") > F.col("p_lo"),

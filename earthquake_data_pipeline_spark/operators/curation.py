@@ -62,6 +62,95 @@ def quality_decile_stats(
     )
 
 
+def quality_decile_stats_by_counts(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    score_col: str = "n_chars",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Skew-immune twin of :func:`quality_decile_stats` (round-11
+    straggler audit, executed r12): the same ntile bin census composed
+    from a (stratum, score) VALUE-COUNT histogram instead of a per-
+    stratum row sort — a stratum with 10^12 rows but a bounded score
+    domain does O(distinct scores) window work where ntile serializes
+    the whole stratum into one AQE-opaque task.
+
+    Exactness: ntile's id tie-break only decides WHICH equal-scored
+    rows land each side of a bin boundary — tied rows have equal
+    scores, so each bin's VALUE MULTISET is id-independent and the
+    histogram replays it exactly. Standard-SQL ntile boundaries over n
+    rows: base = n div B, rem = n mod B; bin b holds sorted positions
+    ((b−1)·base + min(b−1, rem), b·base + min(b, rem)]. A distinct
+    score covering cumulative positions (cum−c, cum] contributes
+    min(cum, end_b) − max(cum−c, start_b) rows to bin b; the explode is
+    over ONLY the bins a score's range overlaps (≤ 1 + its row share),
+    so the exploded frame stays histogram-sized + B rows per stratum.
+    All boundary arithmetic is integer (ceil(p/q) as (p+q−1) DIV q) —
+    no double rounding at 10^12-row strata.
+
+    Output schema identical to the ntile form: (stratum, bin int,
+    n_docs, min_score, max_score, total_score), ordered.
+    """
+    counts = (
+        docs.select(
+            F.col(stratum_col).alias("k"), F.col(score_col).alias("v")
+        )
+        .groupBy("k", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("k").orderBy("v")
+    h = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    j = (
+        h.join(tot, "k")
+        .withColumn("base", F.expr(f"n DIV {int(n_bins)}"))
+        .withColumn("rem", F.expr(f"n % {int(n_bins)}"))
+        # positions 1..cut live in the fat (base+1-row) bins; when
+        # base = 0 every position is ≤ cut = n, so the ELSE's DIV base
+        # is never evaluated (CaseWhen is lazy per row)
+        .withColumn("cut", F.expr("rem * (base + 1)"))
+    )
+    bin_lo = F.expr(
+        "CASE WHEN cum - c + 1 <= cut"
+        " THEN (cum - c + 1 + base) DIV (base + 1)"
+        " ELSE rem + (cum - c + 1 - cut + base - 1) DIV base END"
+    )
+    bin_hi = F.expr(
+        "CASE WHEN cum <= cut THEN (cum + base) DIV (base + 1)"
+        " ELSE rem + (cum - cut + base - 1) DIV base END"
+    )
+    e = j.withColumn("b", F.explode(F.sequence(bin_lo, bin_hi)))
+    kept = F.expr(
+        "least(cum, b * base + least(b, rem))"
+        " - greatest(cum - c, (b - 1) * base + least(b - 1, rem))"
+    )
+    return (
+        e.select(
+            "k",
+            F.col("b").cast("int").alias("bin"),
+            "v",
+            kept.alias("kc"),
+        )
+        .filter(F.col("kc") > 0)
+        .groupBy("k", "bin")
+        .agg(
+            F.sum("kc").alias("n_docs"),
+            F.min("v").alias("min_score"),
+            F.max("v").alias("max_score"),
+            F.sum(F.col("kc") * F.col("v")).alias("total_score"),
+        )
+        .select(
+            F.col("k").alias(stratum_col),
+            "bin",
+            "n_docs",
+            "min_score",
+            "max_score",
+            "total_score",
+        )
+        .orderBy(stratum_col, "bin")
+    )
+
+
 def approx_bin_boundaries(
     docs: DataFrame,
     stratum_col: str = "lang",
@@ -270,8 +359,21 @@ def dedup_keep_list(
     # (field 2 — desc ordering puts NaN first), then magnitude, then
     # id. doc_id is assumed unique in ``docs`` (it is an id): the
     # keep flag marks every row equal to the winner id.
-    order_fields = [F.col("quality").isNull().cast("int").alias("q_null")]
+    # the argmin rewrite builds its DESC key by NEGATION, which only
+    # exists for numeric types — a string quality column would raise
+    # CAST_INVALID_INPUT under ANSI or silently rank by a NULL-cast
+    # double under permissive (ADVICE r11); fail loudly at plan time
+    # instead
     qtype = dict(docs.dtypes).get(quality_col, "")
+    _numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if not (qtype in _numeric or qtype.startswith("decimal")):
+        raise TypeError(
+            f"dedup_keep_list: quality_col {quality_col!r} must be "
+            f"numeric (got {qtype or 'missing'}); the keep-winner is an "
+            "argmin over -quality, which is undefined for non-numeric "
+            "types — cast or derive a numeric quality score first"
+        )
+    order_fields = [F.col("quality").isNull().cast("int").alias("q_null")]
     if qtype in ("float", "double"):
         order_fields.append(
             (~F.isnan(F.coalesce(F.col("quality"), F.lit(0.0))))

@@ -73,7 +73,28 @@ def dedup_keep_first(
     may pick DIFFERENT survivors (the window breaks ties by partition
     order, the aggregate by the remaining payload columns) — pass a
     total order when survivor identity matters.
+
+    Type restriction (ADVICE r11): every column of ``df`` rides inside
+    the min() struct, so all columns must be ORDERABLE — a map<…>
+    column (which dedup_row_number carries fine as inert payload) has
+    no ordering and would fail at analysis with an opaque error; this
+    raises a clear TypeError up front instead. For frames with map
+    columns, use dedup_row_number, or drop/re-join the map column
+    around this call.
     """
+    # simpleString catches maps nested inside structs/arrays too
+    unorderable = [
+        f.name
+        for f in df.schema.fields
+        if "map<" in f.dataType.simpleString()
+    ]
+    if unorderable:
+        raise TypeError(
+            "dedup_keep_first: every column rides in the min() "
+            f"comparison struct, but map-typed columns {unorderable} "
+            "have no ordering — use dedup_row_number for frames with "
+            "map payload, or re-join the map columns after dedup"
+        )
     # backtick-quoted references and getField, never a bare dotted
     # string: a column literally named "user.id" must round-trip (the
     # window twin never re-parses payload names, so this form must not

@@ -361,3 +361,20 @@ def test_dedup_keep_first_handles_dotted_column_names(spark):
         for r in dedup_keep_first(df, ["k"], tiebreak=["v"]).collect()
     )
     assert out == [(1, 7, "x"), (2, 5, "z")]
+
+
+def test_dedup_keep_first_rejects_map_columns(spark):
+    """ADVICE r11: map payload cannot ride in the min() comparison
+    struct — the error must be a clear TypeError at plan time, not an
+    opaque analysis failure."""
+    import pytest
+
+    from earthquake_data_pipeline_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, {"a": 1})], "k string, v int, m map<string,int>"
+    )
+    with pytest.raises(TypeError, match="map"):
+        dedup_keep_first(df, ["k"], tiebreak=["v"])

@@ -247,12 +247,22 @@ def test_trend_fit_window_and_agg_share_partitioning(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_robust_scaling_single_hash_exchange(spark):
-    # window, percentile aggregate, and join-back all key on the group:
-    # one hash exchange + broadcast join back
+def test_robust_scaling_fact_side_never_shuffles(spark):
+    # r12 by-counts migration: the ONLY structure over row-level data
+    # is the map-side-combined (k, v) histogram aggregate and the
+    # broadcast scaling join — every window/exchange after the first
+    # aggregate is histogram-sized. The fact scan that feeds the
+    # scaling join must reach the BroadcastHashJoin without any
+    # exchange of its own (no per-key row sort window anywhere).
     plan = plan_of(spark, "robust_scaling")
-    assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" in plan
+    # exactly one window, and it is the cumulative sum over the
+    # histogram's count column, not a row-level rank
+    assert plan.count("Window") == 1
+    assert "row_number" not in plan
+    # the histogram aggregate partial-combines map-side before its
+    # exchange (hot keys collapse before the shuffle)
+    assert "partial_count" in plan or "partial count" in plan.lower()
 
 
 def test_weighted_sample_map_only_before_final_agg(spark):

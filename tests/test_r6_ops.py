@@ -1433,3 +1433,21 @@ def test_join_explosion_audit_stays_on_key_domain(spark):
     # the only other join is the 1-row broadcast of the total
     assert plan.count("HashAggregate") >= 4
     assert "BroadcastExchange" in plan
+
+
+def test_dedup_keep_list_rejects_non_numeric_quality(spark):
+    """ADVICE r11: the argmin rewrite negates quality — a string
+    quality column must raise a clear TypeError instead of
+    CAST_INVALID_INPUT (ANSI) or silent NULL-cast reordering."""
+    import pytest
+
+    from earthquake_data_pipeline_spark.operators.curation import (
+        dedup_keep_list,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "high"), (2, "low")], ["doc_id", "n_chars"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(TypeError, match="numeric"):
+        dedup_keep_list(docs, pairs)

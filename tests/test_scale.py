@@ -322,3 +322,138 @@ def test_percentile_disc_by_counts_matches_robust_scale_bounds(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_mad_outliers_by_counts_matches_window_form_with_nulls(spark):
+    """r12 migration pin (ADVICE r11): the histogram census must be
+    bit-identical to the window form INCLUDING on nullable value
+    columns — both forms now exclude NULL values before ranking."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        mad_outliers,
+        mad_outliers_by_counts,
+    )
+
+    random.seed(53)
+    rows = []
+    rows += [(i, "hot", float(random.choice([2, 4, 8, 160])))
+             for i in range(2001)]
+    rows += [(5_000 + i, "hot", None) for i in range(7)]  # nulls ignored
+    rows += [(6_000 + i, "mix", v)
+             for i, v in enumerate([None, 1.0, 2.0, None, 3.0, 100.0])]
+    rows += [(7_000, "one", 5.5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    cols = (
+        "event_type", "n_events", "n_outliers",
+        "median_cents_x2", "mad_cents_x2",
+    )
+    a = sorted(tuple(r[c] for c in cols)
+               for r in mad_outliers(df, k_half=6).collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in mad_outliers_by_counts(df, k_half=6).collect())
+    assert a == b
+    # NULL rows are excluded from n_events on both forms
+    n = {t[0]: t[1] for t in b}
+    assert n["hot"] == 2001 and n["mix"] == 4
+
+
+def test_mad_stats_by_counts_null_values_are_excluded(spark):
+    """ADVICE r11: med2/mad2/n must come from the non-null value rows
+    only — a NULL value must not shift the rank arithmetic."""
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        mad_stats_by_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("k", None), ("k", 1.0), ("k", None), ("k", 3.0), ("k", 9.0)],
+        "event_type string, value double",
+    )
+    [r] = mad_stats_by_counts(df).collect()
+    # values {100, 300, 900} cents: med2 = 600, devs {400, 0, 1200} ->
+    # mad2 = 800, n = 3
+    assert (r["med2"], r["mad2"], r["n"]) == (600, 800, 3)
+
+
+def test_robust_scale_by_counts_matches_window_form(spark):
+    """r12 migration pin: full-output parity with robust_scale —
+    identical (p_lo, p_hi, scaled_ppm) per row, including the
+    degenerate single-value group (null scaled_ppm)."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        robust_scale,
+        robust_scale_by_counts,
+    )
+
+    random.seed(61)
+    rows = [(i, "hot", float(random.choice([1, 1, 2, 3, 50])))
+            for i in range(2003)]
+    rows += [(9_000 + i, "cont", round(random.uniform(-5, 5), 2))
+             for i in range(211)]
+    rows += [(20_000, "deg", 7.0), (20_001, "deg", 7.0)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    cols = ("event_id", "event_type", "value", "p_lo", "p_hi", "scaled_ppm")
+    a = sorted(tuple(r[c] for c in cols) for r in robust_scale(df).collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in robust_scale_by_counts(df).collect())
+    assert a == b
+
+
+def test_quality_decile_stats_by_counts_matches_ntile_form(spark):
+    """r12 migration pin: the histogram bin census must replay ntile's
+    standard-SQL boundaries exactly — fat-bin remainders, value ties
+    SPANNING bin boundaries, strata smaller than n_bins (empty high
+    bins), and a duplicate-mass stratum."""
+    import random
+
+    from earthquake_data_pipeline_spark.operators.curation import (
+        quality_decile_stats,
+        quality_decile_stats_by_counts,
+    )
+
+    random.seed(71)
+    rows = []
+    # 1007 rows over 30 distinct scores: remainders + boundary ties
+    rows += [(f"a{i}", "en", random.randint(1, 30)) for i in range(1007)]
+    # duplicate mass: 90% one score
+    rows += [(f"b{i}", "de", 5 if i % 10 else 17) for i in range(800)]
+    # tiny stratum: fewer rows than bins
+    rows += [(f"c{i}", "fr", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    cols = ("lang", "bin", "n_docs", "min_score", "max_score", "total_score")
+    a = sorted(tuple(r[c] for c in cols)
+               for r in quality_decile_stats(df).collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in quality_decile_stats_by_counts(df).collect())
+    assert a == b
+    assert max(t[1] for t in b if t[0] == "fr") == 4  # only 4 bins filled
+
+
+def test_zscore_outlier_stats_no_lateral_alias_dependency(spark):
+    """ADVICE r11: the overflow tripwire must not rely on implicit
+    lateral column alias resolution — it must plan and run with the
+    resolver flag off (older-Spark behavior)."""
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        zscore_outlier_stats,
+    )
+
+    key = "spark.sql.lateralColumnAlias.enableImplicitResolution"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        # n must be large enough that a lone spike can clear |z| > 2
+        # (max one-point z is (n-1)/sqrt(n); n=10 allows it, n=4 not)
+        df = spark.createDataFrame(
+            [("k", 1.0)] * 9 + [("k", 100.0), ("j", None)],
+            "event_type string, value double",
+        )
+        rows = {r["event_type"]: r for r in zscore_outlier_stats(df).collect()}
+        assert rows["k"]["n_outliers"] == 1  # the 100.0 spike
+        # all-null key: flags all skipped -> NULL census, but the
+        # overflow tripwire must NOT fire (has_value gating)
+        assert rows["j"]["n_outliers"] is None
+    finally:
+        spark.conf.set(key, prev)
