@@ -2276,81 +2276,46 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-10 HEAD: executes the rotation round 9 skipped (its head was
-# byte-identical to r08's — VERDICT r09 item 3). Proof debt enters the
-# round at 0/148; last-green histogram entering: r05×20, r06×43,
-# r07×35, r09×50. This head retires the entire r05 generation, seats
-# the round-10 churn (enrichment LRU-eviction fix from a7a1eea; the
-# planned prefix-filter profiling and k-center coreset work), re-proves
-# the three streaming queries (once-proven r06), and fills the
-# remaining slots from the alphabetical front of the r06 bank. Rule-3
-# sentinels cover the round-10 txnlog vacuum churn per VERDICT r09
-# item 3 (txnlog hosts no catalog query).
+# ROUND-12 HEAD: proof debt enters the round at 0/148; last-green
+# histogram entering: r06×14, r07×23, r09×30, r10×31, r11×50. This head
+# (a) seats the round-12 churn — the exact-rank-statistics migration
+# (VERDICT r11 item 1: percentile_stats/mad_outliers/robust_scaling/
+# trimmed_mean/quality_deciles rewired onto the *_by_counts histogram
+# family; their sort-window twins stay as parity faces), the
+# pre-committed union_dedup → dedup_keep_first migration (item 2), and
+# the two ADVICE-fix hosts (zscore_outliers: lateral-alias removal;
+# dedup_keep_list: numeric-quality guard) — then (b) retires the last
+# 12 r06-generation rows, (c) refreshes the whole 21-query r07 bank
+# remainder, and (d) starts the r09 bank alphabetically (9 seats).
+# Round-13 pool: the 19 r09 leftovers (in_list_case_sort,
+# max_per_group, pagerank_tokens, pivot_status, pmi_collocations,
+# ranking_suite, region_rollup, rollup_agg, scalar_derivations,
+# semi_anti_join, set_ops, severity_buckets, stats_per_decade,
+# string_suite, text_quality, top2_per_user, top_k_orders,
+# unpivot_measures, window_running), then the r10 alphabetical front.
 _GATE_FIRST = [
-    # ---- round-11 head (executes the pre-committed r11 churn list +
-    #      the r06-pool retirement sketched at round-10 close) ----
-    # (2) round-11 churn — queries whose code/oracle/called operator
+    # (2) round-12 churn — queries whose code/oracle/called operator
     #     changed this round:
-    #     * shingles_of let-binding (fuzzy_dedup.py — the round-10
-    #       dupe-eval scan's one genuine class) churns every shingle
-    #       consumer: minhash_lsh, lsh_jaccard_refine, dedup_components,
-    #       dedup_keep_list, ngram_jaccard, ngram_containment,
-    #       prefix_filter_join, lsh_recall_audit, eval_overlap,
-    #       doc_repetition;
-    #     * text.py let-bindings: language_id hosts lang_id; chunk_text
-    #       hosts chunk_documents; (quality_score / redact_pii measured
-    #       no-win and left untouched — DESIGN.md r11);
-    #     * q_array_suite inline rewrite, q_approx_stats create_map
-    #       empty guard, q_incremental_agg decimal cents (ext);
-    #     * assign_clusters empty-seed guard churns kmeans_clusters,
-    #       semdedup_prune, cluster_purity (+ its Σc² decimal fix);
-    #     * histogram_drift c·n decimal fix (profiling.py);
-    #     * fingerprint_set→let unification hosts winnow_fingerprint
-    #       (fingerprint_match_pairs calls _fingerprint_set_let
-    #       directly — byte-untouched, so fingerprint_dedup's r10 row
-    #       stands);
-    #     * enrichment.py LRU unpersist fix (ADVICE r10 medium) churns
-    #       the polygon-dim path: spatial_join, enrich_coalesce,
-    #       enrich_events (regex_token_match takes no dim — unchurned);
-    #     * packing.py pack_documents refactor hosts pack_sequences +
-    #       length_batching;
-    #     * analytics.py zscore overflow-guard (ADVICE r10) hosts
-    #       zscore_outliers;
-    #     * similarity.cosine let-binding (norm folds evaluated once —
-    #       −34% measured) churns cosine_topk, ann_lsh, ann_ivf (and
-    #       semdedup_prune, already seated above) — these three take
-    #       the last three pool seats by churn priority; dedup_keep_list
-    #       (seated above) also churned: keep-winner is now an argmin
-    #       aggregate (window-skew audit).
-    "prefix_filter_join", "lsh_recall_audit", "minhash_lsh",
-    "lsh_jaccard_refine", "dedup_components", "dedup_keep_list",
-    "ngram_jaccard", "ngram_containment", "eval_overlap",
-    "doc_repetition", "lang_id", "chunk_documents", "array_suite",
-    "approx_stats", "incremental_agg", "kmeans_clusters",
-    "semdedup_prune", "cluster_purity", "histogram_drift",
-    "winnow_fingerprint", "spatial_join", "enrich_coalesce",
-    "enrich_events", "pack_sequences", "length_batching",
-    "zscore_outliers", "cosine_topk", "ann_lsh", "ann_ivf",
-    # (3) table-type sentinels for the round-11 qcommon.py churn
-    #     (reuse() reliable-flavor persist-before-checkpoint fix,
-    #     ADVICE r10): events / documents / lineitem / embeddings
-    "yearly_stats", "token_stats", "fact_fact_join",
-    "embedding_near_dup",
-    # (4) the r06 pool, oldest-first per the round-10 tail-comment
-    #     order — 17 of the 31 remaining rows (histogram_drift,
-    #     incremental_agg, winnow_fingerprint, length_batching rotate
-    #     in as churn above; the cosine churn claims the last three
-    #     seats by priority); the 14 leftovers lead round 12:
-    #     funnel_windowed, heavy_hitters, interval_merge,
-    #     join_explosion, mad_outliers, mp4_probe, quality_deciles,
-    #     rfm_segments, scd2_snapshot, snapshot_diff, split_assignment,
-    #     top_p_select, url_canonical, zorder_layout
-    "approx_distinct", "approx_quality_bins", "bigram_lm_score",
-    "bloom_prune", "boilerplate_strip", "char_diversity",
-    "cohort_retention", "column_profile", "compaction_plan",
-    "cumulative_reach", "domain_mixture", "event_debounce",
-    "event_transitions", "exact_substring_dup", "expectations_report",
-    "fact_reconciliation", "funnel_steps",
+    "percentile_stats", "mad_outliers", "robust_scaling", "trimmed_mean",
+    "quality_deciles", "union_dedup", "zscore_outliers", "dedup_keep_list",
+    # (4a) the 12 r06-pool leftovers (mad_outliers/quality_deciles of
+    #      the original 14 moved up into the churn block):
+    "funnel_windowed", "heavy_hitters", "interval_merge", "join_explosion",
+    "mp4_probe", "rfm_segments", "scd2_snapshot", "snapshot_diff",
+    "split_assignment", "top_p_select", "url_canonical", "zorder_layout",
+    # (4b) the full r07 bank remainder (robust_scaling/trimmed_mean of
+    #      the original 23 moved up into the churn block):
+    "attribution", "bm25_topk", "boolean_search", "clean_events",
+    "equidepth_histogram", "fk_integrity", "fuzzy_blocked_join",
+    "golden_record", "high_water_mark", "incremental_join_view",
+    "k_anonymity", "merge_anti_join", "pareto_frontier", "pii_redact",
+    "pricing_summary", "rate_limit", "simhash", "upsert_merge",
+    "weighted_sample", "zone_skipping", "zorder_skipping",
+    # (4c) the r09 bank, alphabetical front (percentile_stats and
+    #      union_dedup of that bank moved up into the churn block):
+    "chi2_independence", "cms_frequency", "conditional_ratio",
+    "corr_stats", "correlated_subquery", "cube_agg", "datetime_suite",
+    "distinct_agg", "exact_dedup",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

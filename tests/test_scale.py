@@ -457,3 +457,60 @@ def test_zscore_outlier_stats_no_lateral_alias_dependency(spark):
         assert rows["j"]["n_outliers"] is None
     finally:
         spark.conf.set(key, prev)
+
+
+def test_session_ids_presplit_matches_single_window(spark):
+    """VERDICT r11 item 6: the per-(user, bucket) split-and-stitch must
+    assign bit-identical session ids to the single-window reference
+    form — including sessions that SPAN bucket boundaries (continuous
+    activity across many buckets merges through the stitch), gaps that
+    exactly straddle a boundary, ts ties resolved by the tiebreak, and
+    single-event users."""
+    import random
+    from datetime import datetime, timedelta
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        session_ids,
+        session_ids_presplit,
+    )
+
+    random.seed(83)
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: dense bot activity, sessions crossing many day boundaries
+    t = base
+    for _ in range(600):
+        t += timedelta(minutes=random.choice([5, 30, 90, 2000]))
+        rows.append((1, t, eid)); eid += 1
+    # user 2: a session whose inactivity gap lands exactly ON a
+    # bucket boundary, plus ts ties
+    rows += [
+        (2, datetime(2024, 1, 3, 23, 30), 100_000),
+        (2, datetime(2024, 1, 4, 0, 10), 100_001),   # 40 min: same session
+        (2, datetime(2024, 1, 4, 2, 0), 100_002),    # 110 min: new session
+        (2, datetime(2024, 1, 4, 2, 0), 100_003),    # tie on ts
+    ]
+    # user 3: one event
+    rows.append((3, datetime(2024, 2, 1, 12, 0), 200_000))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    for gap_h, bucket_h in [(1, 24), (1, 6), (48, 24)]:
+        a = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in session_ids(df, gap_us=gap_h * 3_600_000_000).collect()
+        }
+        b = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in session_ids_presplit(
+                df,
+                gap_us=gap_h * 3_600_000_000,
+                bucket_us=bucket_h * 3_600_000_000,
+            ).collect()
+        }
+        assert a == b, (gap_h, bucket_h)
+    # and the pre-split's row-level windows are keyed by (user, bucket):
+    plan = (
+        session_ids_presplit(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    import re
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?,\s*ts", plan)
