@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import dedup_row_number
+from .dedup import dedup_keep_first, dedup_row_number
 
 
 def high_water_mark_filter(
@@ -76,7 +76,14 @@ def incremental_upsert(
     rows (idempotence property test in tests/test_merge.py).
     """
     batch = high_water_mark_filter(new, existing, ts_col) if use_hwm else new
-    batch = dedup_row_number(batch, keys, tiebreak=[ts_col])
+    # r12 (pre-committed at r11 close): keep-1 via the min-struct
+    # aggregate — partial-aggregates map-side, so a hot merge key
+    # collapses before the shuffle instead of serializing into one
+    # window task. The struct comparison totalizes the order (ts, then
+    # payload), UPGRADING the window form's arbitrary survivor under
+    # (key, ts) ties to a deterministic one; non-tied survivors are
+    # identical (earliest ts wins, as before).
+    batch = dedup_keep_first(batch, keys, tiebreak=[ts_col])
     return anti_join_merge(batch, existing, keys)
 
 
