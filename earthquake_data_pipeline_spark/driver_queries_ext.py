@@ -385,17 +385,22 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_cont interpolation computed over the (flag, quantity)
     value-count histogram — l_quantity has ≤ 50 distinct values, so
     per-key window work is O(50) instead of one task sorting the whole
-    flag's rows). The NEAR-CONTINUOUS l_extendedprice median keeps the
-    F.percentile sort aggregate per the by-counts domain contract (its
-    histogram would be row-sized), and stddev is a plain moment
-    aggregate — both ride one groupBy joined to the histogram result
-    on the 3-value flag key.
+    flag's rows). The NEAR-CONTINUOUS l_extendedprice median — where
+    the by-counts domain contract does NOT apply — uses
+    percentile_cont_bracket (2-pass exact bracket selection: approx
+    bracket → count-below → exact sort of ~6n/accuracy bracket rows),
+    which replaced the F.percentile sort aggregate after the
+    post-migration audit still flagged its 3-hot-task merge stage
+    (ratio 10.2). stddev is a plain moment aggregate. No stage
+    anywhere buffers a flag's full row set.
     """
     _utc(spark)
-    from .operators.analytics import percentile_by_counts
+    from .operators.analytics import (
+        _nsjoin,
+        percentile_by_counts,
+        percentile_cont_bracket,
+    )
 
-    # fanout: exact percentile buffers values per partition; more
-    # partitions → smaller partial buffers and parallel partial sorts
     li = _fanout(_table(spark, sf_dir, "lineitem"))
     qty = percentile_by_counts(
         li.select("l_returnflag", "l_quantity"),
@@ -403,14 +408,35 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         [0.5, 0.9],
     )
+    # accuracy=50: the GK sketch MERGE is the per-key serial cost
+    # (O(partials × sketch size) in one task — the audit's residual
+    # 3-hot-task stage at accuracy 1000); 50 shrinks it 20× while the
+    # bracket grows to only ~12% of a key's rows per percentile — the
+    # knob trades exactly these two, and the result is EXACT either way
+    price = percentile_cont_bracket(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag",
+        "l_extendedprice",
+        [0.5],
+        accuracy=50,
+    ).select(
+        "l_returnflag", F.round(F.col("p_0"), 6).alias("median_price")
+    )
     rest = li.groupBy("l_returnflag").agg(
         F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias(
-            "median_price"
-        ),
     )
+    # LEFT from the groupBy side, null-safe: a flag whose values are
+    # ALL NULL has no histogram/bracket row (both forms exclude NULL
+    # values), and a NULL flag key never equi-joins — all groups must
+    # survive with NULL percentiles, as the single-aggregate form and
+    # the oracle's GROUP BY keep them
     return (
-        qty.join(rest, "l_returnflag")
+        _nsjoin(
+            _nsjoin(rest, qty, ["l_returnflag"], how="left"),
+            price,
+            ["l_returnflag"],
+            how="left",
+        )
         .select(
             "l_returnflag",
             F.round(F.col("p_0"), 6).alias("median_qty"),

@@ -302,6 +302,7 @@ def session_ids_presplit(
     tiebreak_col: str = "event_id",
     gap_us: int = 3_600_000_000,
     bucket_us: int = 86_400_000_000,
+    broadcast_offsets: bool = False,
 ) -> DataFrame:
     """Skew-immune opt-in twin of :func:`session_ids` — the per-(user,
     time-bucket) PRE-SPLIT the round-11 window audit documented for the
@@ -326,8 +327,8 @@ def session_ids_presplit(
        decides whether each bucket's first event really starts a new
        session (gap to the previous bucket's last event > gap_us), and
        a running sum of per-bucket boundary counts + bucket-start
-       flags yields each bucket's session-id OFFSET. Broadcast-join
-       the offsets back:
+       flags yields each bucket's session-id OFFSET. Join the offsets
+       back on (user, bucket):
        ``session_id = bucket_offset + local_running_count``.
 
     Identity (why the ids match bit-for-bit): the reference session id
@@ -346,7 +347,15 @@ def session_ids_presplit(
     is over THAT frame, so the 10^8-event bot costs max(events-per-
     day) per task instead of its lifetime. Offsets join back keyed on
     (user, bucket) — skew-splittable by AQE, no window over row-level
-    data keyed by user alone anywhere.
+    data keyed by user alone anywhere. ``broadcast_offsets`` follows
+    the broadcast-size law (zscore_outlier_stats): the offsets frame is
+    (users × active buckets) — that is DATA-sized for a high-
+    cardinality user column (10^8 users × 30 days ≫ any broadcast
+    limit), so the default shuffles and lets AQE decide; pass True only
+    when the user domain is enumerably small. NULL timestamps and NULL
+    users survive (null-safe offset join): a NULL-ts row buckets to
+    NULL, which sorts first — exactly where the reference window puts
+    it — and merges into session 0, matching :func:`session_ids`.
     """
     t_us = F.unix_micros(ts_col)
     ev = events.withColumn("__b", F.floor(t_us / F.lit(bucket_us)))
@@ -383,8 +392,9 @@ def session_ids_presplit(
         )
         .select(user_col, "__b", "__off")
     )
+    off_side = F.broadcast(offsets) if broadcast_offsets else offsets
     return (
-        local.join(F.broadcast(offsets), [user_col, "__b"])
+        _nsjoin(local, off_side, [user_col, "__b"])
         .withColumn("session_id", F.col("__off") + F.col("__ls"))
         .drop("__b", "__lb", "__ls", "__off")
     )
@@ -649,6 +659,46 @@ def rfm_segments(
     )
 
 
+def _nsjoin(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """NULL-SAFE equi-join keeping one copy of the key columns (the
+    left's). Every join in the by-counts family goes through this
+    (round-12 self-review finding): the histograms' groupBy keeps a
+    NULL key as a group — exactly like the window faces' partitionBy
+    and the oracles' GROUP BY — but a plain equi-join silently DROPS
+    the NULL-key rows at the totals/stats/bounds join, so a nullable
+    key column diverged from the parity face. ``eqNullSafe`` (<=>)
+    restores the GROUP BY semantics end-to-end.
+    """
+    l, r = left.alias("__nsl"), right.alias("__nsr")
+    cond = None
+    for k in keys:
+        c = F.col(f"__nsl.{k}").eqNullSafe(F.col(f"__nsr.{k}"))
+        cond = c if cond is None else (cond & c)
+    out = l.join(r, cond, how)
+    for k in keys:
+        out = out.drop(F.col(f"__nsr.{k}"))
+    return out
+
+
+def _cum_value_counts(pairs: DataFrame) -> DataFrame:
+    """(k, v) pairs → (k, v, c, cum, n): the shared scaffold of the
+    by-counts family — one map-side-combined (k, v) count aggregate,
+    the cumulative-count window over distinct values per key, and the
+    null-safe per-key totals join. Callers choose the NULL-VALUE policy
+    (filter or keep) and any casts BEFORE calling; NULL KEYS always
+    survive (see :func:`_nsjoin`)."""
+    counts = pairs.groupBy("k", "v").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("k").orderBy("v")
+    h = counts.withColumn("cum", F.sum("c").over(w))
+    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    return _nsjoin(h, tot, ["k"])
+
+
 def percentile_by_counts(
     events: DataFrame,
     key_col: str,
@@ -697,15 +747,11 @@ def percentile_by_counts(
     cannot run at all.
     """
     v = F.col(value_col).cast("double")
-    counts = (
-        events.filter(v.isNotNull())
-        .groupBy(F.col(key_col).alias("k"), v.alias("v"))
-        .agg(F.count("*").alias("c"))
+    j = _cum_value_counts(
+        events.filter(v.isNotNull()).select(
+            F.col(key_col).alias("k"), v.alias("v")
+        )
     )
-    w = Window.partitionBy("k").orderBy("v")
-    c = counts.withColumn("cum", F.sum("c").over(w))
-    totals = counts.groupBy("k").agg(F.sum("c").alias("n"))
-    j = c.join(totals, "k")
     aggs = [F.max("n").alias("n")]
     outs = []
     for idx, p in enumerate(percentiles):
@@ -729,6 +775,151 @@ def percentile_by_counts(
         )
     return (
         j.groupBy("k")
+        .agg(*aggs)
+        .select(F.col("k").alias(key_col), *outs, F.col("n"))
+    )
+
+
+def percentile_cont_bracket(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    percentiles: list[float],
+    accuracy: int = 1000,
+    broadcast_bounds: bool = True,
+) -> DataFrame:
+    """EXACT interpolated percentiles (percentile_cont semantics) for
+    NEAR-CONTINUOUS columns — the scale face the by-counts histogram
+    cannot cover (its domain contract: a continuous column's histogram
+    degenerates to one row per input row, and the per-key cumulative
+    window becomes the one-task-per-key straggler again).
+
+    Classic 2-pass bracket selection, every heavy stage balanced:
+
+    1. BRACKET — ``percentile_approx`` (Greenwald-Khanna, rank error
+       ≤ n/accuracy, map-side merged — no skew) at p ± 3/accuracy
+       gives per-key value brackets GUARANTEED to contain the true
+       target ranks (margin 3× the sketch's error bound), plus n.
+    2. COUNT-BELOW — one map-side-combined conditional count of rows
+       strictly below each bracket per key (balanced scan).
+    3. SELECT — only the bracket rows (≈ 6n/accuracy per key per p)
+       sort, in a per-(key, percentile) window over that TINY frame;
+       global rank = in-bracket row_number + count-below; the values at
+       ranks floor(r)+1 and min(floor(r)+2, n) interpolate exactly as
+       percentile_cont (identical arithmetic to F.percentile /
+       :func:`percentile_by_counts` — bit-identical, test-pinned).
+
+    No stage buffers a key's rows: the sketch merge is per-partition
+    partials, the counts are partial aggregates, and the only sort is
+    bracket-sized. ``accuracy`` is the residency knob — bracket rows
+    per key ≈ 6n/accuracy, so pick accuracy ≈ n / 10^6 at extreme n to
+    hold brackets at ~10^6 rows (the result stays EXACT for any
+    accuracy; only the bracket size changes). A missed bracket (cannot
+    happen within the sketch's guarantee) would surface as an
+    assert_true failure, never a silent wrong answer.
+
+    Output: (key_col, p_<idx>… doubles, n). NULL values excluded; keys
+    with zero non-null values drop (as with F.percentile) — anchor on
+    a groupBy frame and left-join when groups must survive.
+    """
+    v = F.col(value_col).cast("double")
+    base = events.filter(v.isNotNull()).select(
+        F.col(key_col).alias("k"), v.alias("v")
+    )
+    np_ = len(percentiles)
+    margin = 3.0 / accuracy
+    qs = [max(0.0, p - margin) for p in percentiles] + [
+        min(1.0, p + margin) for p in percentiles
+    ]
+    bounds = (
+        base.groupBy("k")
+        .agg(
+            F.percentile_approx(
+                "v", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+            ).alias("bq"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "k",
+            "n",
+            # margin arithmetic: the bracket must cover the target rank
+            # ±(sketch error 1/accuracy + 2 ranks) in quantile units =
+            # 1/accuracy + 2/n ≤ 3/accuracy whenever n ≥ accuracy. A
+            # SMALLER key gets the whole key as its bracket (±inf) —
+            # it is bracket-sized by definition, and a fixed query
+            # array cannot widen per key
+            *[
+                F.when(F.col("n") >= accuracy, F.col("bq")[i])
+                .otherwise(F.lit(float("-inf")))
+                .alias(f"lo_{i}")
+                for i in range(np_)
+            ],
+            *[
+                F.when(F.col("n") >= accuracy, F.col("bq")[np_ + i])
+                .otherwise(F.lit(float("inf")))
+                .alias(f"hi_{i}")
+                for i in range(np_)
+            ],
+        )
+    )
+    b_side = F.broadcast(bounds) if broadcast_bounds else bounds
+    j = _nsjoin(base, b_side, ["k"])
+    below = j.groupBy("k").agg(
+        *[
+            F.sum((F.col("v") < F.col(f"lo_{i}")).cast("long")).alias(
+                f"nb_{i}"
+            )
+            for i in range(np_)
+        ]
+    )
+    brackets = None
+    for i in range(np_):
+        part = j.filter(
+            (F.col("v") >= F.col(f"lo_{i}")) & (F.col("v") <= F.col(f"hi_{i}"))
+        ).select("k", "v", F.lit(i).alias("qi"), "n")
+        brackets = part if brackets is None else brackets.unionByName(part)
+    below_side = F.broadcast(below) if broadcast_bounds else below
+    w = Window.partitionBy("k", "qi").orderBy("v")
+    ranked = _nsjoin(
+        brackets.withColumn("rn", F.row_number().over(w)), below_side, ["k"]
+    )
+    aggs = [F.max("n").alias("n")]
+    outs = []
+    for i, p in enumerate(percentiles):
+        r = F.lit(float(p)) * (F.col("n") - 1).cast("double")
+        lo_pos = F.floor(r) + 1
+        # ceil, not floor+2: an INTEGRAL rank needs no second row (frac
+        # is exactly 0, interpolation degenerates to lo), and demanding
+        # rank floor+2 would require a value the bracket legitimately
+        # need not contain (tripwire false-positive on tiny keys)
+        hi_pos = F.ceil(r) + 1
+        gpos = F.col("rn") + F.col(f"nb_{i}")
+        here = F.col("qi") == i
+        aggs.append(
+            F.max(F.when(here & (gpos == lo_pos), F.col("v"))).alias(
+                f"__lo{i}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(here & (gpos == hi_pos), F.col("v"))).alias(
+                f"__hi{i}"
+            )
+        )
+        frac = r - F.floor(r).cast("double")
+        guard = F.assert_true(
+            F.col(f"__lo{i}").isNotNull() & F.col(f"__hi{i}").isNotNull(),
+            "percentile_cont_bracket: bracket missed the target rank — "
+            "sketch guarantee violated",
+        )
+        outs.append(
+            F.coalesce(
+                guard.cast("double"),
+                F.col(f"__lo{i}")
+                + frac * (F.col(f"__hi{i}") - F.col(f"__lo{i}")),
+            ).alias(f"p_{i}")
+        )
+    return (
+        ranked.groupBy("k")
         .agg(*aggs)
         .select(F.col("k").alias(key_col), *outs, F.col("n"))
     )
@@ -805,10 +996,10 @@ def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
         )
 
     tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
-    vh = counts.join(tot, "k")
+    vh = _nsjoin(counts, tot, ["k"])
     med = _mid2(vh, "x").withColumnRenamed("__m2", "med2")
     dev_hist = (
-        counts.join(med, "k")
+        _nsjoin(counts, med, ["k"])
         .select(
             "k",
             "n",
@@ -822,7 +1013,7 @@ def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
     mad = _mid2(dev_hist.select("k", "n", "d", "c"), "d").withColumnRenamed(
         "__m2", "mad2"
     )
-    return med.join(mad.select("k", "mad2"), "k").select(
+    return _nsjoin(med, mad.select("k", "mad2"), ["k"]).select(
         "k", "med2", "mad2", "n"
     )
 
@@ -865,7 +1056,7 @@ def mad_outliers_by_counts(
     # evaluate the whole two-window stats subtree twice (the zscore
     # pattern)
     return (
-        counts.join(stats.select("k", "med2", "mad2"), "k")
+        _nsjoin(counts, stats.select("k", "med2", "mad2"), ["k"])
         .select(
             "k",
             "c",
@@ -1258,6 +1449,11 @@ def robust_scale_by_counts(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
     )
+    # deliberately NULL-UNSAFE, unlike the rest of the by-counts family
+    # (r12 self-review): robust_scale's OWN join-back (and its oracle's
+    # USING (k)) drops NULL-key rows, so the twin must replay that to
+    # stay bit-identical to the parity face — the one by-counts form
+    # whose face contains a join rather than pure window/groupBy
     joined = base.join(bounds, "k")
     wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
     scaled = F.when(
@@ -1334,15 +1530,9 @@ def percentile_disc_by_counts(
 
     Output: (key_col, d_<idx>… in ``pcts`` order, n).
     """
-    counts = (
+    j = _cum_value_counts(
         events.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
-        .groupBy("k", "v")
-        .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("k").orderBy("v")
-    h = counts.withColumn("cum", F.sum("c").over(w))
-    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
-    j = h.join(tot, "k")
     aggs = [F.max("n").alias("n")]
     for idx, p in enumerate(pcts):
         pos = F.expr(f"(n * {int(p)} + 99) DIV 100")
@@ -1381,15 +1571,9 @@ def trimmed_mean_by_counts(
     """
     from ..qcommon import round6x
 
-    counts = (
+    j = _cum_value_counts(
         events.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
-        .groupBy("k", "v")
-        .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("k").orderBy("v")
-    h = counts.withColumn("cum", F.sum("c").over(w))
-    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
-    j = h.join(tot, "k")
     k_lo = F.expr(f"(n * {trim_pct}) DIV 100")
     k_hi = F.expr(f"n - (n * {trim_pct}) DIV 100")
     kept = F.greatest(

@@ -91,18 +91,14 @@ def quality_decile_stats_by_counts(
     Output schema identical to the ntile form: (stratum, bin int,
     n_docs, min_score, max_score, total_score), ordered.
     """
-    counts = (
-        docs.select(
-            F.col(stratum_col).alias("k"), F.col(score_col).alias("v")
-        )
-        .groupBy("k", "v")
-        .agg(F.count("*").alias("c"))
-    )
-    w = Window.partitionBy("k").orderBy("v")
-    h = counts.withColumn("cum", F.sum("c").over(w))
-    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
+    from .analytics import _cum_value_counts
+
     j = (
-        h.join(tot, "k")
+        _cum_value_counts(
+            docs.select(
+                F.col(stratum_col).alias("k"), F.col(score_col).alias("v")
+            )
+        )
         .withColumn("base", F.expr(f"n DIV {int(n_bins)}"))
         .withColumn("rem", F.expr(f"n % {int(n_bins)}"))
         # positions 1..cut live in the fat (base+1-row) bins; when

@@ -9,7 +9,8 @@ Spark-first restatement:
 - ``anti_join_merge``        — left_anti on the business key → only genuinely
   new rows survive; append them. Idempotent by construction (replaying a
   batch inserts 0 rows) — the I3 exactly-once-ish contract.
-- ``incremental_upsert``     — the full I1 routine: HWM filter → window dedup
+- ``incremental_upsert``     — the full I1 routine: HWM filter → keep-1
+  dedup (min-struct aggregate since r12; window form for map payloads)
   → anti-join → rows to append.
 
 Scale: the anti-join shuffles both sides on the key ONLY if the existing
@@ -82,8 +83,14 @@ def incremental_upsert(
     # window task. The struct comparison totalizes the order (ts, then
     # payload), UPGRADING the window form's arbitrary survivor under
     # (key, ts) ties to a deterministic one; non-tied survivors are
-    # identical (earliest ts wins, as before).
-    batch = dedup_keep_first(batch, keys, tiebreak=[ts_col])
+    # identical (earliest ts wins, as before). Frames with map-typed
+    # payload keep the window path (maps have no ordering, so the
+    # min-struct form cannot carry them — and the window's survivor
+    # under ties was arbitrary anyway).
+    if any("map<" in f.dataType.simpleString() for f in batch.schema.fields):
+        batch = dedup_row_number(batch, keys, tiebreak=[ts_col])
+    else:
+        batch = dedup_keep_first(batch, keys, tiebreak=[ts_col])
     return anti_join_merge(batch, existing, keys)
 
 

@@ -514,3 +514,180 @@ def test_session_ids_presplit_matches_single_window(spark):
     )
     import re
     assert not re.search(r"windowspecdefinition\(user_id#\d+L?,\s*ts", plan)
+
+
+def test_by_counts_family_keeps_null_key_groups(spark):
+    """r12 self-review finding: the histograms' groupBy keeps a NULL
+    key as a group (like the window faces' partitionBy and the oracles'
+    GROUP BY), but the scaffold's totals/stats/bounds joins were
+    null-UNSAFE equi-joins that silently dropped the group. Every
+    by-counts form must now match its window face on a nullable key."""
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        mad_outliers,
+        mad_outliers_by_counts,
+        percentile_by_counts,
+        robust_scale,
+        robust_scale_by_counts,
+        trimmed_mean,
+        trimmed_mean_by_counts,
+    )
+    from earthquake_data_pipeline_spark.operators.curation import (
+        quality_decile_stats,
+        quality_decile_stats_by_counts,
+    )
+
+    rows = [(i, None, float(i % 7) + 1) for i in range(40)]
+    rows += [(100 + i, "k", float(i % 5) + 2) for i in range(35)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+    # percentile: by-counts NULL-key group must match F.percentile's
+    want = {
+        r["event_type"]: r["p"]
+        for r in df.groupBy("event_type")
+        .agg(F.percentile("value", 0.5).alias("p"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["p_0"]
+        for r in percentile_by_counts(df, "event_type", "value", [0.5]).collect()
+    }
+    assert got == want and None in got
+
+    # robust_scale included: BOTH its forms drop the NULL-key group at
+    # the (null-unsafe) join-back — that is the pinned face/oracle
+    # semantics — while the pure window/groupBy faces keep it
+    for a_fn, b_fn in [
+        (lambda d: mad_outliers(d), lambda d: mad_outliers_by_counts(d)),
+        (lambda d: trimmed_mean(d), lambda d: trimmed_mean_by_counts(d)),
+        (lambda d: robust_scale(d), lambda d: robust_scale_by_counts(d)),
+    ]:
+        a = sorted(
+            (tuple(r[c] for c in r.asDict()) for r in a_fn(df).collect()),
+            key=str,
+        )
+        b = sorted(
+            (tuple(r[c] for c in r.asDict()) for r in b_fn(df).collect()),
+            key=str,
+        )
+        assert a == b and len(a) > 0
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", None if i < 25 else "en", 10 + i % 13) for i in range(60)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    a = sorted(
+        (tuple(r[c] for c in r.asDict())
+         for r in quality_decile_stats(docs).collect()),
+        key=str,
+    )
+    b = sorted(
+        (tuple(r[c] for c in r.asDict())
+         for r in quality_decile_stats_by_counts(docs).collect()),
+        key=str,
+    )
+    assert a == b and any(t[0] is None for t in b)
+
+
+def test_session_ids_presplit_null_ts_and_null_user(spark):
+    """r12 self-review finding: NULL-ts rows bucket to NULL and a
+    null-unsafe offsets join dropped them (and NULL users) entirely;
+    the reference window form keeps both in session 0."""
+    from datetime import datetime
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        session_ids,
+        session_ids_presplit,
+    )
+
+    rows = [
+        (1, None, 1),
+        (1, datetime(2024, 1, 1, 10), 2),
+        (1, datetime(2024, 1, 1, 12), 3),   # new session (2h gap)
+        (None, datetime(2024, 1, 2, 9), 4),  # NULL user is a group
+        (None, datetime(2024, 1, 2, 9, 30), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    a = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in session_ids(df).collect()
+    }
+    b = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in session_ids_presplit(df).collect()
+    }
+    assert a == b and len(b) == 5
+
+
+def test_incremental_upsert_accepts_map_payload(spark):
+    """r12 self-review finding: the dedup_keep_first migration must not
+    break map-payload frames that the window path carried fine — they
+    fall back to dedup_row_number."""
+    from datetime import datetime
+
+    from earthquake_data_pipeline_spark.operators.merge import (
+        incremental_upsert,
+    )
+
+    new = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 2), {"x": "1"}),
+            ("a", datetime(2024, 1, 3), {"x": "2"}),
+            ("b", datetime(2024, 1, 2), {"y": "9"}),
+        ],
+        "k string, ts timestamp, props map<string,string>",
+    )
+    existing = spark.createDataFrame(
+        [("b", datetime(2024, 1, 1), {"y": "0"})],
+        "k string, ts timestamp, props map<string,string>",
+    )
+    out = {r["k"]: r for r in incremental_upsert(new, existing, ["k"], "ts").collect()}
+    # b exists -> anti-joined away; a deduped to earliest ts
+    assert list(out) == ["a"]
+    assert out["a"]["ts"] == datetime(2024, 1, 2)
+
+
+def test_percentile_cont_bracket_matches_exact_percentile(spark):
+    """r12: the 2-pass bracket selection must be BIT-identical to
+    F.percentile on continuous data — including ranks landing exactly
+    on a row, duplicate values straddling the bracket edge, tiny keys,
+    and accuracy coarser than the key size."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        percentile_cont_bracket,
+    )
+
+    random.seed(97)
+    rows = [("cont", random.uniform(0, 1e6)) for _ in range(20011)]
+    rows += [("dup", float(random.choice([10, 10, 10, 20, 30]) * 100))
+             for _ in range(5000)]
+    rows += [("tiny", float(i)) for i in range(7)]
+    rows += [("one", 42.5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    want = {
+        r["k"]: (r["pc"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("pc"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for acc in (50, 1000):
+        got = {
+            r["k"]: ([r[f"p_{i}"] for i in range(len(ps))], r["n"])
+            for r in percentile_cont_bracket(df, "k", "v", ps, accuracy=acc)
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][1] == want[k][1], (k, acc)
+            for i, (a, b) in enumerate(zip(got[k][0], want[k][0])):
+                assert a == b, (k, ps[i], acc, a, b)  # exact bits
