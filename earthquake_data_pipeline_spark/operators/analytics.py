@@ -471,6 +471,71 @@ def merge_intervals(
     )
 
 
+def merge_intervals_presplit(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_s: int = 600,
+    bucket_us: int = 86_400_000_000,
+    broadcast_offsets: bool = False,
+) -> DataFrame:
+    """Skew-immune opt-in twin of :func:`merge_intervals` — the
+    per-(key, time-bucket) pre-split, extending the session machinery
+    to the gaps-and-islands shape (r12).
+
+    Why it reduces to sessions: this operator's intervals all have the
+    SAME duration d, and events sort by start — so the running max of
+    earlier ends is always the PREVIOUS start + d, and the island
+    boundary condition ``start > max(earlier ends)`` is exactly the
+    session condition ``start_i − start_{i−1} > d``. (The window
+    form's cumulative-max formulation matters only for VARIABLE-length
+    intervals, which this operator does not take; with fixed d, a
+    previous BUCKET's max end is always dominated by the current
+    bucket's first merged event's end, so only first-in-bucket flags
+    need the cross-bucket stitch — the exact structure
+    :func:`session_ids_presplit` already repairs.)
+
+    Implementation: session ids at gap = d via the pre-split engine,
+    then the per-(key, island) aggregate. Bit-identical islands to the
+    window form (test-pinned, bucket-spanning islands included).
+    """
+    sess = session_ids_presplit(
+        events.select(F.col(key_col), F.col(ts_col)),
+        user_col=key_col,
+        ts_col=ts_col,
+        tiebreak_col=ts_col,
+        gap_us=duration_s * 1_000_000,
+        bucket_us=bucket_us,
+        broadcast_offsets=broadcast_offsets,
+    )
+    start_s = F.unix_timestamp(ts_col)
+    return (
+        sess.select(
+            F.col(key_col).alias("k"),
+            (F.col("session_id") + 1).alias("island"),
+            start_s.alias("start_s"),
+            (start_s + duration_s).alias("end_s"),
+        )
+        .groupBy("k", "island")
+        .agg(
+            F.min("start_s").alias("island_start_s"),
+            F.max("end_s").alias("island_end_s"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("island").cast("int").alias("island"),
+            "island_start_s",
+            "island_end_s",
+            (F.col("island_end_s") - F.col("island_start_s")).alias(
+                "span_s"
+            ),
+            "n_events",
+        )
+        .orderBy(key_col, "island")
+    )
+
+
 def event_debounce(
     events: DataFrame,
     key_cols: list[str] | None = None,

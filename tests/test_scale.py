@@ -691,3 +691,42 @@ def test_percentile_cont_bracket_matches_exact_percentile(spark):
             assert got[k][1] == want[k][1], (k, acc)
             for i, (a, b) in enumerate(zip(got[k][0], want[k][0])):
                 assert a == b, (k, ps[i], acc, a, b)  # exact bits
+
+
+def test_merge_intervals_presplit_matches_window_form(spark):
+    """r12: the gaps-and-islands pre-split must produce bit-identical
+    islands to merge_intervals — fixed durations make the cumulative-
+    max boundary a session boundary, including islands that span many
+    bucket boundaries and exact-touch intervals (gap == duration)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        merge_intervals,
+        merge_intervals_presplit,
+    )
+
+    random.seed(101)
+    base = datetime(2024, 3, 1)
+    rows = []
+    t = base
+    for _ in range(500):  # dense key: islands cross day boundaries
+        t += timedelta(seconds=random.choice([60, 300, 599, 600, 601, 7200]))
+        rows.append((1, t))
+    rows += [(2, datetime(2024, 3, 3, 23, 55)),  # island straddles midnight
+             (2, datetime(2024, 3, 4, 0, 4)),
+             (2, datetime(2024, 3, 4, 2, 0))]
+    rows.append((3, datetime(2024, 4, 1, 12, 0)))  # single event
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    cols = ("user_id", "island", "island_start_s", "island_end_s",
+            "span_s", "n_events")
+    for bucket_h in (24, 6):
+        a = sorted(tuple(r[c] for c in cols)
+                   for r in merge_intervals(df, duration_s=600).collect())
+        b = sorted(
+            tuple(r[c] for c in cols)
+            for r in merge_intervals_presplit(
+                df, duration_s=600, bucket_us=bucket_h * 3_600_000_000
+            ).collect()
+        )
+        assert a == b, bucket_h
