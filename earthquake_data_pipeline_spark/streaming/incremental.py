@@ -49,6 +49,36 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, lateness).dropDuplicates(cols)
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Keyed streaming dedup on the BUSINESS KEY ALONE — the face
+    :func:`streaming_dedup` cannot provide (r12).
+
+    streaming_dedup appends the event-time column to the dedup key so
+    classic dropDuplicates state can ever be reclaimed — but that means
+    a RE-DELIVERY with a different timestamp (the at-least-once
+    transport's normal failure: same event_id, seconds-later retry
+    stamp) passes straight through. ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) dedups on the key alone and still bounds state: a
+    key's entry is dropped once the watermark passes its FIRST-SEEN
+    event time + lateness, so duplicates arriving within the lateness
+    window are suppressed whatever their timestamp, and state is
+    O(keys seen within the window), not O(all keys ever).
+
+    Contract: duplicates separated by MORE than the lateness window can
+    re-emit (their state was reclaimed) — the same declared-lateness
+    trade every watermark face in this module makes; pair with the
+    foreach_batch_merge anti-join when the sink must be exact forever.
+    """
+    return stream.withWatermark(ts_col, lateness).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def foreach_batch_merge(
     stream: DataFrame,
     target_path: str,

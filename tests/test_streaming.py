@@ -502,3 +502,61 @@ def test_streaming_token_bucket_state_survives_query_restart(spark, tmp_path):
     # (0-unit, t=30) state, not a fresh full bucket; user 2 is new and
     # starts full
     assert got2[4] == (35, True) and got2[6] == (60, True)
+
+
+def test_streaming_dedup_within_watermark_suppresses_retries(spark, tmp_path):
+    """r12: re-deliveries with a DIFFERENT timestamp (the at-least-once
+    retry case streaming_dedup's key+ts dedup passes through) are
+    suppressed when they land inside the lateness window."""
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-01 10:03:00", 1.0),  # retry, later stamp
+            ("b", "2024-01-01 10:05:00", 3.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    deduped = streaming_dedup_within_watermark(
+        stream, ["k"], "ts", lateness="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM wm_dedup_out").collect()
+    finally:
+        q.stop()
+    # one row per key despite the differing retry timestamp
+    assert sorted(r.k for r in rows) == ["a", "b"]
+    # and the retry case is exactly what the key+ts face does NOT dedup
+    stream2 = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        streaming_dedup,
+    )
+
+    q2 = (
+        streaming_dedup(stream2, ["k"], "ts")
+        .writeStream.format("memory")
+        .queryName("kts_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kts"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        rows2 = spark.sql("SELECT * FROM kts_dedup_out").collect()
+    finally:
+        q2.stop()
+    assert sorted(r.k for r in rows2) == ["a", "a", "b"]
