@@ -132,6 +132,113 @@ def funnel_steps(
     ).orderBy("step_idx")
 
 
+def funnel_steps_presplit(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-immune opt-in twin of :func:`funnel_steps` for the
+    UNBOUNDED funnel (r12 — the per-user-sequence class member the
+    round-11 audit marked inherent; the bounded ``within_s`` variant
+    stays on the window face, see below).
+
+    Why it splits: the funnel fold's cross-bucket state is the prefix
+    of completed steps, and any threshold inherited from an EARLIER
+    bucket is ≤ every timestamp in the current bucket (buckets are
+    time-ordered) — so a conditional min against an inherited
+    threshold equals the UNCONDITIONAL min. The only genuine intra-
+    bucket conditioning is against thresholds set in the SAME bucket,
+    which the per-bucket cascade already chains. Hence a (user,
+    bucket) summary of k(k+1)/2 values — for each possible ENTRY level
+    e (steps completed before the bucket), the local conditional-min
+    cascade for steps e+1..k — composes exactly:
+
+        state = first-qualifying times (a prefix-filled array);
+        entering a bucket at level e = |filled prefix| extends the
+        prefix with that bucket's entry-e cascade values.
+
+    The composition runs as a pure-Column ``F.aggregate`` fold over
+    the user's bucket summaries (sort_array of a collect_list —
+    ACTIVE-BUCKET-domain-sized per user, e.g. ≤ 3 650 structs for a
+    10-year corpus at day buckets, regardless of event count; the
+    row-level windows are all (user, bucket)-keyed). Bit-identical
+    step times and counts to the window face (test-pinned, including
+    funnels completing across many buckets and out-of-order step
+    types).
+
+    ``within_s`` is deliberately NOT supported: a bounded conversion
+    deadline inherited from a prior bucket cuts MID-bucket at an
+    arbitrary point (min step-k ts in [bucket_start, t_prev+within_s]),
+    which no fixed per-bucket summary can carry — the window face is
+    the only exact form there.
+    """
+    k = len(steps)
+    w = Window.partitionBy(user_col, "__b")
+    df = events.select(user_col, type_col, ts_col).withColumn(
+        "__b", F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_s))
+    )
+    names: list[str] = []
+    for e in range(k):
+        prev: str | None = None
+        for j in range(e, k):
+            cond = F.col(type_col) == steps[j]
+            if prev is not None:
+                cond = cond & (F.col(ts_col) >= F.col(prev))
+            name = f"__t_{e}_{j}"
+            df = df.withColumn(
+                name, F.min(F.when(cond, F.col(ts_col))).over(w)
+            )
+            names.append(name)
+            prev = name
+    summary = df.groupBy(user_col, "__b").agg(
+        *[F.max(n).alias(n) for n in names]
+    )
+    per_user = summary.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__b"), *names))
+        ).alias("__bs")
+    )
+    init = F.array(
+        *[F.lit(None).cast("timestamp") for _ in range(k)]
+    )
+
+    def fold(acc, x):
+        e = F.size(F.filter(acc, lambda v: v.isNotNull()))
+        out = []
+        for j in range(k):
+            branch = None
+            for ee in range(j + 1):
+                val = x.getField(f"__t_{ee}_{j}")
+                branch = (
+                    F.when(e == ee, val)
+                    if branch is None
+                    else branch.when(e == ee, val)
+                )
+            out.append(F.coalesce(F.element_at(acc, j + 1), branch))
+        return F.array(*out)
+
+    folded = per_user.select(
+        F.col(user_col), F.aggregate("__bs", init, fold).alias("__t")
+    )
+    counts = folded.agg(
+        *[
+            F.count(F.element_at("__t", i + 1)).alias(f"c{i}")
+            for i in range(k)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', c{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({k}, {stack_args}) AS (step_idx, step, n_users)"
+        )
+    ).orderBy("step_idx")
+
+
 def zscore_outlier_stats(
     events: DataFrame,
     key_col: str = "event_type",
@@ -569,6 +676,56 @@ def event_debounce(
     )
 
 
+def event_debounce_presplit(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_s: int = 60,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-immune opt-in twin of :func:`event_debounce` (r12,
+    extending the pre-split family): the lag is per-(key, time-bucket),
+    so a bot key's task is bounded by one key-day, and the ONLY
+    cross-bucket dependency — each bucket's first event needs the
+    previous bucket's last timestamp — is a (key, bucket)-summary
+    stitch (domain-sized), null-safe-joined back.
+
+    Lag-based debounce is the EASIEST member of the per-user-sequence
+    class to split: unlike the chained variant (gap from last KEPT
+    event — a serial fold, streaming territory), each event compares
+    only to its immediate predecessor, so no offsets or folds are
+    needed — just the boundary value. Bit-identical to the window form
+    (test-pinned, including gaps that exactly straddle bucket edges
+    and NULL-free first events per key).
+    """
+    keys = key_cols or ["user_id", "event_type"]
+    base = events.select(
+        *keys, F.col(id_col), F.unix_timestamp(ts_col).alias("epoch_s")
+    ).withColumn("__b", F.floor(F.col("epoch_s") / F.lit(bucket_s)))
+    w_local = Window.partitionBy(*keys, "__b").orderBy("epoch_s", id_col)
+    local = base.withColumn("__lag", F.lag("epoch_s").over(w_local))
+    summary = base.groupBy(*keys, "__b").agg(
+        F.max("epoch_s").alias("__last")
+    )
+    w_buckets = Window.partitionBy(*keys).orderBy("__b")
+    prev = summary.withColumn(
+        "__prev_last", F.lag("__last").over(w_buckets)
+    ).select(*keys, "__b", "__prev_last")
+    return (
+        _nsjoin(local, prev, [*keys, "__b"])
+        .withColumn(
+            "gap_s",
+            F.col("epoch_s")
+            - F.coalesce(F.col("__lag"), F.col("__prev_last")),
+        )
+        .filter(F.col("gap_s").isNull() | (F.col("gap_s") >= min_gap_s))
+        .withColumn("gap_s", F.coalesce("gap_s", F.lit(-1)))
+        .drop("__b", "__lag", "__prev_last")
+        .orderBy(id_col)
+    )
+
+
 def cumulative_reach(
     events: DataFrame,
     user_col: str = "user_id",
@@ -640,6 +797,67 @@ def event_transitions(
         events.select(
             F.lag(type_col).over(w).alias("from_type"),
             F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_steps")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        counts.withColumn("row_total", F.sum("n_steps").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_steps",
+            F.col("row_total").cast("long").alias("row_total"),
+            round6x(F.col("n_steps") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def event_transitions_presplit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-immune opt-in twin of :func:`event_transitions` (r12): the
+    consecutive-step lag runs per (user, time-bucket); each bucket's
+    first event takes its ``from_type`` from the previous bucket's LAST
+    type via the (user, bucket)-summary stitch (max_by over the
+    summary frame — domain-sized). Same trivial-stitch shape as
+    :func:`event_debounce_presplit` — lag-based operators need only
+    the boundary value, no offsets or folds. Bit-identical transition
+    census to the window face (test-pinned).
+    """
+    from ..qcommon import round6x
+
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.unix_timestamp(ts_col).alias("es"),
+        F.col(id_col).alias("id"),
+    ).withColumn("__b", F.floor(F.col("es") / F.lit(bucket_s)))
+    w_local = Window.partitionBy("u", "__b").orderBy("es", "id")
+    local = base.withColumn("__from", F.lag("t").over(w_local))
+    summary = base.groupBy("u", "__b").agg(
+        F.max_by("t", F.struct("es", "id")).alias("__last_t")
+    )
+    w_buckets = Window.partitionBy("u").orderBy("__b")
+    prev = summary.withColumn(
+        "__prev_t", F.lag("__last_t").over(w_buckets)
+    ).select("u", "__b", "__prev_t")
+    steps = (
+        _nsjoin(local, prev, ["u", "__b"])
+        .select(
+            F.coalesce(F.col("__from"), F.col("__prev_t")).alias(
+                "from_type"
+            ),
+            F.col("t").alias("to_type"),
         )
         .filter(F.col("from_type").isNotNull())
     )

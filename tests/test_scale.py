@@ -730,3 +730,101 @@ def test_merge_intervals_presplit_matches_window_form(spark):
             ).collect()
         )
         assert a == b, bucket_h
+
+
+def test_event_debounce_presplit_matches_window_form(spark):
+    """r12: bucket-split lag debounce must match the per-key window —
+    including gaps exactly straddling bucket edges and per-key first
+    events (gap -1)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        event_debounce,
+        event_debounce_presplit,
+    )
+
+    random.seed(131)
+    rows, eid = [], 0
+    for u in (1, 2):
+        t = datetime(2024, 5, 1)
+        for _ in range(300):
+            t += timedelta(seconds=random.choice([5, 59, 60, 61, 86_400]))
+            rows.append((u, "click", t, eid)); eid += 1
+    # straddle: last event of a day then 30s into the next day
+    rows += [(3, "x", datetime(2024, 5, 9, 23, 59, 50), 90_000),
+             (3, "x", datetime(2024, 5, 10, 0, 0, 20), 90_001)]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    cols = ("user_id", "event_type", "event_id", "epoch_s", "gap_s")
+    a = sorted(tuple(r[c] for c in cols)
+               for r in event_debounce(df, min_gap_s=60).collect())
+    b = sorted(tuple(r[c] for c in cols)
+               for r in event_debounce_presplit(df, min_gap_s=60).collect())
+    assert a == b
+    # the straddle pair: 30s gap across midnight must be dropped by BOTH
+    assert not any(t[0] == 3 and t[2] == 90_001 for t in b)
+
+
+def test_funnel_steps_presplit_matches_window_form(spark):
+    """r12: the per-bucket conditional-min cascade + prefix fold must
+    reproduce the window funnel exactly — funnels completing across
+    many buckets, steps arriving out of order, users stalling at every
+    level, and duplicate step events."""
+    import random
+    from datetime import datetime, timedelta
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        funnel_steps,
+        funnel_steps_presplit,
+    )
+
+    random.seed(139)
+    steps = ["visit", "signup", "purchase"]
+    rows = []
+    for u in range(200):
+        t = datetime(2024, 6, 1) + timedelta(minutes=u)
+        for _ in range(random.randint(1, 25)):
+            t += timedelta(hours=random.choice([1, 5, 30, 100]))
+            rows.append((u, random.choice(steps + ["noise"]), t))
+    # a user whose signup PRECEDES the visit (must not convert further
+    # unless a later signup follows)
+    rows += [(900, "signup", datetime(2024, 6, 1)),
+             (900, "visit", datetime(2024, 6, 2)),
+             (900, "purchase", datetime(2024, 6, 10))]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    for bucket_s in (86_400, 6 * 3_600):
+        a = [(r["step_idx"], r["step"], r["n_users"])
+             for r in funnel_steps(df, steps).collect()]
+        b = [(r["step_idx"], r["step"], r["n_users"])
+             for r in funnel_steps_presplit(
+                 df, steps, bucket_s=bucket_s).collect()]
+        assert a == b, bucket_s
+
+
+def test_event_transitions_presplit_matches_window_form(spark):
+    """r12: the bucket-split Markov census must match the per-user lag
+    window — transitions crossing bucket boundaries take from_type from
+    the previous bucket's last event."""
+    import random
+    from datetime import datetime, timedelta
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        event_transitions,
+        event_transitions_presplit,
+    )
+
+    random.seed(149)
+    rows, eid = [], 0
+    types = ["view", "click", "buy"]
+    for u in range(50):
+        t = datetime(2024, 7, 1)
+        for _ in range(60):
+            t += timedelta(hours=random.choice([1, 10, 40]))
+            rows.append((u, random.choice(types), t, eid)); eid += 1
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    cols = ("from_type", "to_type", "n_steps", "row_total", "p")
+    a = [tuple(r[c] for c in cols) for r in event_transitions(df).collect()]
+    for bucket_s in (86_400, 6 * 3_600):
+        b = [tuple(r[c] for c in cols)
+             for r in event_transitions_presplit(df, bucket_s=bucket_s).collect()]
+        assert a == b, bucket_s
