@@ -274,29 +274,33 @@ SESSION_GAP_US = 3_600_000_000  # 1 hour
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream: a new session starts
-    after >1h of inactivity per user. lag → boundary flag → running sum =
-    session id; then one agg per (user, session).
+    after >1h of inactivity per user; then one agg per (user, session).
 
-    Batch form of a session window: one exchange on user_id, one sort.
-    The streaming face is F.session_window (see streaming/); semantics
-    here are identical for completed sessions.
+    r13: the host runs :func:`operators.analytics.session_ids_presplit`
+    — the skew-immune per-(user, day) split-and-stitch twin (VERDICT
+    r12 item 1) — instead of the single per-user window. Bit-identical
+    session ids (parity test pins the twin against the window face,
+    which remains the canonical single-window form in
+    ``operators/analytics.py::session_ids``); at 90% bot skew the twin
+    measured 3.3× (tools/skew_bench_presplit.py), and its worst task
+    is bounded by the bot's busiest DAY, not its lifetime. The
+    streaming face is F.session_window (see streaming/); semantics are
+    identical for completed sessions.
     """
     _utc(spark)
-    ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    t_us = F.unix_micros("ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    boundary = (
-        F.when(
-            (t_us - F.lag(t_us, 1).over(w)) > SESSION_GAP_US, 1
-        )
-        .otherwise(0)
+    from .operators.analytics import session_ids_presplit
+
+    ev = (
+        _table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", "ts", "value")
     )
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sess = ev.select(
-        "user_id",
-        "ts",
-        "value",
-        F.sum(boundary).over(run).alias("session_id"),
+    sess = session_ids_presplit(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        gap_us=SESSION_GAP_US,
     )
     return (
         sess.groupBy("user_id", "session_id")

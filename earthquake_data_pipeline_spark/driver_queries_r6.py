@@ -59,15 +59,21 @@ FUNNEL = ["view", "click", "purchase"]
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel view→click→purchase (operators/analytics.py::
     funnel_steps): step k counts users whose first qualifying event is
-    at-or-after their step-(k-1) time. The whole chain is consecutive
-    min(CASE) windows over ONE user-keyed exchange — no joins, no
-    per-step scans.
+    at-or-after their step-(k-1) time.
+
+    r13: the host runs the UNBOUNDED-funnel pre-split twin — per-
+    (user, day) conditional-min cascades composed by a pure-Column
+    prefix fold over the active-bucket summary (VERDICT r12 item 1;
+    2.8× at 90% bot skew). Bit-identical counts (parity-pinned);
+    ``funnel_steps`` stays as the canonical window face, and the
+    bounded ``within_s`` variant (``funnel_windowed``) stays on it by
+    the documented not-bucket-summarizable proof.
     """
     _utc(spark)
-    from .operators.analytics import funnel_steps
+    from .operators.analytics import funnel_steps_presplit
 
     ev = _table(spark, sf_dir, "events")
-    return funnel_steps(ev, FUNNEL)
+    return funnel_steps_presplit(ev, FUNNEL)
 
 
 SQL_FUNNEL_STEPS = """
@@ -936,12 +942,19 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's ~10.75 h mean inter-event gap makes roughly half the
     windows merge — both branches of the island predicate are
     exercised. Integer epoch seconds end-to-end.
+
+    r13: the host runs the skew-immune pre-split twin (fixed duration
+    reduces the island boundary to the session condition, so it
+    composes over session_ids_presplit — VERDICT r12 item 1; 4.4×
+    at 90% bot skew). Bit-identical islands, sub-second truncation
+    aligned with the window face (ADVICE r12; parity-test-pinned).
+    ``merge_intervals`` remains the canonical window face.
     """
     _utc(spark)
-    from .operators.analytics import merge_intervals
+    from .operators.analytics import merge_intervals_presplit
 
     ev = _table(spark, sf_dir, "events").select("user_id", "ts")
-    return merge_intervals(ev, duration_s=43200)
+    return merge_intervals_presplit(ev, duration_s=43200)
 
 
 SQL_INTERVAL_MERGE = """
@@ -1476,16 +1489,22 @@ QUERIES_R6["dedup_keep_list"] = q_dedup_keep_list
 def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry debounce (operators/analytics.py::event_debounce):
     drop events repeating within 1800 s of their (user, type)
-    predecessor — lag-based, one key exchange; survivors carry their
-    predecessor gap (-1 for firsts).
+    predecessor — lag-based; survivors carry their predecessor gap
+    (-1 for firsts).
+
+    r13: the host runs the pre-split twin — the lag is per-(key, day)
+    with a (key, bucket)-summary boundary stitch (VERDICT r12 item 1;
+    1.9× at 90% bot skew, worst task bounded by one key-day).
+    Bit-identical survivors (parity-pinned); ``event_debounce`` stays
+    as the canonical window face.
     """
     _utc(spark)
-    from .operators.analytics import event_debounce
+    from .operators.analytics import event_debounce_presplit
 
     ev = _table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    return event_debounce(ev, min_gap_s=1800)
+    return event_debounce_presplit(ev, min_gap_s=1800)
 
 
 SQL_EVENT_DEBOUNCE = """
@@ -1545,14 +1564,20 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_transitions): consecutive (from, to) step counts per user
     sequence + row-normalized transition probabilities — the empirical
     transition matrix.
+
+    r13: the host runs the pre-split twin — per-(user, day) lag with
+    the previous bucket's last type stitched in via the domain-sized
+    summary (VERDICT r12 item 1; 4.6× at 90% bot skew). Bit-identical
+    census (parity-pinned); ``event_transitions`` stays as the
+    canonical window face.
     """
     _utc(spark)
-    from .operators.analytics import event_transitions
+    from .operators.analytics import event_transitions_presplit
 
     ev = _table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    return event_transitions(ev)
+    return event_transitions_presplit(ev)
 
 
 SQL_EVENT_TRANSITIONS = """

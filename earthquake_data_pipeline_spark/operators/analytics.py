@@ -605,9 +605,22 @@ def merge_intervals_presplit(
     Implementation: session ids at gap = d via the pre-split engine,
     then the per-(key, island) aggregate. Bit-identical islands to the
     window form (test-pinned, bucket-spanning islands included).
+
+    Sub-second alignment (ADVICE r12): the window face compares
+    seconds-TRUNCATED starts (``unix_timestamp``), so two events whose
+    raw gap is 600.9 s but truncated gap is exactly 600 MERGE there —
+    sessionizing on raw ``unix_micros`` would split them. The
+    timestamp is therefore truncated to whole seconds BEFORE the
+    session pass (one value-determined cast; the final aggregate reads
+    the same truncated seconds), keeping the bit-identical contract
+    for sub-second inputs (parity test pins a 600.9 s raw gap and a
+    same-second tie).
     """
     sess = session_ids_presplit(
-        events.select(F.col(key_col), F.col(ts_col)),
+        events.select(
+            F.col(key_col),
+            F.unix_timestamp(ts_col).cast("timestamp").alias(ts_col),
+        ),
         user_col=key_col,
         ts_col=ts_col,
         tiebreak_col=ts_col,

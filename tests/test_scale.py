@@ -717,6 +717,15 @@ def test_merge_intervals_presplit_matches_window_form(spark):
              (2, datetime(2024, 3, 4, 0, 4)),
              (2, datetime(2024, 3, 4, 2, 0))]
     rows.append((3, datetime(2024, 4, 1, 12, 0)))  # single event
+    # ADVICE r12: SUB-SECOND timestamps — the window face compares
+    # seconds-TRUNCATED starts (unix_timestamp), so a raw-micros gap of
+    # 600.899 s truncates to exactly 600 and MERGES; a presplit that
+    # sessionizes on raw unix_micros would split here. Also pin two
+    # events inside the same second (truncated tie).
+    rows += [(4, datetime(2024, 3, 5, 10, 0, 10, 100000)),
+             (4, datetime(2024, 3, 5, 10, 0, 10, 700000)),   # same second
+             (4, datetime(2024, 3, 5, 10, 10, 10, 999000)),  # trunc gap == 600
+             (4, datetime(2024, 3, 5, 10, 20, 12, 50000))]   # trunc gap 602 → split
     df = spark.createDataFrame(rows, ["user_id", "ts"])
     cols = ("user_id", "island", "island_start_s", "island_end_s",
             "span_s", "n_events")
