@@ -27,7 +27,7 @@ from .operators.dedup import dedup_keep_any
 from .operators.merge import anti_join_merge, high_water_mark_filter
 
 
-from .qcommon import _fanout, _table, _utc  # noqa: F401  (re-exported)
+from .qcommon import _fanout, _table, _utc, round6x  # noqa: F401  (re-exported)
 
 
 # ---------------------------------------------------------------------------
@@ -66,16 +66,31 @@ WHERE value IS NOT NULL
 
 
 def q_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A2+O1 (yearly_earthquake_stats.sql analog): count/avg by year."""
+    """A1+A2+O1 (yearly_earthquake_stats.sql analog): count/avg by year.
+
+    Averages via exact decimal sums (r13 class close — the
+    severity_buckets pattern from the r12 input-split axis): a raw
+    double avg is accumulation-order-sensitive, so one scan-layout
+    change can flip a 7th-dp rounding tie vs the oracle. Exact
+    decimal(18,2) sum → one value-determined double cast → one IEEE
+    division → tie-proof round."""
     _utc(spark)
+    from .qcommon import round6x
+
     li = _table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_quantity") > 3)
         .groupBy(F.year("l_shipdate").cast("int").alias("year"))
         .agg(
             F.count("*").alias("item_count"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__sp"),
+        )
+        .select(
+            "year",
+            "item_count",
+            round6x(F.col("__sq").cast("double") / F.col("item_count")).alias("avg_qty"),
+            round6x(F.col("__sp").cast("double") / F.col("item_count")).alias("avg_price"),
         )
         .orderBy("year")
     )
@@ -84,8 +99,10 @@ def q_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_YEARLY_STATS = """
 SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
        count(*) AS item_count,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_qty,
+       CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_price
 FROM lineitem
 WHERE l_quantity > 3
 GROUP BY 1
@@ -192,7 +209,15 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("customer_count"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            # decimal accumulation, not F.avg (r13 bare-avg class close)
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("__s"),
+        )
+        .select(
+            "region_name",
+            "customer_count",
+            round6x(F.col("__s").cast("double") / F.col("customer_count")).alias(
+                "avg_acctbal"
+            ),
         )
         .orderBy("region_name")
     )
@@ -201,7 +226,8 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REGION_ROLLUP = """
 SELECT r_name AS region_name,
        count(*) AS customer_count,
-       round(avg(c_acctbal), 6) AS avg_acctbal
+       CAST(round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -468,8 +494,19 @@ def q_stats_per_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("frequency"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            # decimal accumulation, not F.avg (r13 bare-avg class close)
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("__sd"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "ship_decade",
+            "frequency",
+            round6x(F.col("__sq").cast("double") / F.col("frequency")).alias("avg_qty"),
+            round6x(F.col("__sd").cast("double") / F.col("frequency")).alias(
+                "avg_discount"
+            ),
         )
         .orderBy(F.desc("frequency"), "l_returnflag", "l_linestatus", "ship_decade")
     )
@@ -479,8 +516,10 @@ SQL_STATS_PER_DECADE = """
 SELECT l_returnflag, l_linestatus,
        CAST(CAST(floor(year(l_shipdate) / 10) AS BIGINT) * 10 AS INTEGER) AS ship_decade,
        count(*) AS frequency,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_discount
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_qty,
+       CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_discount
 FROM lineitem
 WHERE l_quantity > 3
 GROUP BY 1, 2, 3
@@ -1970,16 +2009,33 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "comp")
     )
+    # decimal accumulation, not F.avg (r13 bare-avg class close):
+    # components are arbitrary floats, so the exact-representability
+    # route (money 2dp) does not apply — instead BOTH engines quantize
+    # the identical double to decimal(28,12) (~1e-12 absolute, the
+    # winsorize precedent) and sum exactly, making the partial-merge
+    # order irrelevant; one double cast + one IEEE division follow.
     return (
         exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
-        .agg(F.round(F.avg(F.col("comp").cast("double")), 6).alias("avg_comp"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.col("comp").cast("double").cast("decimal(28,12)")
+            ).alias("__s"),
+        )
+        .select(
+            "label",
+            "pos",
+            round6x(F.col("__s").cast("double") / F.col("__n")).alias("avg_comp"),
+        )
         .orderBy("label", "pos")
     )
 
 
 SQL_LABEL_CENTROIDS = """
 SELECT label, CAST(pos AS BIGINT) AS pos,
-       round(avg(CAST(comp AS DOUBLE)), 6) AS avg_comp
+       CAST(round(CAST(CAST(sum(CAST(CAST(comp AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_comp
 FROM (
   SELECT label, unnest(embedding) AS comp,
          generate_subscripts(embedding, 1) AS pos

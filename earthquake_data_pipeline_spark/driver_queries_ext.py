@@ -237,11 +237,23 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     moving = w.rowsBetween(-2, Window.currentRow)
+    # frame sums in exact decimal (r13 bare-avg class close): a sliding
+    # frame's double aggregate is association-order-sensitive (DuckDB
+    # evaluates moving frames via segment trees, Spark incrementally),
+    # so the money column is summed as decimal(18,2) — exact at any
+    # frame size — with one double cast at the end; the 3-row moving
+    # avg divides by the frame row count. All five expressions share
+    # the same partitioning+ordering, so Spark still plans ONE Window
+    # node over one exchange (plan-pinned in tests/test_plans.py).
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(running), 6).alias("running_total"),
-        F.round(F.avg("o_totalprice").over(moving), 6).alias("moving_avg3"),
+        F.sum(price_d).over(running).cast("double").alias("running_total"),
+        round6x(
+            F.sum(price_d).over(moving).cast("double")
+            / F.count(F.lit(1)).over(moving)
+        ).alias("moving_avg3"),
         # coalesce the leading-edge null: keeps the output column NOT NULL
         # so engine-neutral value hashing never compares NaN
         F.coalesce(F.round(F.lag("o_totalprice", 1).over(w), 6), F.lit(-1.0)).alias(
@@ -253,8 +265,12 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER w_run, 6) AS running_total,
-       round(avg(o_totalprice) OVER w_mov, 6) AS moving_avg3,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE)
+         AS running_total,
+       CAST(round(CAST(
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov AS DOUBLE)
+            / count(*) OVER w_mov AS DECIMAL(18,12)), 6) AS DOUBLE)
+         AS moving_avg3,
        COALESCE(round(lag(o_totalprice, 1) OVER w_ord, 6), -1.0) AS prev_price,
        CAST(row_number() OVER w_ord AS INTEGER) AS order_seq
 FROM orders
@@ -582,12 +598,25 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _fanout(_table(spark, sf_dir, "events").select("props", "value"))
     k = F.get_json_object("props", "$.k").cast("long")
+    # decimal accumulation, not F.avg (r13 bare-avg class close).
+    # events.value is NULLABLE: avg averages the non-null values, so
+    # the divisor is count(value), guarded for the all-null group
+    # (sum NULL / 0 must stay NULL, not raise under ANSI).
     return (
         ev.select(k.alias("k_value"), "value")
         .groupBy("k_value")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("value").alias("__nv"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+        )
+        .select(
+            "k_value",
+            "n_events",
+            F.when(
+                F.col("__nv") > 0,
+                round6x(F.col("__s").cast("double") / F.col("__nv")),
+            ).alias("avg_value"),
         )
         .orderBy("k_value")
     )
@@ -596,7 +625,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_EXTRACT = """
 SELECT CAST(props->>'k' AS BIGINT) AS k_value,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       CASE WHEN count(value) > 0 THEN
+         CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / count(value) AS DECIMAL(18,12)), 6) AS DOUBLE)
+       END AS avg_value
 FROM events
 GROUP BY 1
 ORDER BY 1
@@ -633,7 +665,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # decimal accumulation, not F.avg (r13 bare-avg class
+            # close); the range predicate already excludes NULLs, so
+            # count(*) is the avg divisor
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+        )
+        .select(
+            "band",
+            "n_events",
+            round6x(F.col("__s").cast("double") / F.col("n_events")).alias(
+                "avg_value"
+            ),
         )
         .orderBy("band")
     )
@@ -644,7 +686,9 @@ WITH bands(band, lo, hi) AS (
   VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 35.0),
          ('medium', 35.0, 80.0), ('large', 80.0, 200.0)
 )
-SELECT band, count(*) AS n_events, round(avg(value), 6) AS avg_value
+SELECT band, count(*) AS n_events,
+       CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_value
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY 1
 ORDER BY 1
@@ -665,13 +709,25 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         long.groupBy("l_returnflag", "measure")
-        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+        .agg(
+            # decimal accumulation, not F.avg (r13 bare-avg class
+            # close); all three measures are exact 2-dp decimals
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("val").cast("decimal(18,2)")).alias("__s"),
+        )
+        .select(
+            "l_returnflag",
+            "measure",
+            round6x(F.col("__s").cast("double") / F.col("__n")).alias("avg_val"),
+        )
         .orderBy("l_returnflag", "measure")
     )
 
 
 SQL_UNPIVOT_MEASURES = """
-SELECT l_returnflag, measure, round(avg(val), 6) AS avg_val
+SELECT l_returnflag, measure,
+       CAST(round(CAST(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_val
 FROM (
   SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
   UNION ALL
