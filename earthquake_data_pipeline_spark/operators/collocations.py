@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..qcommon import round6u
+from ..qcommon import reuse, round6u
 from .text import tokens_of
 
 
@@ -48,11 +48,12 @@ def pmi_collocations(
     """
     # the token-array subtree is referenced by four consumers (unigram
     # agg, unigram total, pair agg, pair total) — Catalyst reuses
-    # exchanges, not arbitrary subtrees, so without a checkpoint the
-    # corpus is scanned and tokenized 5x (plan-audited); with it, once
-    toks = docs.select(tokens_of(text_col).alias("t")).localCheckpoint(
-        eager=False
-    )
+    # exchanges, not arbitrary subtrees, so without a pin the corpus
+    # is scanned and tokenized 5x (plan-audited); with it, once.
+    # qcommon.reuse, not a raw localCheckpoint (r13, the r10 ledger's
+    # per-rotation migration): on a cluster with a checkpoint dir the
+    # pin survives executor loss
+    toks = reuse(docs.select(tokens_of(text_col).alias("t")))
     uni = toks.select(F.explode("t").alias("w"))
     pairs = toks.select(
         F.explode(

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..qcommon import reuse
+
 PPM = 1_000_000
 
 # A rank row is ~16 bytes; 4M nodes ≈ 64 MB broadcast — within the
@@ -82,12 +84,14 @@ def pagerank_ppm(
     # inside the codegen'd transfer expression.
     pos = e.filter(F.col("w") > 0)
     wout = pos.groupBy("s").agg(F.sum("w").alias("wout"))
-    ew = pos.join(wout, "s").localCheckpoint(eager=False)
-    nodes = (
+    # qcommon.reuse, not raw localCheckpoint (r13 rotation migration):
+    # both frames are re-referenced every iteration, and the reliable
+    # flavor survives executor loss on a checkpoint-dir cluster
+    ew = reuse(pos.join(wout, "s"))
+    nodes = reuse(
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # node count: one scalar action up front
     if n == 0:
@@ -124,8 +128,12 @@ def pagerank_ppm(
                     )
                 ).cast("long").alias("rank_ppm"),
             )
-            # bound iteration k's plan to one join's depth: without this
-            # the k-th round re-optimizes a k-deep join tower
-            .localCheckpoint(eager=False)
         )
+        # bound iteration k's plan to one join's depth: without this
+        # the k-th round re-optimizes a k-deep join tower. reuse()
+        # (r13): checkpoint flavors truncate lineage exactly like the
+        # old raw localCheckpoint; the opt-in persist flavor keeps
+        # lineage (recompute-on-loss) and trades plan-depth growth for
+        # it — acceptable for the documented small iteration counts
+        ranks = reuse(ranks)
     return ranks

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..qcommon import reuse
 from .text import tokens_of
 
 
@@ -82,7 +83,9 @@ def inverted_index(
         ).alias("poss"),
     )
     if max_df is not None:
-        per_doc = per_doc.localCheckpoint(eager=False)
+        # qcommon.reuse, not a raw localCheckpoint (r13 rotation
+        # migration): executor-loss-safe with a checkpoint dir
+        per_doc = reuse(per_doc)
         keep = (
             per_doc.groupBy("term")
             .agg(F.count("*").alias("_df"))
