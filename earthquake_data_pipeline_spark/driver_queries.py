@@ -2367,32 +2367,42 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 # string_suite, text_quality, top2_per_user, top_k_orders,
 # unpivot_measures, window_running), then the r10 alphabetical front.
 _GATE_FIRST = [
-    # (2) round-12 churn — queries whose code/oracle/called operator
+    # (2) round-13 churn — queries whose code/oracle/called operator
     #     changed this round:
-    "percentile_stats", "mad_outliers", "robust_scaling", "trimmed_mean",
-    "quality_deciles", "union_dedup", "zscore_outliers", "dedup_keep_list",
-    # (4a) the 12 r06-pool leftovers (mad_outliers/quality_deciles of
-    #      the original 14 moved up into the churn block):
-    "funnel_windowed", "heavy_hitters", "interval_merge", "join_explosion",
-    "mp4_probe", "rfm_segments", "scd2_snapshot", "snapshot_diff",
-    "split_assignment", "top_p_select", "url_canonical", "zorder_layout",
-    # (4b) the full r07 bank remainder (robust_scaling/trimmed_mean of
-    #      the original 23 moved up into the churn block):
-    "attribution", "bm25_topk", "boolean_search", "clean_events",
-    "equidepth_histogram", "fk_integrity", "fuzzy_blocked_join",
-    "golden_record", "high_water_mark", "incremental_join_view",
-    "k_anonymity", "merge_anti_join", "pareto_frontier", "pii_redact",
-    "pricing_summary", "rate_limit", "simhash", "upsert_merge",
-    "weighted_sample", "zone_skipping", "zorder_skipping",
-    # (4c) the r09 bank, alphabetical front (percentile_stats and
-    #      union_dedup of that bank moved up into the churn block).
-    #      severity_buckets takes the LAST seat by churn priority
-    #      (input-split axis finding: its avg moved to decimal
-    #      accumulation + oracle re-pinned late in the round),
-    #      displacing exact_dedup to lead the r13 pool:
-    "chi2_independence", "cms_frequency", "conditional_ratio",
-    "corr_stats", "correlated_subquery", "cube_agg", "datetime_suite",
-    "distinct_agg", "severity_buckets",
+    #     the five per-user-sequence pre-split migrations (VERDICT r12
+    #     item 1; interval_merge also carries the ADVICE sub-second
+    #     truncation fix):
+    "sessionization", "interval_merge", "event_debounce",
+    "event_transitions", "funnel_steps",
+    #     the bare-double-avg class close (VERDICT r12 item 3 — all 10
+    #     remaining catalog sites decimal-formed this round, oracles
+    #     re-pinned; the 6 plans/models.py sites stay as dbt-parity
+    #     faces by the documented decision):
+    "yearly_stats", "region_rollup", "stats_per_decade",
+    "label_centroids", "window_running", "json_extract", "range_join",
+    "unpivot_measures",
+    #     localCheckpoint→reuse() rotation migrations (VERDICT r12
+    #     item 8):
+    "pmi_collocations", "pagerank_tokens", "inverted_index",
+    # (4a) the r09 bank remainder — generation retired (exact_dedup,
+    #      displaced by severity_buckets' late r12 seat, leads):
+    "exact_dedup", "in_list_case_sort", "max_per_group", "pivot_status",
+    "ranking_suite", "rollup_agg", "scalar_derivations",
+    "semi_anti_join", "set_ops", "string_suite", "text_quality",
+    "top2_per_user", "top_k_orders",
+    # (4b) the r10 bank, alphabetical front (sessionization,
+    #      json_extract, label_centroids, range_join and inverted_index
+    #      of that bank moved up into the churn block). Round-14 pool:
+    #      the 5 r10 leftovers (token_bucket, trend_fit, url_domains,
+    #      usgs_pipeline, value_histogram), then the r11 alphabetical
+    #      front:
+    "asof_join", "cms_join_size", "codec_roundtrip", "corpus_curation",
+    "embedding_near_dup_lsh", "epoch_shuffle", "fingerprint_dedup",
+    "gap_fill", "grouping_sets", "hash_sample", "hourly_profile",
+    "kcenter_select", "multimodal_features", "null_census",
+    "range_frame", "regex_token_match", "salted_join",
+    "stream_dedup_days", "stream_running_totals", "stream_window_counts",
+    "tfidf_top_terms",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
