@@ -2384,6 +2384,13 @@ _GATE_FIRST = [
     #     localCheckpoint→reuse() rotation migrations (VERDICT r12
     #     item 8):
     "pmi_collocations", "pagerank_tokens", "inverted_index",
+    #     NaN-mirror axis finding (late churn swap, the severity_buckets
+    #     precedent): rank statistics silently counted NULL values, and
+    #     window NULL ordering is engine-dependent (Spark first, DuckDB
+    #     last) — both forms + oracles now exclude NULL values per the
+    #     family convention. Displaced stream_window_counts and
+    #     tfidf_top_terms lead the r14 pool:
+    "robust_scaling", "trimmed_mean",
     # (4a) the r09 bank remainder — generation retired (exact_dedup,
     #      displaced by severity_buckets' late r12 seat, leads):
     "exact_dedup", "in_list_case_sort", "max_per_group", "pivot_status",
@@ -2393,16 +2400,16 @@ _GATE_FIRST = [
     # (4b) the r10 bank, alphabetical front (sessionization,
     #      json_extract, label_centroids, range_join and inverted_index
     #      of that bank moved up into the churn block). Round-14 pool:
-    #      the 5 r10 leftovers (token_bucket, trend_fit, url_domains,
-    #      usgs_pipeline, value_histogram), then the r11 alphabetical
-    #      front:
+    #      the displaced stream_window_counts + tfidf_top_terms lead,
+    #      then the other 5 r10 leftovers (token_bucket, trend_fit,
+    #      url_domains, usgs_pipeline, value_histogram), then the r11
+    #      alphabetical front:
     "asof_join", "cms_join_size", "codec_roundtrip", "corpus_curation",
     "embedding_near_dup_lsh", "epoch_shuffle", "fingerprint_dedup",
     "gap_fill", "grouping_sets", "hash_sample", "hourly_profile",
     "kcenter_select", "multimodal_features", "null_census",
     "range_frame", "regex_token_match", "salted_join",
-    "stream_dedup_days", "stream_running_totals", "stream_window_counts",
-    "tfidf_top_terms",
+    "stream_dedup_days", "stream_running_totals",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

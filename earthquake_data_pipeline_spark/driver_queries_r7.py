@@ -722,20 +722,26 @@ def q_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROBUST_SCALING = """
 WITH base AS (
-  SELECT event_type AS k, value AS v, event_id AS id,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  SELECT event_type AS k, value AS v, event_id AS id FROM events
+), ranked AS (
+  -- NULL values excluded from the rank frame (r13: the SQL percentile
+  -- convention; NULL window ordering is engine-dependent); NULL-value
+  -- rows rejoin below with NULL scaled_ppm
+  SELECT k, v, id,
+         row_number() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM base WHERE v IS NOT NULL
 ), pcts AS (
   SELECT k,
          min(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS p_lo,
          min(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p_hi
-  FROM base GROUP BY 1
+  FROM ranked GROUP BY 1
 )
 SELECT b.id AS event_id, b.k AS event_type, b.v AS value,
        p.p_lo, p.p_hi,
-       CASE WHEN p.p_hi > p.p_lo THEN
+       -- v IS NOT NULL: greatest/least ignore NULLs in both engines,
+       -- so a NULL value would otherwise clamp to p_lo -> 0 ppm
+       CASE WHEN b.v IS NOT NULL AND p.p_hi > p.p_lo THEN
          CAST(floor(1000000 * (least(greatest(b.v, p.p_lo), p.p_hi) - p.p_lo)
                     / (p.p_hi - p.p_lo)) AS BIGINT) END AS scaled_ppm
 FROM base b JOIN pcts p USING (k)
@@ -854,11 +860,15 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TRIMMED_MEAN = """
 WITH base AS (
+  -- NULL values excluded before ranking (r13: n counts non-null only;
+  -- NULL window ordering is engine-dependent and let NULLs eat the
+  -- bottom trim allowance)
   SELECT event_type AS k, value AS v, event_id AS id,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 ), kept AS (
   SELECT * FROM base
   WHERE rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100

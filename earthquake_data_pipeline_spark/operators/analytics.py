@@ -1666,19 +1666,35 @@ def robust_scale(
     single hash exchange lineage. The window sort is per-group; skewed
     groups sort within one task (the exact-order-statistic cost; the
     approx path for scale is approx_stats' KLL-style guarantee).
+
+    NULL values (r13 NaN-mirror axis finding): excluded from the rank
+    frame — SQL percentile convention, and the policy the rest of the
+    exact-rank family (percentile_by_counts, mad) already applies.
+    Ranking NULLs would also be ENGINE-DEPENDENT (Spark windows order
+    NULL first, DuckDB last — a silent bound shift). NULL-value rows
+    still pass through the output with their key's bounds and a NULL
+    scaled_ppm; an all-NULL key has no bounds row and drops (both
+    engines, both forms).
     """
+    from ..qcommon import reuse
+
     w = Window.partitionBy("k").orderBy("v", "id")
     base = events.select(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
         F.col(id_col).alias("id"),
-    ).withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("k"))
-    ).localCheckpoint(eager=False)  # referenced by pcts AND the join back
+    )
+    # reuse(), not raw localCheckpoint (r13 rotation migration):
+    # referenced by pcts AND the join back
+    ranked = reuse(
+        base.filter(F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("k")))
+    )
     k_lo = F.expr(f"(n * {lo_pct} + 99) DIV 100")
     k_hi = F.expr(f"(n * {hi_pct} + 99) DIV 100")
     pcts = (
-        base.groupBy("k")
+        ranked.groupBy("k")
         .agg(
             F.min(F.when(F.col("rn") == k_lo, F.col("v"))).alias("p_lo"),
             F.min(F.when(F.col("rn") == k_hi, F.col("v"))).alias("p_hi"),
@@ -1686,8 +1702,11 @@ def robust_scale(
     )
     joined = base.join(pcts, "k")
     wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    # the v-not-null conjunct is load-bearing (r13): greatest/least
+    # IGNORE nulls in both engines, so a NULL value would otherwise
+    # clamp to p_lo and silently score 0 ppm — NULL in, NULL out
     scaled = F.when(
-        F.col("p_hi") > F.col("p_lo"),
+        F.col("v").isNotNull() & (F.col("p_hi") > F.col("p_lo")),
         F.floor(
             F.lit(1000000) * (wv - F.col("p_lo"))
             / (F.col("p_hi") - F.col("p_lo"))
@@ -1728,9 +1747,17 @@ def robust_scale_by_counts(
     ``broadcast_bounds`` follows zscore_outlier_stats' size law: the
     bounds frame is key-domain-sized — broadcast for an enumerated key,
     pass False for a high-cardinality key so the join shuffles instead.
+
+    NULL values (r13 NaN-mirror axis finding): excluded from the
+    bounds histogram, mirroring the window face and the family
+    convention (percentile_by_counts/mad already filter) — window NULL
+    ordering is engine-dependent (Spark first, DuckDB last), so
+    counting NULLs in ranks silently shifted the bounds by the null
+    count. NULL-value rows still flow through the scaling join with a
+    NULL scaled_ppm.
     """
     pcts = percentile_disc_by_counts(
-        events.select(
+        events.filter(F.col(value_col).isNotNull()).select(
             F.col(key_col).alias("k"), F.col(value_col).alias("v")
         ),
         "k",
@@ -1752,8 +1779,11 @@ def robust_scale_by_counts(
     # whose face contains a join rather than pure window/groupBy
     joined = base.join(bounds, "k")
     wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
+    # NULL in, NULL out (r13): see robust_scale — greatest/least
+    # ignore nulls in both engines, so without the conjunct a NULL
+    # value clamps to p_lo and silently scores 0 ppm
     scaled = F.when(
-        F.col("p_hi") > F.col("p_lo"),
+        F.col("v").isNotNull() & (F.col("p_hi") > F.col("p_lo")),
         F.floor(
             F.lit(1000000) * (wv - F.col("p_lo"))
             / (F.col("p_hi") - F.col("p_lo"))
@@ -1783,9 +1813,15 @@ def trimmed_mean(
 
     The robust location estimate to pair with mad_outliers' robust
     spread: one window + one aggregate on the group key.
+
+    NULL values (r13 NaN-mirror axis finding): excluded before
+    ranking — n counts non-null values only — per the SQL percentile
+    convention and the exact-rank family policy; ranking NULLs is
+    engine-dependent (Spark windows order NULL first, DuckDB last)
+    and let them eat the bottom trim allowance.
     """
     w = Window.partitionBy("k").orderBy("v", "id")
-    base = events.select(
+    base = events.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
         F.col(id_col).alias("id"),
@@ -1863,12 +1899,16 @@ def trimmed_mean_by_counts(
     order-free and bit-identical to the row form (exact rational both
     ways, one value-determined cast to double). Same bounded-domain
     contract and O(distinct values) per-key window work as
-    :func:`percentile_by_counts`.
+    :func:`percentile_by_counts`. NULL values excluded before the
+    histogram (r13 NaN-mirror axis finding — the family convention;
+    see :func:`trimmed_mean`).
     """
     from ..qcommon import round6x
 
     j = _cum_value_counts(
-        events.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        events.filter(F.col(value_col).isNotNull()).select(
+            F.col(key_col).alias("k"), F.col(value_col).alias("v")
+        )
     )
     k_lo = F.expr(f"(n * {trim_pct}) DIV 100")
     k_hi = F.expr(f"n - (n * {trim_pct}) DIV 100")

@@ -271,7 +271,13 @@ def test_trimmed_mean_by_counts_matches_window_form(spark):
     rows += [(10_000 + i, "cont", round(random.uniform(0, 50), 2))
              for i in range(503)]
     rows += [(20_000, "one", 3.25)]
-    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    # r13 NaN-mirror axis: NULL values are excluded from n and the
+    # rank cut on BOTH forms (they used to eat the bottom trim
+    # allowance on the Spark side only — engine-dependent NULL order)
+    rows += [(21_000 + i, "cont", None) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
     for pct in (10, 25):
         a = {
             r["event_type"]: (
@@ -288,6 +294,7 @@ def test_trimmed_mean_by_counts_matches_window_form(spark):
             for r in trimmed_mean_by_counts(df, trim_pct=pct).collect()
         }
         assert a == b, pct
+        assert a["cont"][0] == 503  # n counts non-null values only
 
 
 def test_percentile_disc_by_counts_matches_robust_scale_bounds(spark):
@@ -394,12 +401,22 @@ def test_robust_scale_by_counts_matches_window_form(spark):
     rows += [(9_000 + i, "cont", round(random.uniform(-5, 5), 2))
              for i in range(211)]
     rows += [(20_000, "deg", 7.0), (20_001, "deg", 7.0)]
-    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    # r13 NaN-mirror axis: NULL values must not shift the winsorize
+    # bounds (excluded from the rank frame on both forms); the rows
+    # themselves pass through with NULL scaled_ppm
+    rows += [(22_000 + i, "cont", None) for i in range(40)]
+    rows += [(23_000, "allnull", None)]  # bound-less key drops entirely
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
     cols = ("event_id", "event_type", "value", "p_lo", "p_hi", "scaled_ppm")
     a = sorted(tuple(r[c] for c in cols) for r in robust_scale(df).collect())
     b = sorted(tuple(r[c] for c in cols)
                for r in robust_scale_by_counts(df).collect())
     assert a == b
+    by_id = {t[0]: t for t in b}
+    assert by_id[22_000][5] is None and by_id[22_000][3] is not None
+    assert 23_000 not in by_id  # all-NULL key has no bounds row
 
 
 def test_quality_decile_stats_by_counts_matches_ntile_form(spark):
