@@ -1786,7 +1786,10 @@ def _near_dup_lsh_oracle_sql(
     )
     return f"""
 WITH e AS (
+  -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
+  -- one-bucket-clique hazard, NaN cosine — mirrors the operator
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(x))) = 0
 ), s AS (
   SELECT vec_id, v, {", ".join(band_keys)} FROM e
 ), bands AS (
@@ -2015,6 +2018,8 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical double to decimal(28,12) (~1e-12 absolute, the
     # winsorize precedent) and sum exactly, making the partial-merge
     # order irrelevant; one double cast + one IEEE division follow.
+    from .qcommon import nan_flag
+
     return (
         exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
         .agg(
@@ -2022,11 +2027,20 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.col("comp").cast("double").cast("decimal(28,12)")
             ).alias("__s"),
+            # NaN-poisoning (r13 NaN-mirror axis): a NaN component
+            # must surface as a NaN centroid coordinate, exactly as
+            # the native float mean would — the decimal quantization
+            # would silently drop it
+            F.max(nan_flag(F.col("comp").cast("double"))).alias("__nan"),
         )
         .select(
             "label",
             "pos",
-            round6x(F.col("__s").cast("double") / F.col("__n")).alias("avg_comp"),
+            F.when(F.col("__nan"), F.lit(float("nan")))
+            .otherwise(
+                round6x(F.col("__s").cast("double") / F.col("__n"))
+            )
+            .alias("avg_comp"),
         )
         .orderBy("label", "pos")
     )
@@ -2034,8 +2048,12 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LABEL_CENTROIDS = """
 SELECT label, CAST(pos AS BIGINT) AS pos,
-       CAST(round(CAST(CAST(sum(CAST(CAST(comp AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_comp
+       CASE WHEN bool_or(isnan(comp)) THEN 'NaN'::DOUBLE
+            ELSE
+       CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(comp) THEN NULL ELSE CAST(comp AS DOUBLE) END
+                                  AS DECIMAL(28,12))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE)
+       END AS avg_comp
 FROM (
   SELECT label, unnest(embedding) AS comp,
          generate_subscripts(embedding, 1) AS pos

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc, round6x
+from .qcommon import _fanout, _table, _utc, nan_flag, round6x
 
 # ---------------------------------------------------------------------------
 # Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
@@ -47,9 +47,15 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             epoch.alias("epoch_s"),
             F.count("*").over(w).alias("n_events_1h"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .over(w)
-            .cast("double")
+            # NaN-poisoning over the frame (r13 NaN-mirror axis): the
+            # decimal cast silently drops a NaN addend where the
+            # native float frame sum propagates it
+            F.when(F.max(nan_flag("value")).over(w), F.lit(float("nan")))
+            .otherwise(
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .over(w)
+                .cast("double")
+            )
             .alias("sum_value_1h"),
         )
         .orderBy("user_id", "epoch_s", "event_id")
@@ -60,7 +66,10 @@ SQL_RANGE_FRAME = """
 SELECT user_id, event_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
        count(*) OVER w AS n_events_1h,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_value_1h
+       CASE WHEN bool_or(isnan(value)) OVER w THEN 'NaN'::DOUBLE
+            ELSE CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                            AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       END AS sum_value_1h
 FROM events
 WHERE user_id < 30
 WINDOW w AS (PARTITION BY user_id
@@ -318,6 +327,8 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         gap_us=SESSION_GAP_US,
     )
+    from .qcommon import nan_flag
+
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
@@ -327,8 +338,20 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             # at the last ulp, so Spark and DuckDB can disagree under exact
             # hashing; per-value cast to decimal(18,6) + exact decimal sum +
             # one decimal→double conversion is engine-neutral
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+            # NaN-poisoning (r13 NaN-mirror axis): CAST(NaN AS DECIMAL)
+            # silently NULLs even under ANSI, so the decimal sum would
+            # DROP a NaN addend where the native float sum propagates
+            # it — surface NaN exactly like sum(double) would
+            F.max(nan_flag("value")).alias("__nan"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_start",
+            F.when(F.col("__nan"), F.lit(float("nan")))
+            .otherwise(F.col("__s").cast("double"))
             .alias("session_value"),
         )
         .orderBy("user_id", "session_id")
@@ -355,7 +378,11 @@ WITH flagged AS (
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+       -- NaN poisons the session sum like a native float sum would
+       CASE WHEN bool_or(isnan(value)) THEN 'NaN'::DOUBLE
+            ELSE CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                            AS DECIMAL(18,6))) AS DOUBLE)
+       END AS session_value
 FROM sess
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -609,11 +636,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count("value").alias("__nv"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
+            F.max(nan_flag("value")).alias("__nan"),
         )
         .select(
             "k_value",
             "n_events",
-            F.when(
+            # NaN poisons the group average like native avg() would
+            # (r13 NaN-mirror axis — the decimal cast silently drops
+            # NaN addends otherwise)
+            F.when(F.col("__nan"), F.lit(float("nan")))
+            .when(
                 F.col("__nv") > 0,
                 round6x(F.col("__s").cast("double") / F.col("__nv")),
             ).alias("avg_value"),
@@ -625,8 +657,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_EXTRACT = """
 SELECT CAST(props->>'k' AS BIGINT) AS k_value,
        count(*) AS n_events,
-       CASE WHEN count(value) > 0 THEN
-         CAST(round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+       CASE WHEN bool_or(isnan(value)) THEN 'NaN'::DOUBLE
+            WHEN count(value) > 0 THEN
+         CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+                                    AS DECIMAL(18,6))) AS DOUBLE)
               / count(value) AS DECIMAL(18,12)), 6) AS DOUBLE)
        END AS avg_value
 FROM events

@@ -740,8 +740,12 @@ WITH base AS (
 SELECT b.id AS event_id, b.k AS event_type, b.v AS value,
        p.p_lo, p.p_hi,
        -- v IS NOT NULL: greatest/least ignore NULLs in both engines,
-       -- so a NULL value would otherwise clamp to p_lo -> 0 ppm
-       CASE WHEN b.v IS NOT NULL AND p.p_hi > p.p_lo THEN
+       -- so a NULL value would otherwise clamp to p_lo -> 0 ppm;
+       -- isnan guards: non-finite in, NULL ppm out (NaN ranks last in
+       -- both engines and can legitimately be a selected bound)
+       CASE WHEN b.v IS NOT NULL
+             AND NOT isnan(b.v) AND NOT isnan(p.p_lo) AND NOT isnan(p.p_hi)
+             AND p.p_hi > p.p_lo THEN
          CAST(floor(1000000 * (least(greatest(b.v, p.p_lo), p.p_hi) - p.p_lo)
                     / (p.p_hi - p.p_lo)) AS BIGINT) END AS scaled_ppm
 FROM base b JOIN pcts p USING (k)
@@ -876,8 +880,11 @@ WITH base AS (
 SELECT k AS event_type, CAST(first(n) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_kept,
        min(v) AS min_kept, max(v) AS max_kept,
-       CAST(round(CAST(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
-            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS trimmed_mean
+       -- a NaN surviving the top cut poisons the mean like native avg
+       CASE WHEN bool_or(isnan(v)) THEN 'NaN'::DOUBLE ELSE
+       CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(v) THEN NULL ELSE v END
+                                  AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) END AS trimmed_mean
 FROM kept GROUP BY 1 ORDER BY 1
 """
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..qcommon import nan_flag as _qnan_flag
+
 
 def cohort_retention(
     events: DataFrame,
@@ -1704,9 +1706,14 @@ def robust_scale(
     wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
     # the v-not-null conjunct is load-bearing (r13): greatest/least
     # IGNORE nulls in both engines, so a NULL value would otherwise
-    # clamp to p_lo and silently score 0 ppm — NULL in, NULL out
+    # clamp to p_lo and silently score 0 ppm — NULL in, NULL out.
+    # The NaN conjuncts (r13 NaN-mirror axis): NaN ranks LAST in both
+    # engines, so a heavy-NaN key can legitimately select a NaN bound,
+    # and NaN arithmetic reaching floor() casts to a silent 0 in Spark
+    # (vs a loud error in DuckDB) — non-finite in, NULL ppm out
+    finite = ~_qnan_flag(F.col("v")) & ~_qnan_flag(F.col("p_lo")) & ~_qnan_flag(F.col("p_hi"))
     scaled = F.when(
-        F.col("v").isNotNull() & (F.col("p_hi") > F.col("p_lo")),
+        F.col("v").isNotNull() & finite & (F.col("p_hi") > F.col("p_lo")),
         F.floor(
             F.lit(1000000) * (wv - F.col("p_lo"))
             / (F.col("p_hi") - F.col("p_lo"))
@@ -1779,11 +1786,13 @@ def robust_scale_by_counts(
     # whose face contains a join rather than pure window/groupBy
     joined = base.join(bounds, "k")
     wv = F.least(F.greatest(F.col("v"), F.col("p_lo")), F.col("p_hi"))
-    # NULL in, NULL out (r13): see robust_scale — greatest/least
-    # ignore nulls in both engines, so without the conjunct a NULL
-    # value clamps to p_lo and silently scores 0 ppm
+    # NULL in, NULL out; non-finite in, NULL ppm out (r13): see
+    # robust_scale — greatest/least ignore nulls in both engines (a
+    # NULL value would clamp to p_lo and silently score 0 ppm), and
+    # NaN arithmetic reaching floor() casts to a silent 0 in Spark
+    finite = ~_qnan_flag(F.col("v")) & ~_qnan_flag(F.col("p_lo")) & ~_qnan_flag(F.col("p_hi"))
     scaled = F.when(
-        F.col("v").isNotNull() & (F.col("p_hi") > F.col("p_lo")),
+        F.col("v").isNotNull() & finite & (F.col("p_hi") > F.col("p_lo")),
         F.floor(
             F.lit(1000000) * (wv - F.col("p_lo"))
             / (F.col("p_hi") - F.col("p_lo"))
@@ -1833,15 +1842,23 @@ def trimmed_mean(
     kept = base.filter((F.col("rn") > k_lo) & (F.col("rn") <= k_hi))
     from ..qcommon import round6x
 
+    # NaN-poisoning (r13 NaN-mirror axis): NaN ranks LAST in both
+    # engines, so a NaN can legitimately survive the top cut when the
+    # NaN share exceeds trim_pct — it must then poison the mean like
+    # the native float avg would (the decimal cast silently drops it)
     return kept.groupBy("k").agg(
         F.first("n").cast("long").alias("n"),
         F.count("*").cast("long").alias("n_kept"),
         F.min("v").alias("min_kept"),
         F.max("v").alias("max_kept"),
-        round6x(
-            F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
-            / F.count("*")
-        ).alias("trimmed_mean"),
+        F.when(F.max(_qnan_flag(F.col("v"))), F.lit(float("nan")))
+        .otherwise(
+            round6x(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            )
+        )
+        .alias("trimmed_mean"),
     ).withColumnRenamed("k", key_col)
 
 
@@ -1929,12 +1946,17 @@ def trimmed_mean_by_counts(
             F.sum("kc").cast("long").alias("n_kept"),
             F.min("v").alias("min_kept"),
             F.max("v").alias("max_kept"),
-            round6x(
-                F.sum(F.col("kc") * F.col("v").cast("decimal(18,6)")).cast(
-                    "double"
+            # NaN-poisoning parity with the window form (r13)
+            F.when(F.max(_qnan_flag(F.col("v"))), F.lit(float("nan")))
+            .otherwise(
+                round6x(
+                    F.sum(
+                        F.col("kc") * F.col("v").cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.sum("kc")
                 )
-                / F.sum("kc")
-            ).alias("trimmed_mean"),
+            )
+            .alias("trimmed_mean"),
         )
         .withColumnRenamed("k", key_col)
     )

@@ -190,6 +190,26 @@ def round6x(col):
     return F.round(col.cast("decimal(18,12)"), 6).cast("double")
 
 
+def nan_flag(col) -> "F.Column":
+    """Per-row ``isnan`` that is FALSE for NULL (``F.isnan(NULL)`` is
+    engine-inconsistent territory; coalesce pins it) — the building
+    block of the r13 NaN-poisoning discipline.
+
+    Why it exists (r13 NaN-mirror axis): ``CAST(NaN AS DECIMAL)`` is
+    silently NULL in Spark — EVEN UNDER ANSI — so every
+    decimal-accumulated sum silently DROPS NaN addends, and
+    ``floor(NaN)`` casts to 0; DuckDB raises on both. A NaN reaching a
+    money/measurement aggregate must therefore be made VISIBLE, not
+    absorbed: aggregate sites compute ``F.max(nan_flag(v))`` beside
+    the decimal sum (a boolean map-side-combined aggregate, free) and
+    poison the emitted double with ``float('nan')`` when set — exactly
+    the result the NATIVE float aggregate would produce, engine-equal
+    because the oracle replays ``bool_or(isnan(v))``. Non-double
+    outputs (ppm longs, rank picks) go NULL instead, pinned per site.
+    """
+    return F.coalesce(F.isnan(col if not isinstance(col, str) else F.col(col)), F.lit(False))
+
+
 def round6u(col):
     """Engine-identical 6-dp HALF_UP rounding for a NON-NEGATIVE double
     of corpus-growing magnitude: floor(x·1e6 + 0.5)/1e6 in float64.

@@ -275,6 +275,11 @@ def test_trimmed_mean_by_counts_matches_window_form(spark):
     # rank cut on BOTH forms (they used to eat the bottom trim
     # allowance on the Spark side only — engine-dependent NULL order)
     rows += [(21_000 + i, "cont", None) for i in range(60)]
+    # NaN IS a value (ranks last in both engines); at 40% NaN it
+    # survives the 10%/25% top cuts and must POISON the mean
+    # identically in both forms — and max_kept must be NaN in both
+    rows += [(22_000 + i, "nan", float("nan")) for i in range(4)]
+    rows += [(22_100 + i, "nan", float(i)) for i in range(6)]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, value double"
     )
@@ -293,8 +298,13 @@ def test_trimmed_mean_by_counts_matches_window_form(spark):
             )
             for r in trimmed_mean_by_counts(df, trim_pct=pct).collect()
         }
-        assert a == b, pct
+        def canon(d):
+            # NaN != NaN: compare via repr so poisoned means align
+            return {k: tuple(repr(x) for x in v) for k, v in d.items()}
+
+        assert canon(a) == canon(b), pct
         assert a["cont"][0] == 503  # n counts non-null values only
+        assert repr(a["nan"][4]) == "nan"  # kept NaN poisons the mean
 
 
 def test_percentile_disc_by_counts_matches_robust_scale_bounds(spark):
@@ -406,17 +416,28 @@ def test_robust_scale_by_counts_matches_window_form(spark):
     # themselves pass through with NULL scaled_ppm
     rows += [(22_000 + i, "cont", None) for i in range(40)]
     rows += [(23_000, "allnull", None)]  # bound-less key drops entirely
+    # NaN IS a value and ranks LAST in both engines — at 20% NaN the
+    # p95 bound itself is NaN; scaled_ppm must go NULL (never the
+    # silent floor(NaN)->0), identically in both forms
+    rows += [(24_000 + i, "nankey", float("nan")) for i in range(4)]
+    rows += [(24_100 + i, "nankey", float(i)) for i in range(16)]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, value double"
     )
     cols = ("event_id", "event_type", "value", "p_lo", "p_hi", "scaled_ppm")
-    a = sorted(tuple(r[c] for c in cols) for r in robust_scale(df).collect())
-    b = sorted(tuple(r[c] for c in cols)
+    a = sorted(
+        tuple(repr(r[c]) for c in cols) for r in robust_scale(df).collect()
+    )
+    b = sorted(tuple(repr(r[c]) for c in cols)
                for r in robust_scale_by_counts(df).collect())
     assert a == b
-    by_id = {t[0]: t for t in b}
-    assert by_id[22_000][5] is None and by_id[22_000][3] is not None
-    assert 23_000 not in by_id  # all-NULL key has no bounds row
+    out = {r["event_id"]: r for r in robust_scale_by_counts(df).collect()}
+    assert out[22_000]["scaled_ppm"] is None
+    assert out[22_000]["p_lo"] is not None
+    assert 23_000 not in out  # all-NULL key has no bounds row
+    assert repr(out[24_000]["p_hi"]) == "nan"  # NaN legitimately at p95
+    assert out[24_000]["scaled_ppm"] is None  # non-finite -> NULL ppm
+    assert out[24_100]["scaled_ppm"] is None  # NaN bound poisons key's ppm
 
 
 def test_quality_decile_stats_by_counts_matches_ntile_form(spark):
