@@ -1678,17 +1678,18 @@ def robust_scale(
     scaled_ppm; an all-NULL key has no bounds row and drops (both
     engines, both forms).
     """
-    from ..qcommon import reuse
-
     w = Window.partitionBy("k").orderBy("v", "id")
     base = events.select(
         F.col(key_col).alias("k"),
         F.col(value_col).alias("v"),
         F.col(id_col).alias("id"),
     )
-    # reuse(), not raw localCheckpoint (r13 rotation migration):
-    # referenced by pcts AND the join back
-    ranked = reuse(
+    # the old localCheckpoint pin is GONE, not migrated (r13): since
+    # the null-exclusion split, the ranked frame feeds ONLY pcts (the
+    # join back reads the unranked base), so there is nothing left to
+    # pin — a reuse() here would materialize the rank pass for one
+    # consumer
+    ranked = (
         base.filter(F.col("v").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(Window.partitionBy("k")))
