@@ -71,9 +71,15 @@ def q_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages via exact decimal sums (r13 class close — the
     severity_buckets pattern from the r12 input-split axis): a raw
     double avg is accumulation-order-sensitive, so one scan-layout
-    change can flip a 7th-dp rounding tie vs the oracle. Exact
-    decimal(18,2) sum → one value-determined double cast → one IEEE
-    division → tie-proof round."""
+    change can flip a 7th-dp rounding tie vs the oracle. Exact decimal
+    sum → one value-determined double cast → one IEEE division →
+    tie-proof round. Precisions follow pricing_summary's fast-path
+    rule (input p ≤ 8 keeps sum() on the DecimalAggregates
+    UnscaledValue-long path — the r13 close pair measured the (18,2)
+    form ~2× slower): l_quantity ≤ 50 → (6,2), accumulator (16,2)
+    holds 4e12 rows/group; l_extendedprice < 1e6 → (8,2), accumulator
+    (18,2) holds ~2.6e11 rows/group — both fail LOUD (decimal
+    overflow) past the envelope, never wrap."""
     _utc(spark)
     from .qcommon import round6x
 
@@ -83,8 +89,8 @@ def q_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("l_shipdate").cast("int").alias("year"))
         .agg(
             F.count("*").alias("item_count"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__sp"),
+            F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("__sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(8,2)")).alias("__sp"),
         )
         .select(
             "year",
@@ -99,9 +105,9 @@ def q_yearly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_YEARLY_STATS = """
 SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
        count(*) AS item_count,
-       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_qty,
-       CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_price
 FROM lineitem
 WHERE l_quantity > 3
@@ -210,7 +216,7 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("customer_count"),
             # decimal accumulation, not F.avg (r13 bare-avg class close)
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("__s"),
+            F.sum(F.col("c_acctbal").cast("decimal(6,2)")).alias("__s"),
         )
         .select(
             "region_name",
@@ -226,7 +232,7 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REGION_ROLLUP = """
 SELECT r_name AS region_name,
        count(*) AS customer_count,
-       CAST(round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(round(CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(6,2))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
@@ -495,8 +501,8 @@ def q_stats_per_decade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("frequency"),
             # decimal accumulation, not F.avg (r13 bare-avg class close)
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__sq"),
-            F.sum(F.col("l_discount").cast("decimal(18,2)")).alias("__sd"),
+            F.sum(F.col("l_quantity").cast("decimal(6,2)")).alias("__sq"),
+            F.sum(F.col("l_discount").cast("decimal(4,2)")).alias("__sd"),
         )
         .select(
             "l_returnflag",
@@ -516,9 +522,9 @@ SQL_STATS_PER_DECADE = """
 SELECT l_returnflag, l_linestatus,
        CAST(CAST(floor(year(l_shipdate) / 10) AS BIGINT) * 10 AS INTEGER) AS ship_decade,
        count(*) AS frequency,
-       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_qty,
-       CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(round(CAST(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_discount
 FROM lineitem
 WHERE l_quantity > 3

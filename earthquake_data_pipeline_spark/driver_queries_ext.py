@@ -254,7 +254,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     # avg divides by the frame row count. All five expressions share
     # the same partitioning+ordering, so Spark still plans ONE Window
     # node over one exchange (plan-pinned in tests/test_plans.py).
-    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    price_d = F.col("o_totalprice").cast("decimal(8,2)")
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -274,10 +274,10 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE)
+       CAST(sum(CAST(o_totalprice AS DECIMAL(8,2))) OVER w_run AS DOUBLE)
          AS running_total,
        CAST(round(CAST(
-            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov AS DOUBLE)
+            CAST(sum(CAST(o_totalprice AS DECIMAL(8,2))) OVER w_mov AS DOUBLE)
             / count(*) OVER w_mov AS DECIMAL(18,12)), 6) AS DOUBLE)
          AS moving_avg3,
        COALESCE(round(lag(o_totalprice, 1) OVER w_ord, 6), -1.0) AS prev_price,
@@ -747,7 +747,7 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             # decimal accumulation, not F.avg (r13 bare-avg class
             # close); all three measures are exact 2-dp decimals
             F.count(F.lit(1)).alias("__n"),
-            F.sum(F.col("val").cast("decimal(18,2)")).alias("__s"),
+            F.sum(F.col("val").cast("decimal(6,2)")).alias("__s"),
         )
         .select(
             "l_returnflag",
@@ -760,7 +760,7 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_UNPIVOT_MEASURES = """
 SELECT l_returnflag, measure,
-       CAST(round(CAST(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE)
+       CAST(round(CAST(CAST(sum(CAST(val AS DECIMAL(6,2))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_val
 FROM (
   SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
