@@ -105,3 +105,70 @@ def test_let_resists_collapse_project_duplication(spark):
     a = sorted((r.id, r.q) for r in naive.collect())
     b = sorted((r.id, r.q) for r in letform.collect())
     assert a == b
+
+
+def test_nan_flag_truth_table(spark):
+    """r13: qcommon.nan_flag — TRUE only for NaN; FALSE for NULL and
+    finite values (NULL-safety is the point: F.isnan(NULL) must not
+    leak a NULL flag into the poison max())."""
+    from earthquake_data_pipeline_spark.qcommon import nan_flag
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, 0.0), (4, -0.0), (5, 1.5)],
+        "id long, v double",
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", nan_flag("v").alias("f")).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_spark_nan_decimal_cast_is_silent_null(spark):
+    """r13 engine-fact pin: the NaN-poisoning discipline exists BECAUSE
+    CAST(NaN AS DECIMAL) is silently NULL in Spark even under ANSI
+    (so a decimal sum silently drops NaN addends) and floor(NaN)
+    casts to 0. If a future Spark version starts raising here, this
+    test flags the assumption so the discipline can be revisited
+    (the poison flags would then be belt-and-braces, not the only
+    defense)."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    row = (
+        spark.createDataFrame([(float("nan"),), (1.0,)], "v double")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
+            F.max(F.floor(F.col("v")).cast("long")).alias("fl"),
+        )
+        .collect()[0]
+    )
+    # the NaN addend vanished from the sum; floor(NaN) became 0 or 1
+    assert str(row["s"]) == "1.000000"
+    assert row["fl"] in (0, 1)  # floor(NaN)->0, floor(1.0)->1
+
+
+def test_nan_poisoned_sum_matches_native_float_semantics(spark):
+    """r13: the poison pattern (max(nan_flag) beside the decimal sum)
+    must reproduce exactly what sum(double) does on NaN-bearing
+    groups — NaN out, not a silently smaller number."""
+    from earthquake_data_pipeline_spark.qcommon import nan_flag
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan")), ("b", 2.0), ("b", 3.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k")
+        .agg(
+            F.when(F.max(nan_flag("v")), F.lit(float("nan")))
+            .otherwise(F.sum(F.col("v").cast("decimal(18,6)")).cast("double"))
+            .alias("s")
+        )
+        .collect()
+    }
+    native = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got["b"] == native["b"] == 5.0
+    assert got["a"] != got["a"] and native["a"] != native["a"]  # both NaN
