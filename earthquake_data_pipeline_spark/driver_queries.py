@@ -1795,7 +1795,7 @@ WITH e AS (
   -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
   -- one-bucket-clique hazard, NaN cosine — mirrors the operator
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x))) = 0
+  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ), s AS (
   SELECT vec_id, v, {", ".join(band_keys)} FROM e
 ), bands AS (
@@ -2024,7 +2024,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the identical double to decimal(28,12) (~1e-12 absolute, the
     # winsorize precedent) and sum exactly, making the partial-merge
     # order irrelevant; one double cast + one IEEE division follow.
-    from .qcommon import nan_flag
+    from .qcommon import nonfinite_flag
 
     return (
         exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
@@ -2037,7 +2037,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             # must surface as a NaN centroid coordinate, exactly as
             # the native float mean would — the decimal quantization
             # would silently drop it
-            F.max(nan_flag(F.col("comp").cast("double"))).alias("__nan"),
+            F.max(nonfinite_flag(F.col("comp").cast("double"))).alias("__nan"),
         )
         .select(
             "label",
@@ -2054,9 +2054,9 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LABEL_CENTROIDS = """
 SELECT label, CAST(pos AS BIGINT) AS pos,
-       CASE WHEN bool_or(isnan(comp)) THEN 'NaN'::DOUBLE
+       CASE WHEN bool_or(isnan(comp) OR isinf(comp)) THEN 'NaN'::DOUBLE
             ELSE
-       CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(comp) THEN NULL ELSE CAST(comp AS DOUBLE) END
+       CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(comp) OR isinf(comp) THEN NULL ELSE CAST(comp AS DOUBLE) END
                                   AS DECIMAL(28,12))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE)
        END AS avg_comp

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc, nan_flag, round6x
+from .qcommon import _fanout, _table, _utc, nonfinite_flag, round6x
 
 # ---------------------------------------------------------------------------
 # Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
@@ -50,7 +50,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NaN-poisoning over the frame (r13 NaN-mirror axis): the
             # decimal cast silently drops a NaN addend where the
             # native float frame sum propagates it
-            F.when(F.max(nan_flag("value")).over(w), F.lit(float("nan")))
+            F.when(F.max(nonfinite_flag("value")).over(w), F.lit(float("nan")))
             .otherwise(
                 F.sum(F.col("value").cast("decimal(18,6)"))
                 .over(w)
@@ -66,8 +66,8 @@ SQL_RANGE_FRAME = """
 SELECT user_id, event_id,
        CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
        count(*) OVER w AS n_events_1h,
-       CASE WHEN bool_or(isnan(value)) OVER w THEN 'NaN'::DOUBLE
-            ELSE CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+       CASE WHEN bool_or(isnan(value) OR isinf(value)) OVER w THEN 'NaN'::DOUBLE
+            ELSE CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
                             AS DECIMAL(18,6))) OVER w AS DOUBLE)
        END AS sum_value_1h
 FROM events
@@ -327,7 +327,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_col="event_id",
         gap_us=SESSION_GAP_US,
     )
-    from .qcommon import nan_flag
+    from .qcommon import nonfinite_flag
 
     return (
         sess.groupBy("user_id", "session_id")
@@ -343,7 +343,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             # silently NULLs even under ANSI, so the decimal sum would
             # DROP a NaN addend where the native float sum propagates
             # it — surface NaN exactly like sum(double) would
-            F.max(nan_flag("value")).alias("__nan"),
+            F.max(nonfinite_flag("value")).alias("__nan"),
         )
         .select(
             "user_id",
@@ -379,8 +379,8 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        -- NaN poisons the session sum like a native float sum would
-       CASE WHEN bool_or(isnan(value)) THEN 'NaN'::DOUBLE
-            ELSE CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+       CASE WHEN bool_or(isnan(value) OR isinf(value)) THEN 'NaN'::DOUBLE
+            ELSE CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
                             AS DECIMAL(18,6))) AS DOUBLE)
        END AS session_value
 FROM sess
@@ -636,7 +636,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.count("value").alias("__nv"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("__s"),
-            F.max(nan_flag("value")).alias("__nan"),
+            F.max(nonfinite_flag("value")).alias("__nan"),
         )
         .select(
             "k_value",
@@ -657,9 +657,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_EXTRACT = """
 SELECT CAST(props->>'k' AS BIGINT) AS k_value,
        count(*) AS n_events,
-       CASE WHEN bool_or(isnan(value)) THEN 'NaN'::DOUBLE
+       CASE WHEN bool_or(isnan(value) OR isinf(value)) THEN 'NaN'::DOUBLE
             WHEN count(value) > 0 THEN
-         CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END
+         CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
                                     AS DECIMAL(18,6))) AS DOUBLE)
               / count(value) AS DECIMAL(18,12)), 6) AS DOUBLE)
        END AS avg_value

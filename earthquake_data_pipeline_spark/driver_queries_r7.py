@@ -744,7 +744,8 @@ SELECT b.id AS event_id, b.k AS event_type, b.v AS value,
        -- isnan guards: non-finite in, NULL ppm out (NaN ranks last in
        -- both engines and can legitimately be a selected bound)
        CASE WHEN b.v IS NOT NULL
-             AND NOT isnan(b.v) AND NOT isnan(p.p_lo) AND NOT isnan(p.p_hi)
+             AND NOT (isnan(b.v) OR isinf(b.v)) AND NOT (isnan(p.p_lo) OR isinf(p.p_lo))
+             AND NOT (isnan(p.p_hi) OR isinf(p.p_hi))
              AND p.p_hi > p.p_lo THEN
          CAST(floor(1000000 * (least(greatest(b.v, p.p_lo), p.p_hi) - p.p_lo)
                     / (p.p_hi - p.p_lo)) AS BIGINT) END AS scaled_ppm
@@ -881,8 +882,8 @@ SELECT k AS event_type, CAST(first(n) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_kept,
        min(v) AS min_kept, max(v) AS max_kept,
        -- a NaN surviving the top cut poisons the mean like native avg
-       CASE WHEN bool_or(isnan(v)) THEN 'NaN'::DOUBLE ELSE
-       CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(v) THEN NULL ELSE v END
+       CASE WHEN bool_or(isnan(v) OR isinf(v)) THEN 'NaN'::DOUBLE ELSE
+       CAST(round(CAST(CAST(sum(CAST(CASE WHEN isnan(v) OR isinf(v) THEN NULL ELSE v END
                                   AS DECIMAL(18,6))) AS DOUBLE)
             / count(*) AS DECIMAL(18,12)), 6) AS DOUBLE) END AS trimmed_mean
 FROM kept GROUP BY 1 ORDER BY 1

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..qcommon import nan_flag as _qnan_flag
+from ..qcommon import nonfinite_flag as _qnonfinite_flag
 
 
 def cohort_retention(
@@ -1712,7 +1712,7 @@ def robust_scale(
     # engines, so a heavy-NaN key can legitimately select a NaN bound,
     # and NaN arithmetic reaching floor() casts to a silent 0 in Spark
     # (vs a loud error in DuckDB) — non-finite in, NULL ppm out
-    finite = ~_qnan_flag(F.col("v")) & ~_qnan_flag(F.col("p_lo")) & ~_qnan_flag(F.col("p_hi"))
+    finite = ~_qnonfinite_flag(F.col("v")) & ~_qnonfinite_flag(F.col("p_lo")) & ~_qnonfinite_flag(F.col("p_hi"))
     scaled = F.when(
         F.col("v").isNotNull() & finite & (F.col("p_hi") > F.col("p_lo")),
         F.floor(
@@ -1791,7 +1791,7 @@ def robust_scale_by_counts(
     # robust_scale — greatest/least ignore nulls in both engines (a
     # NULL value would clamp to p_lo and silently score 0 ppm), and
     # NaN arithmetic reaching floor() casts to a silent 0 in Spark
-    finite = ~_qnan_flag(F.col("v")) & ~_qnan_flag(F.col("p_lo")) & ~_qnan_flag(F.col("p_hi"))
+    finite = ~_qnonfinite_flag(F.col("v")) & ~_qnonfinite_flag(F.col("p_lo")) & ~_qnonfinite_flag(F.col("p_hi"))
     scaled = F.when(
         F.col("v").isNotNull() & finite & (F.col("p_hi") > F.col("p_lo")),
         F.floor(
@@ -1852,7 +1852,7 @@ def trimmed_mean(
         F.count("*").cast("long").alias("n_kept"),
         F.min("v").alias("min_kept"),
         F.max("v").alias("max_kept"),
-        F.when(F.max(_qnan_flag(F.col("v"))), F.lit(float("nan")))
+        F.when(F.max(_qnonfinite_flag(F.col("v"))), F.lit(float("nan")))
         .otherwise(
             round6x(
                 F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
@@ -1948,7 +1948,7 @@ def trimmed_mean_by_counts(
             F.min("v").alias("min_kept"),
             F.max("v").alias("max_kept"),
             # NaN-poisoning parity with the window form (r13)
-            F.when(F.max(_qnan_flag(F.col("v"))), F.lit(float("nan")))
+            F.when(F.max(_qnonfinite_flag(F.col("v"))), F.lit(float("nan")))
             .otherwise(
                 round6x(
                     F.sum(

@@ -535,16 +535,22 @@ def embedding_near_dup_pairs_lsh(
     trade. Use for dedup pipelines; leave ``None`` when the full
     verified pair list is the product.
 
-    Non-finite vectors (r13 NaN-mirror axis): a vector with a NaN
-    component has NO meaningful direction — its plane sign bits are
-    all "NaN >= 0 → true", which funnels every poisoned vector into
-    ONE bucket per band (a candidate clique), and its cosine is NaN,
-    which Spark's ``>= threshold`` comparison accepts (NaN sorts
-    greatest) while the similarity is meaningless. Such vectors are
-    EXCLUDED up front — the directional extension of the zero-norm
-    convention below; the oracle replays the same exclusion.
+    Non-finite vectors (r13 NaN-mirror axis): a vector with a NaN or
+    ±Inf component has NO meaningful direction — a NaN's plane sign
+    bits are all "NaN >= 0 → true", which funnels every poisoned
+    vector into ONE bucket per band (a candidate clique), and the
+    cosine of any non-finite vector is NaN (inf/inf included), which
+    Spark's ``>= threshold`` comparison accepts (NaN sorts greatest)
+    while the similarity is meaningless. Such vectors are EXCLUDED up
+    front — the directional extension of the zero-norm convention
+    below; the oracle replays the same exclusion.
     """
-    df = df.filter(~F.exists(F.col(vec_col), lambda x: F.isnan(x)))
+    df = df.filter(
+        ~F.exists(
+            F.col(vec_col),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:

@@ -190,24 +190,34 @@ def round6x(col):
     return F.round(col.cast("decimal(18,12)"), 6).cast("double")
 
 
-def nan_flag(col) -> "F.Column":
-    """Per-row ``isnan`` that is FALSE for NULL (``F.isnan(NULL)`` is
-    engine-inconsistent territory; coalesce pins it) — the building
-    block of the r13 NaN-poisoning discipline.
+def nonfinite_flag(col) -> "F.Column":
+    """Per-row "is NaN or ±Infinity", FALSE for NULL — the building
+    block of the r13 non-finite-poisoning discipline.
 
-    Why it exists (r13 NaN-mirror axis): ``CAST(NaN AS DECIMAL)`` is
-    silently NULL in Spark — EVEN UNDER ANSI — so every
-    decimal-accumulated sum silently DROPS NaN addends, and
-    ``floor(NaN)`` casts to 0; DuckDB raises on both. A NaN reaching a
-    money/measurement aggregate must therefore be made VISIBLE, not
-    absorbed: aggregate sites compute ``F.max(nan_flag(v))`` beside
-    the decimal sum (a boolean map-side-combined aggregate, free) and
-    poison the emitted double with ``float('nan')`` when set — exactly
-    the result the NATIVE float aggregate would produce, engine-equal
-    because the oracle replays ``bool_or(isnan(v))``. Non-double
-    outputs (ppm longs, rank picks) go NULL instead, pinned per site.
+    Why it exists (r13 NaN-mirror axis): ``CAST(NaN AS DECIMAL)`` AND
+    ``CAST(Infinity AS DECIMAL)`` are silently NULL in Spark — EVEN
+    UNDER ANSI — so every decimal-accumulated sum silently DROPS
+    non-finite addends, and ``floor(NaN)`` casts to 0; DuckDB raises
+    on all of these (both probes test-pinned in test_functions.py).
+    A non-finite value reaching a money/measurement aggregate must
+    therefore be made VISIBLE, not absorbed: aggregate sites compute
+    ``F.max(nonfinite_flag(v))`` beside the decimal sum (a boolean
+    map-side-combined aggregate, free) and poison the emitted double
+    with ``float('nan')`` when set, engine-equal because the oracle
+    replays ``bool_or(isnan(v) OR isinf(v))``. Non-double outputs
+    (ppm longs, rank picks) go NULL instead, pinned per site.
+
+    Deliberate deviation from native float sums on Infinity: native
+    ``sum(+inf)`` is ``+inf``, but the poison emits NaN for ANY
+    non-finite input — one marker, "this aggregate saw non-finite
+    input", never sign-dependent arithmetic over a dropped-addend
+    decimal sum. NULL-safety: ``isnan(NULL)`` is engine-inconsistent
+    territory; the coalesce pins NULL → FALSE.
     """
-    return F.coalesce(F.isnan(col if not isinstance(col, str) else F.col(col)), F.lit(False))
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.coalesce(
+        F.isnan(c) | (F.abs(c) == F.lit(float("inf"))), F.lit(False)
+    )
 
 
 def round6u(col):

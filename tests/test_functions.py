@@ -107,25 +107,28 @@ def test_let_resists_collapse_project_duplication(spark):
     assert a == b
 
 
-def test_nan_flag_truth_table(spark):
-    """r13: qcommon.nan_flag — TRUE only for NaN; FALSE for NULL and
-    finite values (NULL-safety is the point: F.isnan(NULL) must not
-    leak a NULL flag into the poison max())."""
-    from earthquake_data_pipeline_spark.qcommon import nan_flag
+def test_nonfinite_flag_truth_table(spark):
+    """r13: qcommon.nonfinite_flag — TRUE for NaN and ±Inf; FALSE for
+    NULL and finite values (NULL-safety is the point: F.isnan(NULL)
+    must not leak a NULL flag into the poison max(); isnan(Inf) is
+    FALSE, which is why the flag checks |x| == inf too)."""
+    from earthquake_data_pipeline_spark.qcommon import nonfinite_flag
 
     df = spark.createDataFrame(
-        [(1, float("nan")), (2, None), (3, 0.0), (4, -0.0), (5, 1.5)],
+        [(1, float("nan")), (2, None), (3, 0.0), (4, -0.0), (5, 1.5),
+         (6, float("inf")), (7, float("-inf"))],
         "id long, v double",
     )
     got = {
         r["id"]: r["f"]
-        for r in df.select("id", nan_flag("v").alias("f")).collect()
+        for r in df.select("id", nonfinite_flag("v").alias("f")).collect()
     }
-    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False,
+                   6: True, 7: True}
 
 
-def test_spark_nan_decimal_cast_is_silent_null(spark):
-    """r13 engine-fact pin: the NaN-poisoning discipline exists BECAUSE
+def test_spark_nonfinite_decimal_cast_is_silent_null(spark):
+    """r13 engine-fact pin: the non-finite-poisoning discipline exists BECAUSE
     CAST(NaN AS DECIMAL) is silently NULL in Spark even under ANSI
     (so a decimal sum silently drops NaN addends) and floor(NaN)
     casts to 0. If a future Spark version starts raising here, this
@@ -134,23 +137,28 @@ def test_spark_nan_decimal_cast_is_silent_null(spark):
     defense)."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     row = (
-        spark.createDataFrame([(float("nan"),), (1.0,)], "v double")
+        spark.createDataFrame(
+            [(float("nan"),), (float("inf"),), (float("-inf"),), (1.0,)],
+            "v double",
+        )
         .agg(
             F.sum(F.col("v").cast("decimal(18,6)")).alias("s"),
             F.max(F.floor(F.col("v")).cast("long")).alias("fl"),
         )
         .collect()[0]
     )
-    # the NaN addend vanished from the sum; floor(NaN) became 0 or 1
+    # NaN AND ±Inf addends all vanished from the sum (isnan(inf) is
+    # False, hence nonfinite_flag, not a bare isnan); the long cast
+    # SATURATES silently: floor(NaN)->0, floor(+Inf)->Long.MAX
     assert str(row["s"]) == "1.000000"
-    assert row["fl"] in (0, 1)  # floor(NaN)->0, floor(1.0)->1
+    assert row["fl"] == 9223372036854775807
 
 
 def test_nan_poisoned_sum_matches_native_float_semantics(spark):
-    """r13: the poison pattern (max(nan_flag) beside the decimal sum)
+    """r13: the poison pattern (max(nonfinite_flag) beside the decimal sum)
     must reproduce exactly what sum(double) does on NaN-bearing
     groups — NaN out, not a silently smaller number."""
-    from earthquake_data_pipeline_spark.qcommon import nan_flag
+    from earthquake_data_pipeline_spark.qcommon import nonfinite_flag
 
     df = spark.createDataFrame(
         [("a", 1.0), ("a", float("nan")), ("b", 2.0), ("b", 3.0)],
@@ -160,7 +168,7 @@ def test_nan_poisoned_sum_matches_native_float_semantics(spark):
         r["k"]: r["s"]
         for r in df.groupBy("k")
         .agg(
-            F.when(F.max(nan_flag("v")), F.lit(float("nan")))
+            F.when(F.max(nonfinite_flag("v")), F.lit(float("nan")))
             .otherwise(F.sum(F.col("v").cast("decimal(18,6)")).cast("double"))
             .alias("s")
         )

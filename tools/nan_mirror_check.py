@@ -22,13 +22,18 @@ catalog query against a NaN-bearing mirror of sf0.001 into:
 
 Mirror mutations (deterministic, no RNG):
 
-- ``events.value``: every 20th row by event_id becomes NaN; every
-  20th offset by 10 becomes -0.0 (the sign-zero grouping/ordering
-  twin — Spark normalizes -0.0 in group keys, DuckDB compares equal;
-  both must land in the same group with the same aggregate).
+- ``events.value``: every 20th row by event_id becomes NaN; offset
+  10 becomes -0.0 (the sign-zero grouping/ordering twin — Spark
+  normalizes -0.0 in group keys, DuckDB compares equal; both must
+  land in the same group with the same aggregate); offsets 5 and 15
+  become +Inf / -Inf (r13 extension: CAST(Inf AS DECIMAL) is ALSO
+  silently NULL in Spark — isnan(Inf) is false, hence
+  qcommon.nonfinite_flag, and floor(Inf) SATURATES to Long.MAX —
+  test-pinned in test_functions.py).
 - ``embeddings.embedding``: rows with vec_id % 31 == 0 get one NaN
-  component (index vec_id % dim) — the similarity/ANN/clustering
-  family's poisoned-vector case.
+  component (index vec_id % dim); rows with vec_id % 37 == 0 get one
+  +Inf component — the similarity/ANN/clustering family's
+  poisoned-vector cases.
 
 Expectation table: ``KNOWN_NAN_BEHAVIOR`` maps ``query`` →
 ``loud_both`` (with the reason documented inline). Anything not
@@ -60,7 +65,7 @@ _SRC = "/root/testdata/sf0.001"
 #   - "asymmetric"/"divergence" entries are PENDING FIXES, each
 #     pre-committed to land with its host's gate seat (r14) using the
 #     r13 pattern: NaN POISONS a decimal-accumulated sum/avg exactly
-#     like the native float aggregate (qcommon.nan_flag +
+#     like the native float aggregate (qcommon.nonfinite_flag +
 #     bool_or(isnan(..)) in the oracle); non-double outputs go NULL;
 #     non-finite vectors are EXCLUDED from similarity candidates
 #     (embedding_near_dup_pairs_lsh precedent).
@@ -78,8 +83,12 @@ KNOWN_NAN_BEHAVIOR: dict[str, str] = {
     "rfm_segments": "asymmetric",
     "stream_running_totals": "asymmetric",
     "stream_window_counts": "asymmetric",
-    "trend_fit": "asymmetric",
-    "zorder_layout": "asymmetric",
+    # loud_both ON THIS MIRROR only because the ±Inf injection makes
+    # their Spark side fail loud first (scaled-long casts under ANSI);
+    # on NaN-alone input they are still asymmetric (silent skip) —
+    # the r14 poison fix applies regardless:
+    "trend_fit": "loud_both",
+    "zorder_layout": "loud_both",
     "incremental_agg": "asymmetric",
     "histogram_drift": "asymmetric",
     "cluster_purity": "asymmetric",
@@ -114,6 +123,10 @@ def make_mirror() -> str:
                     vals[i] = math.nan
                 elif eid % 20 == 10:
                     vals[i] = -0.0
+                elif eid % 20 == 5:
+                    vals[i] = math.inf
+                elif eid % 20 == 15:
+                    vals[i] = -math.inf
             col = pa.array(vals, type=pa.float64())
             assert col.null_count == sum(
                 1 for i, v in enumerate(vals)
@@ -129,6 +142,10 @@ def make_mirror() -> str:
                 if vid % 31 == 0 and emb[i]:
                     v = list(emb[i])
                     v[int(vid) % len(v)] = math.nan
+                    emb[i] = v
+                if vid % 37 == 0 and emb[i]:
+                    v = list(emb[i])
+                    v[int(vid) % len(v)] = math.inf
                     emb[i] = v
             col = pa.array(emb, type=tbl.schema.field("embedding").type)
             tbl = tbl.set_column(
