@@ -1703,7 +1703,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COSINE_TOPK = """
 WITH e AS (
+  -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
+  -- NaN cosine would top the desc ranking — mirrors finite_vectors
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
 ), scored AS (
@@ -1737,7 +1740,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_NEAR_DUP = """
 WITH e AS (
+  -- non-finite vectors excluded (r13 NaN-mirror axis): mirrors
+  -- finite_vectors in embedding_near_dup_pairs (GEMM face)
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
@@ -1849,7 +1855,10 @@ def _ann_lsh_oracle_sql(num_planes: int = 6, dim: int = 64) -> str:
     )
     return f"""
 WITH e AS (
+  -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
+  -- all-ones NaN signature cliques one bucket — mirrors finite_vectors
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ), s AS (
   SELECT vec_id, v, {sig} AS bucket FROM e
 ), q AS (

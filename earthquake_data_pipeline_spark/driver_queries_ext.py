@@ -1543,11 +1543,19 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _utc(spark)
     from .operators.clustering import _update_centroids, assign_clusters
+    from .operators.similarity import finite_vectors
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
-    pts = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    # non-finite vectors excluded BEFORE init (r13 NaN-mirror axis): a
+    # poisoned point has NaN distance to every centroid, and a poisoned
+    # vec_id < k row would seed a poisoned init centroid that NaNs the
+    # distance of EVERY point — the oracle's e CTE replays the filter
+    pts = finite_vectors(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "v",
     )
     k = 8
     init = pts.filter(F.col("id") < k).collect()  # k×d doubles — bounded
@@ -1573,7 +1581,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_KMEANS_CLUSTERS = """
 WITH e AS (
+  -- non-finite vectors excluded (r13 NaN-mirror axis): a poisoned
+  -- point has NaN distance to every centroid (and vec_id 0 would seed
+  -- a poisoned init centroid) — mirrors the query's finite_vectors
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ), c0 AS (
   SELECT id AS cid, v AS cv FROM e WHERE id < 8
 ), d1 AS (
@@ -1653,12 +1665,17 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_clusters,
         split_oversized_clusters,
     )
-    from .operators.similarity import cosine
+    from .operators.similarity import cosine, finite_vectors
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
-    pts = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    # non-finite vectors excluded (r13 NaN-mirror axis) — see
+    # q_kmeans_clusters; the oracle's e CTE replays the filter
+    pts = finite_vectors(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "v",
     )
     k = 8
     init = pts.filter(F.col("id") < k).collect()
@@ -1705,7 +1722,10 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SEMDEDUP_PRUNE = """
 WITH e AS (
+  -- non-finite vectors excluded (r13 NaN-mirror axis): NaN distances
+  -- and NaN pair cosines are meaningless — mirrors finite_vectors
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
 ), c0 AS (
   SELECT id AS cid, v AS cv FROM e WHERE id < 8
 ), d1 AS (

@@ -1335,11 +1335,19 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from pyspark.sql import Window
     from .operators.clustering import _update_centroids, assign_clusters
+    from .operators.similarity import finite_vectors
 
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
-    pts = emb.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
+    # non-finite vectors excluded (r13 NaN-mirror axis) — see
+    # q_kmeans_clusters, whose oracle e CTE this query's oracle reuses;
+    # labels still join from the unfiltered table (inner join keeps
+    # only assigned = finite points, replaying the oracle's lab CTE)
+    pts = finite_vectors(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "v",
     )
     k = 8
     init = pts.filter(F.col("id") < k).collect()

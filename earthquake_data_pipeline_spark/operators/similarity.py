@@ -94,6 +94,29 @@ def cosine(a: Column, b: Column) -> Column:
     return let(_norm(a) * _norm(b), _with_denom)
 
 
+def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop rows whose vector has any NaN/±Inf component — the shared
+    ingress guard of the similarity/ANN/clustering family (r13
+    NaN-mirror axis, generalized from embedding_near_dup_pairs_lsh's
+    inline filter). A non-finite vector has NO direction: its cosine
+    against anything is NaN (inf/inf included), Spark's ``NaN >=
+    threshold`` comparison ACCEPTS that meaningless similarity (NaN
+    sorts greatest) and ``row_number`` ranks it FIRST in a desc top-k,
+    and in sign-bit LSH its plane bits are all "NaN >= 0 → true",
+    funneling every poisoned vector into one candidate-clique bucket.
+    Exclusion is the directional extension of the zero-norm convention
+    (`cosine`): no direction → not a similarity candidate. Oracles
+    replay the exclusion with
+    ``len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0``.
+    """
+    return df.filter(
+        ~F.exists(
+            F.col(vec_col),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,7 +129,12 @@ def cosine_topk(
 
     ``queries`` is broadcast (query batches are small by construction);
     deterministic total order (cosine desc, neighbor_id asc).
+    Non-finite vectors are excluded on BOTH sides (see finite_vectors):
+    a NaN cosine would rank FIRST in the desc top-k while meaning
+    nothing.
     """
+    corpus = finite_vectors(corpus, vec_col)
+    queries = finite_vectors(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -220,7 +248,14 @@ def lsh_bucket_topk(
     query's signature; exact JVM-fold cosine re-rank on the candidate set.
     Recall < 1 by design (buckets miss neighbors across hyperplane cuts) —
     the brute-force operator is the ground truth.
+
+    Non-finite vectors are excluded on both sides (see finite_vectors):
+    beyond the NaN-cosine ranking hazard, a NaN signature is all-ones
+    (NaN >= 0 is true per plane), so every poisoned vector would land in
+    ONE bucket — a candidate clique.
     """
+    corpus = finite_vectors(corpus, vec_col)
+    queries = finite_vectors(queries, vec_col)
     first = queries.select(vec_col).first()
     if first is None:  # empty query set → empty top-k, not a crash
         return queries.sparkSession.createDataFrame(
@@ -308,10 +343,17 @@ def ivf_topk(
     that relied on the old fixed nlist=16 get a different (larger)
     candidate set above ~256 corpus rows plus one extra count() action;
     pin ``n_centroids=16`` for replay-stable pre-r08 output.
+
+    Non-finite vectors are excluded on both sides (see finite_vectors):
+    a NaN component makes the numpy GEMM row all-NaN, argsort over NaN
+    similarities is meaningless, and a NaN re-rank cosine would top the
+    desc ranking.
     """
     import numpy as np
     from pyspark.sql import types as T
 
+    corpus = finite_vectors(corpus, vec_col)
+    queries = finite_vectors(queries, vec_col)
     if n_centroids is None:
         n_centroids = _ivf_auto_nlist(corpus.count(), sample_size)
     sample = (
@@ -401,10 +443,16 @@ def embedding_near_dup_pairs(
     ``small_corpus=True`` opt-in. The scale path is
     ``embedding_near_dup_pairs_lsh`` — banded hyperplane-LSH candidates +
     exact re-rank, no driver materialization.
+
+    Non-finite vectors are excluded (see finite_vectors — the same
+    convention the LSH scale path applies): a NaN row in the GEMM yields
+    NaN similarities, and numpy's ``NaN >= threshold`` is False where
+    Spark's is True — neither is a meaningful near-dup claim.
     """
     import numpy as np
     from pyspark.sql import types as T
 
+    df = finite_vectors(df, vec_col)
     if not small_corpus:
         raise ValueError(
             "embedding_near_dup_pairs materializes the corpus on the driver "
@@ -543,14 +591,10 @@ def embedding_near_dup_pairs_lsh(
     Spark's ``>= threshold`` comparison accepts (NaN sorts greatest)
     while the similarity is meaningless. Such vectors are EXCLUDED up
     front — the directional extension of the zero-norm convention
-    below; the oracle replays the same exclusion.
+    below (finite_vectors, the family-wide guard this filter was
+    generalized into); the oracle replays the same exclusion.
     """
-    df = df.filter(
-        ~F.exists(
-            F.col(vec_col),
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
-        )
-    )
+    df = finite_vectors(df, vec_col)
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:

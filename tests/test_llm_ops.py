@@ -201,6 +201,54 @@ def test_cosine_topk_exact(spark):
     assert got[1].cosine_sim == 0.0 and got[2].cosine_sim == -1.0
 
 
+def test_finite_vectors_excluded_family_wide(spark):
+    """r13 NaN-mirror axis: a vector with any NaN/±Inf component is not
+    a similarity candidate — on EITHER side of every ANN/near-dup face
+    (finite_vectors, the embedding_near_dup_pairs_lsh convention
+    generalized). A NaN cosine would top a desc ranking (NaN sorts
+    greatest in Spark) while meaning nothing."""
+    from earthquake_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        finite_vectors,
+        ivf_topk,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]),
+        (3, [nan, 1.0]), (4, [1.0, inf]), (5, [1.0, -inf]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assert sorted(
+        r.vec_id for r in finite_vectors(df).collect()
+    ) == [0, 1, 2]
+
+    # poisoned corpus rows never appear as neighbors; a poisoned query
+    # emits no group at all
+    q = df.filter(F.col("vec_id").isin(0, 3))
+    got = cosine_topk(df, q, k=10).collect()
+    assert {r.query_id for r in got} == {0}
+    assert {r.neighbor_id for r in got} == {1, 2}
+
+    lsh = lsh_bucket_topk(df, q, k=10, num_planes=2).collect()
+    assert all(r.query_id == 0 and r.neighbor_id in (1, 2) for r in lsh)
+
+    ivf = ivf_topk(df, q, k=10, n_centroids=2, nprobe=2).collect()
+    assert {r.query_id for r in ivf} == {0}
+    assert {r.neighbor_id for r in ivf} == {1, 2}
+    # full-probe IVF on the finite subset == brute force on it
+    assert {(r.query_id, r.neighbor_id, r.cosine_sim) for r in ivf} == {
+        (r.query_id, r.neighbor_id, r.cosine_sim) for r in got
+    }
+
+    pairs = embedding_near_dup_pairs(
+        df, threshold=-2.0, small_corpus=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 2), (1, 2)}
+
+
 def test_lsh_topk_subset_of_exact(spark):
     import random
 

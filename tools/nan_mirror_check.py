@@ -91,14 +91,10 @@ KNOWN_NAN_BEHAVIOR: dict[str, str] = {
     "zorder_layout": "loud_both",
     "incremental_agg": "asymmetric",
     "histogram_drift": "asymmetric",
-    "cluster_purity": "asymmetric",
-    "kmeans_clusters": "asymmetric",
-    "semdedup_prune": "asymmetric",
-    # pending r14 (non-finite-vector exclusion, the
-    # embedding_near_dup_pairs_lsh pattern):
-    "cosine_topk": "divergence",
-    "ann_lsh": "divergence",
-    "ann_ivf": "divergence",
+    # cluster_purity / kmeans_clusters / semdedup_prune and cosine_topk
+    # / ann_lsh / ann_ivf: FIXED mid-r13 (finite_vectors exclusion, the
+    # embedding_near_dup_pairs_lsh pattern generalized family-wide) —
+    # they now carry no entry and must MATCH.
 }
 
 
