@@ -1896,10 +1896,20 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _utc(spark)
     from .operators.layout import zorder_key
+    from .qcommon import nonfinite_flag
 
+    # r13 non-finite discipline: floor(NaN) is a silent 0 and
+    # floor(±Inf) an ANSI-loud Long saturation — neither is a curve
+    # position. Non-finite rows keep a NULL y, so the Morton key and
+    # block go NULL: they land in one visible NULL block (x envelope
+    # real, y envelope NULL) instead of aliasing block 0 or crashing.
+    # Genuinely-NULL values already followed the NULL-block path.
     ev = _table(spark, sf_dir, "events").select(
         (F.col("user_id").cast("long") % 1024).alias("x"),
-        (F.abs(F.floor(F.col("value"))).cast("long") % 1024).alias("y"),
+        F.when(
+            ~nonfinite_flag(F.col("value")),
+            F.abs(F.floor(F.col("value"))).cast("long") % 1024,
+        ).alias("y"),
     )
     keyed = ev.withColumn("z", zorder_key(["x", "y"], bits=10))
     return (
@@ -1928,8 +1938,11 @@ def _zorder_sql_expr(xcol: str, ycol: str, bits: int) -> str:
 
 SQL_ZORDER_LAYOUT = f"""
 WITH pts AS (
+  -- r13 non-finite discipline: NaN/±Inf have no curve position —
+  -- NULL y → NULL Morton key → one visible NULL block (see the query)
   SELECT CAST(user_id % 1024 AS BIGINT) AS x,
-         CAST(abs(floor(value)) AS BIGINT) % 1024 AS y
+         CASE WHEN isnan(value) OR isinf(value) THEN NULL
+              ELSE CAST(abs(floor(value)) AS BIGINT) % 1024 END AS y
   FROM events
 ), keyed AS (
   SELECT x, y, {_zorder_sql_expr('x', 'y', 10)} AS z FROM pts

@@ -1240,11 +1240,19 @@ def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HISTOGRAM_DRIFT = """
 WITH b AS (
+  -- r13 non-finite discipline: NaN/±Inf diverted to their own NULL
+  -- bin (Spark's silent NULL cents + null-skipping least would park
+  -- them in the top bin; DuckDB would raise at the cast) — still
+  -- counted in n1/n2 and the drift distance
   SELECT event_type AS k,
          CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END
            AS half,
-         least(CAST(floor(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                          / 200) AS BIGINT), 9) AS bin
+         CASE WHEN isnan(value) OR isinf(value) THEN NULL
+              ELSE least(CAST(floor(
+                     CAST(CAST(CASE WHEN isnan(value) OR isinf(value)
+                               THEN NULL ELSE value END
+                          AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          / 200) AS BIGINT), 9) END AS bin
   FROM events
 ), g AS (
   SELECT k, bin,
@@ -1617,25 +1625,39 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RFM_SEGMENTS = """
 WITH per_user AS (
+  -- r13 non-finite discipline: NaN/±Inf purchase values are nulled
+  -- INSIDE the cents cast (Spark's cast silently NULLs them; DuckDB
+  -- would raise) and flagged per user; the flag ranks the user FIRST
+  -- in the monetary ntile (native NaN sums sort greatest, tie-broken
+  -- by user id) and poisons the segment's avg_monetary to NaN
   SELECT user_id AS u,
          max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
          count(*) AS frequency,
          coalesce(sum(CASE WHEN event_type = 'purchase'
-              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
-           AS monetary_cents
+              THEN CAST(CAST(CASE WHEN isnan(value) OR isinf(value)
+                                  THEN NULL ELSE value END
+                   AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0)
+           AS monetary_cents,
+         coalesce(bool_or(CASE WHEN event_type = 'purchase'
+                          THEN isnan(value) OR isinf(value) END), FALSE)
+           AS nf
   FROM events GROUP BY 1
 ), scored AS (
-  SELECT u, monetary_cents,
+  SELECT u, monetary_cents, nf,
          ntile(5) OVER (ORDER BY last_day DESC, u) AS r_tile,
          ntile(5) OVER (ORDER BY frequency DESC, u) AS f_tile,
-         ntile(5) OVER (ORDER BY monetary_cents DESC, u) AS m_tile
+         ntile(5) OVER (ORDER BY nf DESC,
+                        CASE WHEN nf THEN NULL ELSE monetary_cents END
+                          DESC NULLS LAST, u) AS m_tile
   FROM per_user
 )
 SELECT CAST(r_tile AS INT) AS r_tile, CAST(f_tile AS INT) AS f_tile,
        CAST(m_tile AS INT) AS m_tile,
        count(*) AS n_users,
-       CAST(round(CAST(sum(monetary_cents) / (count(*) * 100)
-            AS DECIMAL(18,12)), 6) AS DOUBLE) AS avg_monetary
+       CASE WHEN bool_or(nf) THEN 'NaN'::DOUBLE ELSE
+         CAST(round(CAST(sum(monetary_cents) / (count(*) * 100)
+              AS DECIMAL(18,12)), 6) AS DOUBLE)
+       END AS avg_monetary
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
@@ -1701,39 +1723,55 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MAD_OUTLIERS = """
 WITH ev AS (
+  -- r13 non-finite discipline: NaN/±Inf cents-cast silently to NULL in
+  -- Spark (DuckDB raises) — null them INSIDE the cast, flag the key,
+  -- and NULL every rank-derived output of a poisoned key; n_events
+  -- stays a real count of non-null values
   SELECT event_type AS k,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+         CASE WHEN isnan(value) OR isinf(value) THEN NULL
+              ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS x,
+         coalesce(isnan(value) OR isinf(value), FALSE) AS nf,
          event_id
   FROM events
   WHERE value IS NOT NULL
 ), r AS (
-  SELECT k, x, event_id,
-         row_number() OVER (PARTITION BY k ORDER BY x, event_id) AS rn,
-         count(*) OVER (PARTITION BY k) AS n
+  -- ranks over FINITE values only (the (x IS NULL) partition key parks
+  -- poisoned rows in their own rank space; their stats are masked)
+  SELECT k, x, nf, event_id,
+         row_number() OVER (PARTITION BY k, (x IS NULL)
+                            ORDER BY x, event_id) AS rn,
+         sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k) AS n
   FROM ev
 ), m AS (
-  SELECT *, CAST(sum(CASE WHEN rn = floor((n + 1) / 2)
-                            OR rn = floor((n + 2) / 2)
+  SELECT *, CAST(sum(CASE WHEN x IS NOT NULL
+                            AND (rn = floor((n + 1) / 2)
+                                 OR rn = floor((n + 2) / 2))
                    THEN CASE WHEN n % 2 = 1 THEN x * 2 ELSE x END END)
              OVER (PARTITION BY k) AS BIGINT) AS med2
   FROM r
 ), d AS (
   SELECT *, abs(x * 2 - med2) AS dev2,
-         row_number() OVER (PARTITION BY k ORDER BY abs(x * 2 - med2),
-                            event_id) AS rnd
+         row_number() OVER (PARTITION BY k, (x IS NULL)
+                            ORDER BY abs(x * 2 - med2), event_id) AS rnd
   FROM m
 ), md AS (
-  SELECT *, CAST(sum(CASE WHEN rnd = floor((n + 1) / 2)
-                            OR rnd = floor((n + 2) / 2)
+  SELECT *, CAST(sum(CASE WHEN x IS NOT NULL
+                            AND (rnd = floor((n + 1) / 2)
+                                 OR rnd = floor((n + 2) / 2))
                    THEN CASE WHEN n % 2 = 1 THEN dev2 * 2 ELSE dev2 END END)
              OVER (PARTITION BY k) AS BIGINT) AS mad2
   FROM d
 )
 SELECT k AS event_type, count(*) AS n_events,
-       CAST(sum(CASE WHEN dev2 * 2 > 6 * mad2 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_outliers,
-       CAST(max(med2) AS BIGINT) AS median_cents_x2,
-       CAST(max(mad2) AS BIGINT) AS mad_cents_x2
+       CASE WHEN bool_or(nf) THEN NULL ELSE
+         CAST(sum(CASE WHEN dev2 * 2 > 6 * mad2 THEN 1 ELSE 0 END) AS BIGINT)
+       END AS n_outliers,
+       CASE WHEN bool_or(nf) THEN NULL
+            ELSE CAST(max(med2) AS BIGINT) END AS median_cents_x2,
+       CASE WHEN bool_or(nf) THEN NULL
+            ELSE CAST(max(mad2) AS BIGINT) END AS mad_cents_x2
 FROM md GROUP BY 1 ORDER BY 1
 """
 

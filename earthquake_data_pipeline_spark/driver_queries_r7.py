@@ -462,31 +462,40 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TREND_FIT = """
 WITH base AS (
+  -- r13 non-finite discipline: NaN/±Inf values are masked to NULL y
+  -- (excluded from the moments, like a NULL value) and flagged; the
+  -- key's OLS outputs are poisoned to NaN — the native float answer
   SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-         CAST(floor(value * 1000) AS BIGINT) AS y
+         CASE WHEN isnan(value) OR isinf(value) THEN NULL
+              ELSE CAST(floor(value * 1000) AS BIGINT) END AS y,
+         coalesce(isnan(value) OR isinf(value), FALSE) AS nf
   FROM events
 ), xy AS (
   SELECT k,
          CAST(floor((ts_s - min(ts_s) OVER (PARTITION BY k)) / 3600)
               AS BIGINT) AS x,
-         y
+         y, nf
   FROM base
 ), m AS (
   SELECT k, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
          CAST(sum(x * y) AS BIGINT) AS sxy,
          CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         bool_or(nf) AS nf
   FROM xy GROUP BY 1
 )
 SELECT k AS user_id, n AS n_events,
-       CASE WHEN n * sxx - sx * sx <> 0 THEN
+       CASE WHEN nf THEN 'NaN'::DOUBLE
+            WHEN n * sxx - sx * sx <> 0 THEN
          CAST(round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
               AS DECIMAL(18,12)), 6) AS DOUBLE) END AS slope_milli_per_hr,
-       CASE WHEN n * sxx - sx * sx <> 0 THEN
+       CASE WHEN nf THEN 'NaN'::DOUBLE
+            WHEN n * sxx - sx * sx <> 0 THEN
          CAST(round(CAST((sy * sxx - sx * sxy) / (n * sxx - sx * sx)
               AS DECIMAL(18,12)), 6) AS DOUBLE) END AS intercept_milli,
-       CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+       CASE WHEN nf THEN 'NaN'::DOUBLE
+            WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
          CAST(round(CAST(
            ((n * sxy - sx * sy) / (n * sxx - sx * sx))
            * ((n * sxy - sx * sy) / (n * syy - sy * sy))

@@ -915,8 +915,18 @@ def rfm_segments(
     (approx_quality_bins pattern) and keep the segment aggregate.
     Monetary is exact integer cents; the segment's avg_monetary is an
     int/int ratio under the round6x contract.
+
+    Non-finite monetary values (r13 non-finite discipline): a NaN/±Inf
+    purchase value cents-casts to a silent NULL in Spark (vanishing
+    from the user's monetary sum where a native float sum would go
+    NaN). A poisoned user instead (a) ranks FIRST in the monetary
+    ntile — replaying the native ordering, where a NaN sum sorts
+    greatest — tie-broken by user id alone (native NaN sums are
+    indistinguishable), and (b) poisons the segment's avg_monetary to
+    NaN, the one visible marker. r/f tiles and n_users are unaffected
+    (recency/frequency never touch the value column).
     """
-    from ..qcommon import round6x
+    from ..qcommon import nonfinite_flag, round6x
 
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
@@ -925,15 +935,29 @@ def rfm_segments(
         F.coalesce(
             F.sum(F.when(F.col(type_col) == monetary_type, cents)), F.lit(0)
         ).alias("monetary_cents"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col(type_col) == monetary_type,
+                    nonfinite_flag(F.col(value_col)),
+                )
+            ),
+            F.lit(False),
+        ).alias("nf"),
     )
     r = F.ntile(n_tiles).over(Window.orderBy(F.desc("last_day"), F.col("u")))
     f = F.ntile(n_tiles).over(Window.orderBy(F.desc("frequency"), F.col("u")))
     m = F.ntile(n_tiles).over(
-        Window.orderBy(F.desc("monetary_cents"), F.col("u"))
+        Window.orderBy(
+            F.desc("nf"),
+            F.when(~F.col("nf"), F.col("monetary_cents")).desc_nulls_last(),
+            F.col("u"),
+        )
     )
     scored = per_user.select(
         "u",
         "monetary_cents",
+        "nf",
         r.alias("r_tile"),
         f.alias("f_tile"),
         m.alias("m_tile"),
@@ -943,15 +967,18 @@ def rfm_segments(
         .agg(
             F.count("*").alias("n_users"),
             F.sum("monetary_cents").alias("seg_cents"),
+            F.max("nf").alias("__nf"),
         )
         .select(
             "r_tile",
             "f_tile",
             "m_tile",
             "n_users",
-            round6x(F.col("seg_cents") / (F.col("n_users") * 100)).alias(
-                "avg_monetary"
-            ),
+            F.when(F.col("__nf"), F.lit(float("nan")))
+            .otherwise(
+                round6x(F.col("seg_cents") / (F.col("n_users") * 100))
+            )
+            .alias("avg_monetary"),
         )
         .orderBy("r_tile", "f_tile", "m_tile")
     )
@@ -1226,15 +1253,27 @@ def percentile_cont_bracket(
 def _mad_value_counts(
     events: DataFrame, key_col: str, value_col: str
 ) -> DataFrame:
-    """(k, cents, count) histogram shared by the by-counts MAD family —
-    NULL values excluded, matching :func:`mad_outliers` (aligned r12,
-    ADVICE r11: the window form used to rank NULLs; both now drop
-    them, pinned by a null-bearing parity test)."""
+    """(k, cents, count, nf) histogram shared by the by-counts MAD
+    family — NULL values excluded, matching :func:`mad_outliers`
+    (aligned r12, ADVICE r11: the window form used to rank NULLs; both
+    now drop them, pinned by a null-bearing parity test).
+
+    ``nf`` (r13 non-finite discipline): a NaN/±Inf value silently
+    cents-casts to NULL in Spark (DuckDB raises), so it would otherwise
+    vanish from the rank arithmetic while still counting in n — the
+    silent-wrong class the NaN-mirror axis exists for. All non-finite
+    rows of a key collapse into the single x=NULL histogram row (the
+    cents cast cannot NULL a finite in-envelope value — overflow is
+    ANSI-loud), flagged nf=true; consumers poison their rank outputs to
+    NULL when the key carries the flag."""
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     return (
         events.filter(F.col(value_col).isNotNull())
         .groupBy(F.col(key_col).alias("k"), cents.alias("x"))
-        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("c"),
+            F.max(_qnonfinite_flag(F.col(value_col))).alias("nf"),
+        )
     )
 
 
@@ -1260,11 +1299,19 @@ def mad_stats_by_counts(
     contract as :func:`percentile_by_counts`.
 
     Output: (key_col, med2, mad2, n) — med2/mad2 at 2× scale (exact
-    int64 half-integer medians), n = non-null row count.
+    int64 half-integer medians), n = non-null row count. A key whose
+    values include NaN/±Inf emits NULL med2/mad2 (r13 non-finite
+    discipline: the cents cast silently NULLs non-finite values, so an
+    exact rank statistic over them is unstatable — NULL is the visible
+    marker; n still counts every non-null value).
     """
     counts = _mad_value_counts(events, key_col, value_col)
-    return _mad_stats_from_counts(counts).select(
-        F.col("k").alias(key_col), "med2", "mad2", F.col("n")
+    stats = _mad_stats_from_counts(counts)
+    return stats.select(
+        F.col("k").alias(key_col),
+        F.when(~F.col("nf"), F.col("med2")).alias("med2"),
+        F.when(~F.col("nf"), F.col("mad2")).alias("mad2"),
+        F.col("n"),
     )
 
 
@@ -1293,8 +1340,12 @@ def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
             ).alias("__m2")
         )
 
-    tot = counts.groupBy("k").agg(F.sum("c").alias("n"))
-    vh = _nsjoin(counts, tot, ["k"])
+    tot = counts.groupBy("k").agg(
+        F.sum("c").alias("n"), F.max("nf").alias("nf")
+    )
+    # n only — counts carries its own per-row nf and a duplicate name
+    # would make the joined frame's nf ambiguous
+    vh = _nsjoin(counts.select("k", "x", "c"), tot.select("k", "n"), ["k"])
     med = _mid2(vh, "x").withColumnRenamed("__m2", "med2")
     dev_hist = (
         _nsjoin(counts, med, ["k"])
@@ -1311,8 +1362,13 @@ def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
     mad = _mid2(dev_hist.select("k", "n", "d", "c"), "d").withColumnRenamed(
         "__m2", "mad2"
     )
-    return _nsjoin(med, mad.select("k", "mad2"), ["k"]).select(
-        "k", "med2", "mad2", "n"
+    # nf rides back in from the key-domain-sized totals frame — the
+    # UNMASKED med2/mad2 plus the flag, so each consumer pins its own
+    # poison shape (stats → NULL med2/mad2; census → NULL all ranks)
+    return (
+        _nsjoin(med, mad.select("k", "mad2"), ["k"])
+        .select("k", "med2", "mad2", "n")
+        .transform(lambda df: _nsjoin(df, tot.select("k", "nf"), ["k"]))
     )
 
 
@@ -1349,17 +1405,22 @@ def mad_outliers_by_counts(
     """
     counts = _mad_value_counts(events, key_col, value_col)
     stats = _mad_stats_from_counts(counts)
-    # med2/mad2 ride THROUGH the census aggregate (constant per key →
-    # max()) instead of a second stats join, which would make Catalyst
-    # evaluate the whole two-window stats subtree twice (the zscore
-    # pattern)
+    # med2/mad2 (and the key-level non-finite flag) ride THROUGH the
+    # census aggregate (constant per key → max()) instead of a second
+    # stats join, which would make Catalyst evaluate the whole
+    # two-window stats subtree twice (the zscore pattern)
     return (
-        _nsjoin(counts, stats.select("k", "med2", "mad2"), ["k"])
+        _nsjoin(
+            counts.select("k", "x", "c"),
+            stats.select("k", "med2", "mad2", "nf"),
+            ["k"],
+        )
         .select(
             "k",
             "c",
             "med2",
             "mad2",
+            "nf",
             (
                 F.abs(F.col("x") * 2 - F.col("med2")) * 2
                 > F.lit(k_half) * F.col("mad2")
@@ -1371,8 +1432,24 @@ def mad_outliers_by_counts(
             F.sum(F.col("o") * F.col("c")).cast("long").alias("n_outliers"),
             F.max("med2").cast("long").alias("median_cents_x2"),
             F.max("mad2").cast("long").alias("mad_cents_x2"),
+            F.max("nf").alias("__nf"),
         )
-        .withColumnRenamed("k", key_col)
+        .select(
+            F.col("k").alias(key_col),
+            "n_events",
+            # r13 non-finite discipline: a NaN/±Inf value cents-casts to
+            # a silent NULL (so it left the rank arithmetic while still
+            # counting in n) — every rank-derived output of a poisoned
+            # key goes NULL, the visible marker; n_events stays a real
+            # count of non-null values
+            F.when(~F.col("__nf"), F.col("n_outliers")).alias("n_outliers"),
+            F.when(~F.col("__nf"), F.col("median_cents_x2")).alias(
+                "median_cents_x2"
+            ),
+            F.when(~F.col("__nf"), F.col("mad_cents_x2")).alias(
+                "mad_cents_x2"
+            ),
+        )
         .orderBy(key_col)
     )
 
@@ -1408,8 +1485,15 @@ def mad_outliers(
     null-bearing case).
     """
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # nf (r13 non-finite discipline): NaN/±Inf cents-cast to silent
+    # NULL x, vanishing from the rank windows while still counting in
+    # n — the key's rank outputs are poisoned to NULL below, matching
+    # mad_outliers_by_counts bit-for-bit (parity-pinned)
     ev = events.filter(F.col(value_col).isNotNull()).select(
-        F.col(key_col).alias("k"), cents.alias("x"), F.col("event_id")
+        F.col(key_col).alias("k"),
+        cents.alias("x"),
+        F.col("event_id"),
+        _qnonfinite_flag(F.col(value_col)).alias("nf"),
     )
     w_rank = Window.partitionBy("k").orderBy("x", "event_id")
     w_all = Window.partitionBy("k")
@@ -1448,13 +1532,20 @@ def mad_outliers(
             F.sum("is_outlier").alias("n_outliers"),
             F.max("med2").alias("med2"),
             F.max("mad2").alias("mad2"),
+            F.max("nf").alias("__nf"),
         )
         .select(
             F.col("k").alias(key_col),
             "n_events",
-            F.col("n_outliers").cast("long").alias("n_outliers"),
-            F.col("med2").cast("long").alias("median_cents_x2"),
-            F.col("mad2").cast("long").alias("mad_cents_x2"),
+            F.when(~F.col("__nf"), F.col("n_outliers"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.when(~F.col("__nf"), F.col("med2"))
+            .cast("long")
+            .alias("median_cents_x2"),
+            F.when(~F.col("__nf"), F.col("mad2"))
+            .cast("long")
+            .alias("mad_cents_x2"),
         )
         .orderBy(key_col)
     )
@@ -1596,12 +1687,24 @@ def trend_fit(
 
     One key-partitioned window (first-event timestamp) + one aggregate
     on the same key: a single hash exchange end-to-end.
+
+    Non-finite values (r13 non-finite discipline): floor(NaN·1000) is
+    a silent 0 and floor(±Inf·1000) a silent Long.MIN/MAX saturation
+    at the long cast (ANSI raises on the Inf case — loud, but still
+    not a statement about the data) — so non-finite values are masked
+    to NULL y (excluded from the moments, exactly like a NULL value)
+    and the key's slope/intercept/r² are POISONED to NaN, the native
+    float OLS answer; n_events stays the real row count.
     """
+    from ..qcommon import nonfinite_flag
+
     ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    nf = nonfinite_flag(F.col(value_col))
     base = events.select(
         F.col(key_col).alias("k"),
         ts_s.alias("ts_s"),
-        F.floor(F.col(value_col) * 1000).cast("long").alias("y"),
+        F.when(~nf, F.floor(F.col(value_col) * 1000).cast("long")).alias("y"),
+        nf.alias("nf"),
     )
     w = Window.partitionBy("k")
     xy = base.select(
@@ -1610,6 +1713,7 @@ def trend_fit(
         .cast("long")
         .alias("x"),
         "y",
+        "nf",
     )
     x_d = F.col("x").cast("decimal(19,0)")
     y_d = F.col("y").cast("decimal(19,0)")
@@ -1620,6 +1724,7 @@ def trend_fit(
         F.sum(x_d * y_d).alias("sxy"),
         F.sum(x_d * x_d).alias("sxx"),
         F.sum(y_d * y_d).alias("syy"),
+        F.max("nf").alias("nf"),
     )
     n_d = F.col("n").cast("decimal(19,0)")
     # cross-products exact in decimal; ONE value-determined cast to
@@ -1633,14 +1738,21 @@ def trend_fit(
     ).cast("double")
     from ..qcommon import round6x
 
+    poison = F.col("nf")
     return m.select(
         F.col("k").alias(key_col),
         F.col("n").alias("n_events"),
-        F.when(denx != 0, round6x(num / denx)).alias("slope_milli_per_hr"),
-        F.when(denx != 0, round6x(icpt / denx)).alias("intercept_milli"),
-        F.when(
+        F.when(poison, F.lit(float("nan")))
+        .when(denx != 0, round6x(num / denx))
+        .alias("slope_milli_per_hr"),
+        F.when(poison, F.lit(float("nan")))
+        .when(denx != 0, round6x(icpt / denx))
+        .alias("intercept_milli"),
+        F.when(poison, F.lit(float("nan")))
+        .when(
             (denx != 0) & (deny != 0), round6x((num / denx) * (num / deny))
-        ).alias("r2"),
+        )
+        .alias("r2"),
     )
 
 

@@ -100,13 +100,26 @@ def histogram_drift(
     cast is engine-identical (unlike float accumulation, which is
     shuffle-order-dependent).
     """
+    from ..qcommon import nonfinite_flag
+
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    # r13 non-finite discipline: a NaN/±Inf value cents-casts to a
+    # silent NULL, and F.least SKIPS nulls — so a non-finite value
+    # would silently land in the TOP bin (least(NULL, 9) = 9). It gets
+    # its own NULL bin instead: still counted in n1/n2 and in the
+    # drift distance (a distribution shifting INTO non-finite values
+    # IS drift), never conflated with a real bucket. Genuine NULL
+    # values keep their pre-existing top-bin behavior (both engines
+    # agree on it); only non-finite is diverted.
     binned = events.select(
         F.col(key_col).alias("k"),
         F.when(split_predicate, 0).otherwise(1).alias("half"),
-        F.least(F.floor(cents / bin_cents), F.lit(n_bins - 1))
-        .cast("long")
-        .alias("bin"),
+        F.when(
+            ~nonfinite_flag(F.col(value_col)),
+            F.least(F.floor(cents / bin_cents), F.lit(n_bins - 1)).cast(
+                "long"
+            ),
+        ).alias("bin"),
     )
     g = binned.groupBy("k", "bin").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c1"),

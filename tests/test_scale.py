@@ -360,6 +360,14 @@ def test_mad_outliers_by_counts_matches_window_form_with_nulls(spark):
     rows += [(6_000 + i, "mix", v)
              for i, v in enumerate([None, 1.0, 2.0, None, 3.0, 100.0])]
     rows += [(7_000, "one", 5.5)]
+    # r13 non-finite discipline: a NaN/±Inf value poisons every
+    # rank-derived column of its key to NULL on BOTH forms (the cents
+    # cast silently NULLs it, so no exact rank statement exists);
+    # n_events still counts it — it is a value, not a NULL
+    rows += [(8_000 + i, "poison", v)
+             for i, v in enumerate([1.0, float("nan"), 2.0])]
+    rows += [(9_000 + i, "inf_poison", v)
+             for i, v in enumerate([3.0, float("inf"), float("-inf")])]
     df = spark.createDataFrame(
         rows, "event_id long, event_type string, value double"
     )
@@ -375,6 +383,99 @@ def test_mad_outliers_by_counts_matches_window_form_with_nulls(spark):
     # NULL rows are excluded from n_events on both forms
     n = {t[0]: t[1] for t in b}
     assert n["hot"] == 2001 and n["mix"] == 4
+    by_key = {t[0]: t for t in b}
+    assert by_key["poison"] == ("poison", 3, None, None, None)
+    assert by_key["inf_poison"] == ("inf_poison", 3, None, None, None)
+    # unpoisoned keys keep exact stats beside poisoned ones
+    assert by_key["one"] == ("one", 1, 0, 1100, 0)
+
+
+def test_mad_stats_by_counts_nonfinite_poisons_to_null(spark):
+    """r13 non-finite discipline: med2/mad2 go NULL for a key whose
+    values include NaN/±Inf (n still counts them); clean keys are
+    untouched."""
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        mad_stats_by_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("p", 1.0), ("p", float("nan")), ("p", 3.0),
+         ("c", 1.0), ("c", 3.0), ("c", 9.0)],
+        "event_type string, value double",
+    )
+    got = {r["event_type"]: (r["med2"], r["mad2"], r["n"])
+           for r in mad_stats_by_counts(df).collect()}
+    assert got["p"] == (None, None, 3)
+    assert got["c"] == (600, 800, 3)
+
+
+def test_rfm_segments_nonfinite_purchase_poisons_segment(spark):
+    """r13 non-finite discipline: a NaN purchase value ranks its user
+    FIRST in the monetary ntile (native NaN sums sort greatest) and
+    poisons the segment's avg_monetary to NaN; clean segments keep
+    their exact cents average."""
+    import math
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        rfm_segments,
+    )
+
+    rows = []
+    for u in range(10):
+        # every user: one purchase of (u+1) dollars on day u
+        rows.append((u, f"2024-01-{u + 1:02d} 00:00:00", "purchase",
+                     float(u + 1)))
+    # user 10: poisoned purchase — must land in m_tile 1 despite a
+    # tiny finite partial sum
+    rows.append((10, "2024-01-11 00:00:00", "purchase", 0.01))
+    rows.append((10, "2024-01-11 01:00:00", "purchase", float("nan")))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = rfm_segments(df, n_tiles=11).collect()
+    seg = {(r["r_tile"], r["f_tile"], r["m_tile"]): r for r in out}
+    poisoned = [r for r in out if r["avg_monetary"] != r["avg_monetary"]]
+    assert len(poisoned) == 1 and poisoned[0]["m_tile"] == 1
+    assert poisoned[0]["n_users"] == 1
+    # the clean top-monetary user ($10) now tiles SECOND
+    clean_top = [r for r in out
+                 if r["m_tile"] == 2 and not math.isnan(r["avg_monetary"])]
+    assert len(clean_top) == 1 and clean_top[0]["avg_monetary"] == 10.0
+    assert seg  # segments exist
+
+
+def test_trend_fit_nonfinite_poisons_to_nan(spark):
+    """r13 non-finite discipline: a NaN/±Inf value poisons the key's
+    slope/intercept/r² to NaN (floor(NaN·1000) is a silent 0 — a fake
+    data point — and floor(Inf·1000) an ANSI error); n_events stays
+    the real row count, clean keys are exact."""
+    import math
+
+    from earthquake_data_pipeline_spark.operators.analytics import trend_fit
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 01:00:00", float("nan")),
+        (1, "2024-01-01 02:00:00", 3.0),
+        (2, "2024-01-01 00:00:00", 1.0),
+        (2, "2024-01-01 01:00:00", float("inf")),
+        (2, "2024-01-01 02:00:00", 3.0),
+        (3, "2024-01-01 00:00:00", 1.0),
+        (3, "2024-01-01 01:00:00", 2.0),
+        (3, "2024-01-01 02:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r for r in trend_fit(df).collect()}
+    for k in (1, 2):
+        assert got[k]["n_events"] == 3
+        assert math.isnan(got[k]["slope_milli_per_hr"])
+        assert math.isnan(got[k]["intercept_milli"])
+        assert math.isnan(got[k]["r2"])
+    assert got[3]["slope_milli_per_hr"] == 1000.0
+    assert got[3]["intercept_milli"] == 1000.0
+    assert got[3]["r2"] == 1.0
 
 
 def test_mad_stats_by_counts_null_values_are_excluded(spark):

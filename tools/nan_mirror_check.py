@@ -77,20 +77,14 @@ KNOWN_NAN_BEHAVIOR: dict[str, str] = {
     # boundary; NaN is contract-invalid for these inputs
     "kcenter_select": "loud_both",
     "zscore_outliers": "loud_both",
-    # pending r14 (decimal sums silently drop NaN addends in Spark —
+    # pending (decimal sums silently drop NaN addends in Spark —
     # CAST(NaN AS DECIMAL) is NULL even under ANSI; DuckDB raises):
-    "mad_outliers": "asymmetric",
-    "rfm_segments": "asymmetric",
     "stream_running_totals": "asymmetric",
     "stream_window_counts": "asymmetric",
-    # loud_both ON THIS MIRROR only because the ±Inf injection makes
-    # their Spark side fail loud first (scaled-long casts under ANSI);
-    # on NaN-alone input they are still asymmetric (silent skip) —
-    # the r14 poison fix applies regardless:
-    "trend_fit": "loud_both",
-    "zorder_layout": "loud_both",
     "incremental_agg": "asymmetric",
-    "histogram_drift": "asymmetric",
+    # mad_outliers / rfm_segments / trend_fit / histogram_drift:
+    # FIXED mid-r13 (rank/OLS/ntile poison + NULL drift bin) — no
+    # entry, must MATCH.
     # cluster_purity / kmeans_clusters / semdedup_prune and cosine_topk
     # / ann_lsh / ann_ivf: FIXED mid-r13 (finite_vectors exclusion, the
     # embedding_near_dup_pairs_lsh pattern generalized family-wide) —
