@@ -2059,9 +2059,15 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate view casts it back to BIGINT — exact at any gate scale, and an
     engine-neutral dtype (DuckDB lowers wide decimals to float64 in
     pandas, which would false-fail the driver's dtype-sensitive hash).
+
+    Non-finite values (r13 discipline): the seed aggregate and every
+    merge carry the sticky ``nonfinite`` flag; the gate view NULLs
+    sum_cents for poisoned keys (the addend silently vanished from the
+    decimal sum — no exact statement exists). min_v/max_v stay native.
     """
     _utc(spark)
     from .operators.merge import incremental_agg_merge
+    from .qcommon import nonfinite_flag
 
     ev = _table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     b0 = ev.filter(F.col("event_id") % 3 == 0)
@@ -2074,13 +2080,16 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_cents"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
+        F.max(nonfinite_flag("value")).alias("nonfinite"),
     )
     state = incremental_agg_merge(state, b1, ["event_type"], "value")
     state = incremental_agg_merge(state, b2, ["event_type"], "value")
     return state.select(
         "event_type",
         "n_rows",
-        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.when(~F.col("nonfinite"), F.col("sum_cents").cast("long")).alias(
+            "sum_cents"
+        ),
         "min_v",
         "max_v",
     ).orderBy("event_type")
@@ -2089,8 +2098,11 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INCREMENTAL_AGG = """
 SELECT event_type,
        count(*) AS n_rows,
-       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-         AS sum_cents,
+       CASE WHEN bool_or(isnan(value) OR isinf(value)) THEN NULL
+            ELSE CAST(sum(CAST(CAST(CASE WHEN isnan(value) OR isinf(value)
+                                    THEN NULL ELSE value END
+                     AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+       END AS sum_cents,
        min(value) AS min_v,
        max(value) AS max_v
 FROM events

@@ -105,13 +105,22 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch group-by for ANY micro-batch split. The window start is
     emitted as epoch seconds (BIGINT) to stay timezone-proof, and the
     money sum goes through decimal so both engines add exactly.
+
+    Non-finite values (r13 discipline): the decimal cast silently
+    DROPS a NaN/±Inf addend, so a boolean max flag rides the same
+    streaming state (max is merge-able — batch-split-invariant like
+    the sum) and poisons the emitted sum to NaN, the native float
+    answer's visible marker.
     """
+    from .qcommon import nonfinite_flag
+
     ev = _read_stream_events(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_sum"),
+            F.max(nonfinite_flag("value")).alias("nf"),
         )
     )
     name = _run_to_memory(agg, "complete", "swc")
@@ -119,7 +128,9 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("win.start")).alias("window_start_s"),
         "event_type",
         "n_events",
-        F.col("dec_sum").cast("double").alias("sum_value"),
+        F.when(F.col("nf"), F.lit(float("nan")))
+        .otherwise(F.col("dec_sum").cast("double"))
+        .alias("sum_value"),
     )
 
 
@@ -127,7 +138,11 @@ SQL_STREAM_WINDOW_COUNTS = """
 SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CASE WHEN bool_or(isnan(value) OR isinf(value)) THEN 'NaN'::DOUBLE
+            ELSE CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value)
+                               THEN NULL ELSE value END
+                          AS DECIMAL(18,2))) AS DOUBLE)
+       END AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -144,29 +159,47 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-by-count recovers the final state under any batch split. Values
     are summed as integer cents (exact decimal → long), so the total has
     no float-order dependence.
+
+    Non-finite values (r13 discipline): a NaN/±Inf value cents-casts
+    to a silent NULL (pandas sees NaN, ``.sum()`` skips it) — a sticky
+    boolean rides the state and the emitted rows, and the final
+    total_cents goes NULL for poisoned keys; n_events stays the real
+    row count. The flag is monotone (false→true only), so it is as
+    batch-split-invariant as the count.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from .qcommon import nonfinite_flag
+
     ev = _read_stream_events(spark, sf_dir).select(
         "user_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        nonfinite_flag("value").alias("nf"),
     )
 
     def update(key: tuple, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0)
+        n, total, nf = state.get if state.exists else (0, 0, False)
         for pdf in pdfs:
             n += len(pdf)
             total += int(pdf["cents"].sum())
-        state.update((n, total))
+            nf = bool(nf or pdf["nf"].any())
+        state.update((n, total, nf))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [total],
+                "nf": [nf],
+            }
         )
 
     upd = ev.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_cents long",
-        stateStructType="n long, total long",
+        outputStructType=(
+            "user_id long, n_events long, total_cents long, nf boolean"
+        ),
+        stateStructType="n long, total long, nf boolean",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -174,11 +207,13 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table(name)
         .groupBy("user_id")
-        .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+        .agg(F.max(F.struct("n_events", "total_cents", "nf")).alias("s"))
         .select(
             "user_id",
             F.col("s.n_events").alias("n_events"),
-            F.col("s.total_cents").alias("total_cents"),
+            F.when(~F.col("s.nf"), F.col("s.total_cents")).alias(
+                "total_cents"
+            ),
         )
     )
 
@@ -186,8 +221,11 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_RUNNING_TOTALS = """
 SELECT user_id,
        count(*) AS n_events,
-       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
-         AS total_cents
+       CASE WHEN bool_or(isnan(value) OR isinf(value)) THEN NULL
+            ELSE CAST(sum(CAST(CAST(CASE WHEN isnan(value) OR isinf(value)
+                                    THEN NULL ELSE value END
+                     AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+       END AS total_cents
 FROM events
 GROUP BY 1
 """

@@ -176,7 +176,20 @@ def incremental_agg_merge(
     full-outer join with the state on the key and coalesce-merge — with
     a small increment AQE broadcasts it and the state side is touched
     only on matching partitions.
+
+    Non-finite values (r13 discipline): a NaN/±Inf value silently
+    cents-casts to NULL inside the decimal sum — the addend would
+    VANISH from sum_cents across any number of merges. The state
+    therefore carries a sticky ``nonfinite`` boolean (OR-merged, as
+    associative as the sum); readers NULL-poison sum_cents when it is
+    set. min_v/max_v stay native float min/max (NaN propagates to max
+    identically in both engines — NaN sorts greatest; ±Inf are real
+    envelope values). A pre-existing state frame WITHOUT the column is
+    accepted and promoted with nonfinite=false, like the long→decimal
+    sum promotion.
     """
+    from ..qcommon import nonfinite_flag
+
     key_list = list(keys)
     agg = batch.groupBy(*key_list).agg(
         F.count("*").alias("__b_n"),
@@ -185,6 +198,7 @@ def incremental_agg_merge(
         ).alias("__b_sum"),
         F.min(value_col).alias("__b_min"),
         F.max(value_col).alias("__b_max"),
+        F.max(nonfinite_flag(F.col(value_col))).alias("__b_nf"),
     )
     st = state.select(
         *key_list,
@@ -192,6 +206,11 @@ def incremental_agg_merge(
         F.col("sum_cents").alias("__s_sum"),
         F.col("min_v").alias("__s_min"),
         F.col("max_v").alias("__s_max"),
+        (
+            F.col("nonfinite")
+            if "nonfinite" in state.columns
+            else F.lit(False)
+        ).alias("__s_nf"),
     )
     j = st.join(agg, key_list, "full")
     return j.select(
@@ -208,6 +227,10 @@ def incremental_agg_merge(
         F.greatest(
             F.coalesce("__s_max", "__b_max"), F.coalesce("__b_max", "__s_max")
         ).alias("max_v"),
+        (
+            F.coalesce("__s_nf", F.lit(False))
+            | F.coalesce("__b_nf", F.lit(False))
+        ).alias("nonfinite"),
     )
 
 

@@ -263,7 +263,10 @@ def test_incremental_agg_merge_associative_and_exact(spark):
     a = sorted(map(tuple, one_by_one.collect()))
     b = sorted(map(tuple, all_at_once.collect()))
     assert a == b  # associativity, bit-for-bit (integer cents)
-    # increment == full recompute
+    # increment == full recompute (nonfinite is false everywhere on
+    # this finite input — the r13 sticky flag rides the state schema)
+    from earthquake_data_pipeline_spark.qcommon import nonfinite_flag
+
     full = sorted(
         map(
             tuple,
@@ -275,11 +278,46 @@ def test_incremental_agg_merge_associative_and_exact(spark):
                 ).alias("sum_cents"),
                 F.min("v").alias("min_v"),
                 F.max("v").alias("max_v"),
+                F.max(nonfinite_flag("v")).alias("nonfinite"),
             )
             .collect(),
         )
     )
     assert a == full
+
+
+def test_incremental_agg_merge_nonfinite_flag_is_sticky(spark):
+    """r13 non-finite discipline: a NaN/±Inf batch value sets the
+    state's nonfinite flag and it survives every later merge (the
+    addend silently vanished from the decimal sum — readers NULL the
+    sum for flagged keys); min/max stay native float envelopes."""
+    import math
+
+    from earthquake_data_pipeline_spark.operators.merge import (
+        incremental_agg_merge,
+    )
+
+    state = spark.createDataFrame(
+        [("a", 1, 100, 1.0, 1.0)],
+        "k string, n_rows long, sum_cents long, min_v double, max_v double",
+    )
+    b1 = spark.createDataFrame(
+        [("a", float("nan")), ("b", 2.0)], "k string, v double"
+    )
+    b2 = spark.createDataFrame([("a", 3.0)], "k string, v double")
+    out = {
+        r["k"]: r
+        for r in incremental_agg_merge(
+            incremental_agg_merge(state, b1, ["k"], "v"), b2, ["k"], "v"
+        ).collect()
+    }
+    assert out["a"]["nonfinite"] is True  # sticky across the clean b2
+    assert out["b"]["nonfinite"] is False
+    # counts still real; the NaN addend vanished from the cents sum
+    # (which is exactly why readers must NULL it when flagged)
+    assert out["a"]["n_rows"] == 3
+    assert int(out["a"]["sum_cents"]) == 400
+    assert math.isnan(out["a"]["max_v"])  # native float max propagates
 
 
 def test_incremental_agg_merge_new_keys_and_empty_batch(spark):

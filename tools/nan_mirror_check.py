@@ -77,14 +77,13 @@ KNOWN_NAN_BEHAVIOR: dict[str, str] = {
     # boundary; NaN is contract-invalid for these inputs
     "kcenter_select": "loud_both",
     "zscore_outliers": "loud_both",
-    # pending (decimal sums silently drop NaN addends in Spark —
-    # CAST(NaN AS DECIMAL) is NULL even under ANSI; DuckDB raises):
-    "stream_running_totals": "asymmetric",
-    "stream_window_counts": "asymmetric",
-    "incremental_agg": "asymmetric",
-    # mad_outliers / rfm_segments / trend_fit / histogram_drift:
-    # FIXED mid-r13 (rank/OLS/ntile poison + NULL drift bin) — no
-    # entry, must MATCH.
+    # Every other first-sweep flag was FIXED mid-r13 and must MATCH:
+    # decimal-sum poison (stream_window_counts, stream_running_totals,
+    # incremental_agg), rank/OLS/ntile poison (mad_outliers,
+    # rfm_segments, trend_fit), NULL drift bin / NULL curve block
+    # (histogram_drift, zorder_layout), and the finite_vectors
+    # exclusion family (cosine_topk, ann_lsh, ann_ivf, kmeans_clusters,
+    # cluster_purity, semdedup_prune).
     # cluster_purity / kmeans_clusters / semdedup_prune and cosine_topk
     # / ann_lsh / ann_ivf: FIXED mid-r13 (finite_vectors exclusion, the
     # embedding_near_dup_pairs_lsh pattern generalized family-wide) —
