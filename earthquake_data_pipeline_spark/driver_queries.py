@@ -2424,25 +2424,36 @@ _GATE_FIRST = [
     #     family convention. Displaced stream_window_counts and
     #     tfidf_top_terms lead the r14 pool:
     "robust_scaling", "trimmed_mean",
+    # (2b) mid-round churn — the NaN-mirror pending fixes landed IN
+    #      r13 instead of waiting for their r14 seats (the
+    #      severity_buckets late-swap precedent): the finite_vectors
+    #      exclusion family, the rank/OLS/ntile poison family, the
+    #      NULL drift-bin/curve-block pair, and the stateful
+    #      decimal-sum poison trio (stream_running_totals, the third
+    #      stateful host, was already seated below):
+    "embedding_near_dup", "cosine_topk", "ann_lsh", "ann_ivf",
+    "kmeans_clusters", "cluster_purity", "semdedup_prune",
+    "mad_outliers", "rfm_segments", "trend_fit", "histogram_drift",
+    "zorder_layout", "stream_window_counts", "incremental_agg",
     # (4a) the r09 bank remainder — generation retired (exact_dedup,
     #      displaced by severity_buckets' late r12 seat, leads):
     "exact_dedup", "in_list_case_sort", "max_per_group", "pivot_status",
     "ranking_suite", "rollup_agg", "scalar_derivations",
     "semi_anti_join", "set_ops", "string_suite", "text_quality",
     "top2_per_user", "top_k_orders",
-    # (4b) the r10 bank, alphabetical front (sessionization,
-    #      json_extract, label_centroids, range_join and inverted_index
-    #      of that bank moved up into the churn block). Round-14 pool:
-    #      the displaced stream_window_counts + tfidf_top_terms lead,
-    #      then the other 5 r10 leftovers (token_bucket, trend_fit,
-    #      url_domains, usgs_pipeline, value_histogram), then the r11
-    #      alphabetical front:
-    "asof_join", "cms_join_size", "codec_roundtrip", "corpus_curation",
-    "embedding_near_dup_lsh", "epoch_shuffle", "fingerprint_dedup",
-    "gap_fill", "grouping_sets", "hash_sample", "hourly_profile",
-    "kcenter_select", "multimodal_features", "null_census",
-    "range_frame", "regex_token_match", "salted_join",
-    "stream_dedup_days", "stream_running_totals",
+    # (4b) the r10 bank, alphabetical front, squeezed to 2 rotation
+    #      seats by the mid-round churn block (embedding_near_dup_lsh,
+    #      range_frame and stream_running_totals keep their seats as
+    #      r13-churned hosts). Round-14 pool: the 14 displaced members
+    #      (codec_roundtrip, corpus_curation, epoch_shuffle,
+    #      fingerprint_dedup, gap_fill, grouping_sets, hash_sample,
+    #      hourly_profile, kcenter_select, multimodal_features,
+    #      null_census, regex_token_match, salted_join,
+    #      stream_dedup_days) lead, then tfidf_top_terms + the other 5
+    #      r10 leftovers (token_bucket, url_domains, usgs_pipeline,
+    #      value_histogram), then the r11 alphabetical front:
+    "asof_join", "cms_join_size", "embedding_near_dup_lsh",
+    "range_frame", "stream_running_totals",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
