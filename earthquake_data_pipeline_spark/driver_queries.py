@@ -345,7 +345,13 @@ def q_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1+D2+D3: epoch-ms round-trip, year extraction, decade bucketing.
 
     ts → unix_millis → timestamp_millis reproduces the reference's
-    epoch-ms ingestion (clean_historical.py:27) exactly (ms truncation).
+    epoch-ms ingestion (clean_historical.py:27) with FLOOR millisecond
+    buckets. r13 ts-domain axis: Spark's unix_millis floor-divides the
+    microseconds (floor-exact on pre-1970 fractions — the OPPOSITE of
+    unix_timestamp, which truncates), while DuckDB's epoch_ms()
+    truncates toward zero — so the ORACLE spells the floor explicitly
+    as epoch_us(ts) // 1000 (integer floor division, exact over the
+    full range where epoch(ts)*1000 in double would not be).
     Timestamps are output as formatted strings (engine-neutral hashing).
     """
     _utc(spark)
@@ -362,8 +368,15 @@ def q_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SCALAR_DERIVATIONS = """
 SELECT event_id,
-       epoch_ms(ts) AS ts_ms,
-       strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts_rt,
+       -- decimal floor-division: DuckDB's integer // TRUNCATES and
+       -- epoch(ts)*1000 in double is inexact past 2^53 micros — the
+       -- decimal route floors exactly over the full range, matching
+       -- Spark's unix_millis floorDiv (r13 ts-domain axis)
+       CAST(floor(CAST(epoch_us(ts) AS DECIMAL(20,0)) / 1000) AS BIGINT)
+         AS ts_ms,
+       strftime(make_timestamp(CAST(floor(CAST(epoch_us(ts) AS DECIMAL(20,0))
+                 / 1000) AS BIGINT) * 1000),
+                '%Y-%m-%d %H:%M:%S.%g') AS ts_rt,
        CAST(year(ts) AS INTEGER) AS event_year,
        CAST(CAST(floor(year(ts) / 10) AS BIGINT) * 10 AS INTEGER) AS event_decade
 FROM events
@@ -2435,25 +2448,37 @@ _GATE_FIRST = [
     "kmeans_clusters", "cluster_purity", "semdedup_prune",
     "mad_outliers", "rfm_segments", "trend_fit", "histogram_drift",
     "zorder_layout", "stream_window_counts", "incremental_agg",
-    # (4a) the r09 bank remainder — generation retired (exact_dedup,
-    #      displaced by severity_buckets' late r12 seat, leads):
+    # (2c) ts-domain-axis churn (the fourteenth axis, built and
+    #      triaged this session): unix_timestamp truncates toward
+    #      zero pre-1970 where CAST(ts AS LONG)/the oracles floor —
+    #      the six fixed hosts not already seated above (the other
+    #      seven fixed hosts — interval_merge, event_debounce,
+    #      event_transitions, trend_fit, rfm_segments, range_frame,
+    #      scalar_derivations — hold churn/bank seats already):
+    "scd2_snapshot", "stream_dedup_days", "cohort_retention",
+    "rate_limit", "token_bucket", "attribution",
+    # (4a) the r09 bank remainder — generation retired; the
+    #      alphabetical tail (string_suite, text_quality,
+    #      top2_per_user, top_k_orders) displaced by the ts-axis
+    #      churn block re-leads the r14 pool with its r09 proofs
+    #      disclosed stale:
     "exact_dedup", "in_list_case_sort", "max_per_group", "pivot_status",
     "ranking_suite", "rollup_agg", "scalar_derivations",
-    "semi_anti_join", "set_ops", "string_suite", "text_quality",
-    "top2_per_user", "top_k_orders",
-    # (4b) the r10 bank, alphabetical front, squeezed to 2 rotation
-    #      seats by the mid-round churn block (embedding_near_dup_lsh,
-    #      range_frame and stream_running_totals keep their seats as
-    #      r13-churned hosts). Round-14 pool: the 14 displaced members
-    #      (codec_roundtrip, corpus_curation, epoch_shuffle,
-    #      fingerprint_dedup, gap_fill, grouping_sets, hash_sample,
-    #      hourly_profile, kcenter_select, multimodal_features,
-    #      null_census, regex_token_match, salted_join,
-    #      stream_dedup_days) lead, then tfidf_top_terms + the other 5
-    #      r10 leftovers (token_bucket, url_domains, usgs_pipeline,
-    #      value_histogram), then the r11 alphabetical front:
-    "asof_join", "cms_join_size", "embedding_near_dup_lsh",
-    "range_frame", "stream_running_totals",
+    "semi_anti_join", "set_ops",
+    # (4b) squeezed to zero rotation seats by the two mid-round churn
+    #      blocks (embedding_near_dup_lsh, range_frame and
+    #      stream_running_totals keep their seats as r13-churned
+    #      hosts; asof_join and cms_join_size join the displaced
+    #      pool). Round-14 pool order: string_suite, text_quality,
+    #      top2_per_user, top_k_orders (r09-stale, lead), then
+    #      asof_join, cms_join_size, codec_roundtrip, corpus_curation,
+    #      epoch_shuffle, fingerprint_dedup, gap_fill, grouping_sets,
+    #      hash_sample, hourly_profile, kcenter_select,
+    #      multimodal_features, null_census, regex_token_match,
+    #      salted_join (r10), then tfidf_top_terms + the other r10
+    #      leftovers (url_domains, usgs_pipeline, value_histogram),
+    #      then the r11 alphabetical front:
+    "embedding_near_dup_lsh", "range_frame", "stream_running_totals",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc, nonfinite_flag, round6x
+from .qcommon import _fanout, _table, _utc, epoch_s, nonfinite_flag, round6x
 
 # ---------------------------------------------------------------------------
 # Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
@@ -35,7 +35,9 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one sort, all functions on the shared frame."""
     _utc(spark)
     ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    epoch = F.unix_timestamp("ts")
+    # epoch_s, not unix_timestamp (r13 ts-domain axis): floor seconds,
+    # matching the oracle's floor(epoch(ts)) on pre-1970 fractions
+    epoch = epoch_s("ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch)
@@ -1987,7 +1989,9 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
-            F.unix_timestamp("ts").alias("valid_from"),
+            # epoch_s (r13 ts-domain axis): floor seconds like the
+            # oracle's floor(epoch(ts))
+            epoch_s("ts").alias("valid_from"),
         )
     )
     dim = first.select(
@@ -1998,7 +2002,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = (
         ev.withColumn("rn", F.row_number().over(w_last))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", F.unix_timestamp("ts").alias("ts"))
+        .select("user_id", "event_type", epoch_s("ts").alias("ts"))
     )
     # scd2_apply references dim 3× (history/current split + unseen-key
     # anti-join) and updates 2×; without the checkpoints Catalyst

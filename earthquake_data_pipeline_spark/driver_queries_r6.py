@@ -1631,7 +1631,9 @@ WITH per_user AS (
   -- in the monetary ntile (native NaN sums sort greatest, tie-broken
   -- by user id) and poisons the segment's avg_monetary to NaN
   SELECT user_id AS u,
-         max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+         -- floor day, not integer-// (r13 ts-domain axis: DuckDB's //
+         -- TRUNCATES on integers, Spark's fixed site floors)
+         max(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS last_day,
          count(*) AS frequency,
          coalesce(sum(CASE WHEN event_type = 'purchase'
               THEN CAST(CAST(CASE WHEN isnan(value) OR isinf(value)

@@ -477,15 +477,20 @@ WITH base AS (
          y, nf
   FROM base
 ), m AS (
-  SELECT k, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx,
-         CAST(sum(y * y) AS BIGINT) AS syy,
+  -- HUGEINT products (r13 ts-domain axis): a multi-century x span
+  -- (bad-clock epochs) overflows int64 in x*y where the Spark side's
+  -- decimal(38) absorbs it — widen so both engines answer; the final
+  -- int/int double divisions are value-identical
+  SELECT k, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
          bool_or(nf) AS nf
   FROM xy GROUP BY 1
 )
-SELECT k AS user_id, n AS n_events,
+SELECT k AS user_id, CAST(n AS BIGINT) AS n_events,
        CASE WHEN nf THEN 'NaN'::DOUBLE
             WHEN n * sxx - sx * sx <> 0 THEN
          CAST(round(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)

@@ -239,14 +239,20 @@ def q_stream_dedup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the unbounded-state test face; the production face is
     ``streaming/incremental.py::streaming_dedup``, whose watermark bounds
-    state at the declared lateness horizon. ``div`` truncation == floor
-    here because the epochs are positive.
+    state at the declared lateness horizon. Day buckets FLOOR (r13
+    ts-domain axis): the old ``div`` truncation shifted every pre-1970
+    event one day late vs the oracle's floor — the axis's founding
+    divergence.
     """
+    from .qcommon import epoch_s
+
     ded = (
         _read_stream_events(spark, sf_dir)
         .select(
             "event_type",
-            F.expr("unix_timestamp(ts) div 86400 * 86400").alias("day_s"),
+            (F.floor(epoch_s("ts") / F.lit(86400)) * 86400)
+            .cast("long")
+            .alias("day_s"),
         )
         .dropDuplicates(["event_type", "day_s"])
     )

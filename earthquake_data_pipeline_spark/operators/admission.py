@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..qcommon import epoch_s
+
 
 def token_bucket_admit(
     events: DataFrame,
@@ -124,7 +126,10 @@ def token_bucket_admit(
     e = events.select(
         F.col(id_col),
         F.col(key_col).alias("k"),
-        F.floor(F.unix_timestamp(F.col(ts_col))).cast("long").alias("ts_s"),
+        # epoch_s, not unix_timestamp (r13 ts-domain axis): floor-exact
+        # seconds on any epoch; the old floor() wrapped an already-
+        # truncated long
+        epoch_s(F.col(ts_col)).alias("ts_s"),
     )
     return (
         e.repartition(F.col("k"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..qcommon import epoch_s as _qepoch_s
 from ..qcommon import nonfinite_flag as _qnonfinite_flag
 
 
@@ -53,8 +54,12 @@ def cohort_retention(
         ]
         offset_name = "offset_months"
     elif granularity == "day":
-        # div truncation == floor: epochs are positive in this domain
-        idx = F.expr(f"unix_timestamp({ts_col}) div 86400")
+        # floor day buckets (r13 ts-domain axis): `unix_timestamp div
+        # 86400` truncates toward zero, shifting every pre-1970 event
+        # one day late vs the oracle's floor — epoch_s + floor division
+        # is exact for any epoch (|seconds| ≪ 2^53, the double
+        # division is exact)
+        idx = F.floor(_qepoch_s(F.col(ts_col)) / F.lit(86400)).cast("long")
         cohort_cols = [(F.col("ci") * 86400).cast("long").alias("cohort_day_s")]
         offset_name = "offset_days"
     else:
@@ -536,7 +541,7 @@ def merge_intervals(
     (key, island) aggregate reuse it. Skewed keys are bounded by the
     per-key event count, not corpus size.
     """
-    start_s = F.unix_timestamp(ts_col)
+    start_s = _qepoch_s(ts_col)  # floor seconds (r13 ts-domain axis)
     ev = events.select(
         F.col(key_col).alias("k"),
         start_s.alias("start_s"),
@@ -621,7 +626,10 @@ def merge_intervals_presplit(
     sess = session_ids_presplit(
         events.select(
             F.col(key_col),
-            F.unix_timestamp(ts_col).cast("timestamp").alias(ts_col),
+            # floor-truncate to whole seconds (epoch_s, not
+            # unix_timestamp — r13 ts-domain axis: unix_timestamp
+            # truncates toward zero pre-1970)
+            _qepoch_s(ts_col).cast("timestamp").alias(ts_col),
         ),
         user_col=key_col,
         ts_col=ts_col,
@@ -630,7 +638,7 @@ def merge_intervals_presplit(
         bucket_us=bucket_us,
         broadcast_offsets=broadcast_offsets,
     )
-    start_s = F.unix_timestamp(ts_col)
+    start_s = _qepoch_s(ts_col)
     return (
         sess.select(
             F.col(key_col).alias("k"),
@@ -678,7 +686,7 @@ def event_debounce(
     """
     keys = key_cols or ["user_id", "event_type"]
     base = events.select(
-        *keys, F.col(id_col), F.unix_timestamp(ts_col).alias("epoch_s")
+        *keys, F.col(id_col), _qepoch_s(ts_col).alias("epoch_s")
     )
     w = Window.partitionBy(*keys).orderBy("epoch_s", id_col)
     return (
@@ -716,7 +724,7 @@ def event_debounce_presplit(
     """
     keys = key_cols or ["user_id", "event_type"]
     base = events.select(
-        *keys, F.col(id_col), F.unix_timestamp(ts_col).alias("epoch_s")
+        *keys, F.col(id_col), _qepoch_s(ts_col).alias("epoch_s")
     ).withColumn("__b", F.floor(F.col("epoch_s") / F.lit(bucket_s)))
     w_local = Window.partitionBy(*keys, "__b").orderBy("epoch_s", id_col)
     local = base.withColumn("__lag", F.lag("epoch_s").over(w_local))
@@ -806,7 +814,7 @@ def event_transitions(
     from ..qcommon import round6x
 
     w = Window.partitionBy(user_col).orderBy(
-        F.unix_timestamp(ts_col), id_col
+        _qepoch_s(ts_col), id_col
     )
     steps = (
         events.select(
@@ -854,7 +862,7 @@ def event_transitions_presplit(
     base = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
-        F.unix_timestamp(ts_col).alias("es"),
+        _qepoch_s(ts_col).alias("es"),
         F.col(id_col).alias("id"),
     ).withColumn("__b", F.floor(F.col("es") / F.lit(bucket_s)))
     w_local = Window.partitionBy("u", "__b").orderBy("es", "id")
@@ -930,7 +938,10 @@ def rfm_segments(
 
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     per_user = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.max(F.expr(f"unix_timestamp({ts_col}) div 86400")).alias("last_day"),
+        # floor day (r13 ts-domain axis): div truncation shifts a
+        # pre-1970 last event one day late vs the oracle's // floor
+        F.max(F.floor(_qepoch_s(F.col(ts_col)) / F.lit(86400)).cast("long"))
+        .alias("last_day"),
         F.count("*").alias("frequency"),
         F.coalesce(
             F.sum(F.when(F.col(type_col) == monetary_type, cents)), F.lit(0)
@@ -1637,7 +1648,9 @@ def rate_limit_flags(
     that split because the bucket is part of the partition key; the
     sliding count needs a day of overlap carried across splits.
     """
-    ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    # epoch_s, not unix_timestamp (r13 ts-domain axis): floor-exact
+    # seconds; the old floor() wrapped an ALREADY-truncated long
+    ts_s = _qepoch_s(F.col(ts_col))
     e = events.select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("k"),
@@ -1698,7 +1711,9 @@ def trend_fit(
     """
     from ..qcommon import nonfinite_flag
 
-    ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    # epoch_s, not unix_timestamp (r13 ts-domain axis): floor-exact
+    # seconds; the old floor() wrapped an ALREADY-truncated long
+    ts_s = _qepoch_s(F.col(ts_col))
     nf = nonfinite_flag(F.col(value_col))
     base = events.select(
         F.col(key_col).alias("k"),
@@ -2143,7 +2158,9 @@ def last_touch_attribution(
     window support, not on aligned scalars). One hash exchange on the
     key; output is conversion-rows-sized before the channel rollup.
     """
-    ts_s = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    # epoch_s, not unix_timestamp (r13 ts-domain axis): floor-exact
+    # seconds; the old floor() wrapped an ALREADY-truncated long
+    ts_s = _qepoch_s(F.col(ts_col))
     e = events.select(
         F.col(key_col).alias("k"),
         F.col(id_col).alias("id"),

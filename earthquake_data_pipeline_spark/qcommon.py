@@ -220,6 +220,26 @@ def nonfinite_flag(col) -> "F.Column":
     )
 
 
+def epoch_s(col) -> "F.Column":
+    """FLOOR-exact epoch seconds of a timestamp — use instead of
+    ``F.unix_timestamp`` at every second-truncation site (r13
+    timestamp-domain mirror axis).
+
+    Engine fact (test-pinned in test_functions.py): ``unix_timestamp``
+    TRUNCATES TOWARD ZERO on pre-1970 fractional timestamps
+    (1969-12-31T23:59:59.5 → 0), while ``CAST(ts AS LONG)`` floor-
+    divides the microseconds (→ −1) — matching BOTH DuckDB's
+    ``floor(epoch(ts))`` and the calendar meaning of "the second this
+    event occurred in". The two agree on every non-negative epoch and
+    differ by exactly one second on every negative fractional one —
+    a silent day/second-bucket shift class on a lake that carries
+    bad-clock and sentinel timestamps. Exact over the full timestamp
+    range (integer floorDiv — no double division involved).
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    return c.cast("long")
+
+
 def round6u(col):
     """Engine-identical 6-dp HALF_UP rounding for a NON-NEGATIVE double
     of corpus-growing magnitude: floor(x·1e6 + 0.5)/1e6 in float64.

@@ -154,6 +154,41 @@ def test_spark_nonfinite_decimal_cast_is_silent_null(spark):
     assert row["fl"] == 9223372036854775807
 
 
+def test_epoch_s_floors_where_unix_timestamp_truncates(spark):
+    """r13 ts-domain axis engine-fact pin: F.unix_timestamp TRUNCATES
+    TOWARD ZERO on pre-1970 fractional timestamps while CAST(ts AS
+    LONG) (= qcommon.epoch_s) floor-divides the microseconds — the
+    floor matches DuckDB's floor(epoch(ts)) and the calendar meaning
+    of "the second the event occurred in". unix_millis, by contrast,
+    already FLOORS (the two Spark functions disagree with each other).
+    DuckDB-side twin facts (probed, recorded in the oracles): integer
+    ``//`` TRUNCATES (-7 // 2 = -3) and epoch_ms() truncates — floors
+    there are spelled via floor(epoch/k) or decimal division."""
+    import datetime
+
+    from earthquake_data_pipeline_spark.qcommon import epoch_s
+
+    rows = [
+        (1, datetime.datetime(1969, 12, 31, 23, 59, 59, 500000)),
+        (2, datetime.datetime(1970, 1, 1, 0, 0, 0, 500000)),
+        (3, datetime.datetime(1904, 1, 1, 12, 0, 0, 420000)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    got = {
+        r["id"]: (r["u"], r["e"], r["ms"])
+        for r in df.select(
+            "id",
+            F.unix_timestamp("ts").alias("u"),
+            epoch_s("ts").alias("e"),
+            F.unix_millis("ts").alias("ms"),
+        ).collect()
+    }
+    assert got[1] == (0, -1, -500)          # truncate vs FLOOR vs floor
+    assert got[2] == (0, 0, 500)            # agree on non-negative
+    assert got[3][0] == got[3][1] + 1       # truncation is one second late
+    assert got[3][1] == -2082801600
+
+
 def test_nan_poisoned_sum_matches_native_float_semantics(spark):
     """r13: the poison pattern (max(nonfinite_flag) beside the decimal sum)
     must reproduce exactly what sum(double) does on NaN-bearing

@@ -1,0 +1,158 @@
+"""Timestamp-domain mirror sweep — fourteenth hostile axis (round 13).
+
+Every gate scale confines ``events.ts`` to a well-behaved 2024 window,
+so the catalog's behavior on pre-1970, epoch-zero, fractional-negative
+and far-future timestamps has only ever been REASONED about. The
+hazard is specific and engine-asymmetric: Spark's ``div`` (and long
+casts of a quotient) truncate TOWARD ZERO, while DuckDB's ``//`` and
+``floor(epoch(ts)/86400)`` FLOOR — identical for the positive epochs
+the testdata generates, off by one whole day-bucket for every
+negative epoch. Several operators disclose the assumption in comments
+("div truncation == floor: epochs are positive in this domain"); a
+100 TB lake carries 1970-01-01 sentinel rows and bad-clock epochs as
+a fact of life, so the assumption must be either proven harmless,
+fixed, or enforced loudly — never silent.
+
+Mirror mutations of sf0.001 (deterministic, event_id-keyed):
+
+- ``event_id % 40 == 0``  → ts shifted −120 years (pre-1970, ~1904);
+- ``event_id % 40 == 20`` → ts = epoch 0 exactly (1970-01-01T00:00:00Z
+  — the classic sentinel);
+- ``event_id % 40 == 21`` → ts = epoch −0.5 s (negative AND
+  fractional: unix_timestamp/epoch() floor-vs-truncate twin);
+- ``event_id % 40 == 10`` → ts shifted +250 years (~2274: past any
+  2038-style int32-seconds envelope).
+
+Outcome classes mirror nan_mirror_check: ``match`` / ``loud_both`` /
+asymmetric / divergence, with ``KNOWN_TS_BEHAVIOR`` as the triaged
+expectation table (kind-matched so regressions still flag).
+
+Usage: python tools/ts_domain_check.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check import TABLES, normalize, value_repr  # noqa: E402
+
+_MIRROR = "/tmp/edps-ts-sf"
+_SRC = "/root/testdata/sf0.001"
+
+_SHIFT_BACK_US = 120 * 365 * 86_400_000_000  # ~120 years
+_SHIFT_FWD_US = 250 * 365 * 86_400_000_000  # ~250 years
+
+# query -> expected non-match outcome (triage results, r13
+# continuation session). Matching is by OUTCOME KIND, exactly like
+# KNOWN_NAN_BEHAVIOR. An absent entry means the query must MATCH.
+KNOWN_TS_BEHAVIOR: dict[str, str] = {
+    # usgs_pipeline replays a synthetic HTTP feed with its own
+    # timestamps — the mirror's events.ts never reaches it, but its
+    # oracle reads the mirror's events table; divergence here is a
+    # fixture artifact, not an engine finding (the query ignores
+    # events entirely). Verified: its Spark output is identical on
+    # mirror and source.
+}
+
+
+def make_mirror() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(_MIRROR, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(_SRC, f"{t}.parquet"))
+        if t == "events":
+            ids = tbl["event_id"].to_pylist()
+            ts_type = tbl.schema.field("ts").type
+            micros = tbl["ts"].cast(pa.int64()).to_pylist()
+            for i, eid in enumerate(ids):
+                if micros[i] is None:
+                    continue
+                m = eid % 40
+                if m == 0:
+                    micros[i] = micros[i] - _SHIFT_BACK_US
+                elif m == 20:
+                    micros[i] = 0
+                elif m == 21:
+                    micros[i] = -500_000  # −0.5 s: negative + fractional
+                elif m == 10:
+                    micros[i] = micros[i] + _SHIFT_FWD_US
+            col = pa.array(micros, type=pa.int64()).cast(ts_type)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"), "ts", col
+            )
+        pq.write_table(tbl, os.path.join(_MIRROR, f"{t}.parquet"))
+    return _MIRROR
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as m
+    from earthquake_data_pipeline_spark.session import get_spark
+
+    sf_dir = make_mirror()
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="edps-ts-sweep", cpus=8,
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    queries, oracles = m.queries(), m.oracle_sql()
+    findings: list[str] = []
+    n_pass = n_total = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        n_total += 1
+        s_err = d_err = ""
+        got = want = None
+        try:
+            got = normalize(fn(spark, sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001
+            s_err = f"{type(e).__name__}: {str(e)[:160]}"
+        try:
+            want = normalize(con.execute(oracles[name]).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            d_err = f"{type(e).__name__}: {str(e)[:160]}"
+        if s_err and d_err:
+            outcome = "loud_both"
+        elif s_err or d_err:
+            outcome = (
+                f"asymmetric ({'spark' if s_err else 'duck'} errored: "
+                f"{s_err or d_err})"
+            )
+        elif len(got) != len(want) or value_repr(got) != value_repr(want):
+            outcome = "divergence"
+        else:
+            outcome = "match"
+        expected = KNOWN_TS_BEHAVIOR.get(name, "match")
+        kind = outcome.split(" ")[0]
+        if kind == expected or (
+            outcome == "match" and name in KNOWN_TS_BEHAVIOR
+        ):
+            n_pass += 1
+            print(f"ok   {name}: {outcome}", flush=True)
+        else:
+            findings.append(f"{name}: expected {expected}, got {outcome}")
+            print(f"TS   {name}: {outcome}", flush=True)
+    print(f"\n{n_pass}/{n_total} as documented")
+    if findings:
+        print("\n".join(findings))
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
