@@ -50,14 +50,14 @@ _SHIFT_FWD_US = 250 * 365 * 86_400_000_000  # ~250 years
 # query -> expected non-match outcome (triage results, r13
 # continuation session). Matching is by OUTCOME KIND, exactly like
 # KNOWN_NAN_BEHAVIOR. An absent entry means the query must MATCH.
-KNOWN_TS_BEHAVIOR: dict[str, str] = {
-    # usgs_pipeline replays a synthetic HTTP feed with its own
-    # timestamps — the mirror's events.ts never reaches it, but its
-    # oracle reads the mirror's events table; divergence here is a
-    # fixture artifact, not an engine finding (the query ignores
-    # events entirely). Verified: its Spark output is identical on
-    # mirror and source.
-}
+# EMPTY since the same-session close: the 12 first-sweep flags (the
+# unix_timestamp truncation class + the trend_fit oracle int64
+# overflow) were all fixed with seats — see DESIGN.md's fourteenth-
+# axis section; the known-consistent leftovers (cumulative_reach's
+# both-engines-truncate day bucket, golden_record's latent ts_s)
+# MATCH on this mirror by construction and are pre-committed to
+# convert with their seats.
+KNOWN_TS_BEHAVIOR: dict[str, str] = {}
 
 
 def make_mirror() -> str:
