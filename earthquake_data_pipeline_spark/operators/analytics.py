@@ -1335,16 +1335,19 @@ def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
 
     def _mid2(hist: DataFrame, val: str) -> DataFrame:
         """sum of the lower+upper middle order statistics (2× median)
-        from a (k, val, c, n) histogram."""
+        from a (k, val, c, n[, nf]) histogram — nf, when present, is
+        key-constant (the totals frame's max) and rides the group keys
+        so the flag needs NO extra join downstream."""
         w = Window.partitionBy("k").orderBy(val)
         h = hist.withColumn("cum", F.sum("c").over(w))
         lo = F.floor((F.col("n") + 1) / 2)
         hi = F.floor((F.col("n") + 2) / 2)
+        keys = ["k", "n"] + (["nf"] if "nf" in hist.columns else [])
 
         def covers(pos):
             return (F.col("cum") - F.col("c") < pos) & (pos <= F.col("cum"))
 
-        return h.groupBy("k", "n").agg(
+        return h.groupBy(*keys).agg(
             (
                 F.max(F.when(covers(lo), F.col(val)))
                 + F.max(F.when(covers(hi), F.col(val)))
@@ -1354,32 +1357,32 @@ def _mad_stats_from_counts(counts: DataFrame) -> DataFrame:
     tot = counts.groupBy("k").agg(
         F.sum("c").alias("n"), F.max("nf").alias("nf")
     )
-    # n only — counts carries its own per-row nf and a duplicate name
-    # would make the joined frame's nf ambiguous
-    vh = _nsjoin(counts.select("k", "x", "c"), tot.select("k", "n"), ["k"])
+    # counts re-selected without its per-row nf: the KEY-level flag
+    # (tot's max) joins in here once and rides every later group key,
+    # so no second totals join is needed at stats assembly
+    vh = _nsjoin(counts.select("k", "x", "c"), tot, ["k"])
     med = _mid2(vh, "x").withColumnRenamed("__m2", "med2")
     dev_hist = (
-        _nsjoin(counts, med, ["k"])
+        _nsjoin(counts.select("k", "x", "c"), med, ["k"])
         .select(
             "k",
             "n",
+            "nf",
             "med2",
             F.abs(F.col("x") * 2 - F.col("med2")).alias("d"),
             "c",
         )
-        .groupBy("k", "n", "med2", "d")
+        .groupBy("k", "n", "nf", "med2", "d")
         .agg(F.sum("c").alias("c"))
     )
-    mad = _mid2(dev_hist.select("k", "n", "d", "c"), "d").withColumnRenamed(
-        "__m2", "mad2"
-    )
-    # nf rides back in from the key-domain-sized totals frame — the
-    # UNMASKED med2/mad2 plus the flag, so each consumer pins its own
-    # poison shape (stats → NULL med2/mad2; census → NULL all ranks)
-    return (
-        _nsjoin(med, mad.select("k", "mad2"), ["k"])
-        .select("k", "med2", "mad2", "n")
-        .transform(lambda df: _nsjoin(df, tot.select("k", "nf"), ["k"]))
+    mad = _mid2(
+        dev_hist.select("k", "n", "nf", "d", "c"), "d"
+    ).withColumnRenamed("__m2", "mad2")
+    # UNMASKED med2/mad2 plus the key-level flag, so each consumer pins
+    # its own poison shape (stats → NULL med2/mad2; census → NULL all
+    # rank outputs)
+    return _nsjoin(med, mad.select("k", "mad2"), ["k"]).select(
+        "k", "med2", "mad2", "n", "nf"
     )
 
 
