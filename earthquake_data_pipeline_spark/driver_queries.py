@@ -1719,7 +1719,7 @@ WITH e AS (
   -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
   -- NaN cosine would top the desc ranking — mirrors finite_vectors
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
 ), scored AS (
@@ -1756,7 +1756,7 @@ WITH e AS (
   -- non-finite vectors excluded (r13 NaN-mirror axis): mirrors
   -- finite_vectors in embedding_near_dup_pairs (GEMM face)
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
@@ -1814,7 +1814,7 @@ WITH e AS (
   -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
   -- one-bucket-clique hazard, NaN cosine — mirrors the operator
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), s AS (
   SELECT vec_id, v, {", ".join(band_keys)} FROM e
 ), bands AS (
@@ -1871,7 +1871,7 @@ WITH e AS (
   -- non-finite vectors excluded (r13 NaN-mirror axis): no direction,
   -- all-ones NaN signature cliques one bucket — mirrors finite_vectors
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), s AS (
   SELECT vec_id, v, {sig} AS bucket FROM e
 ), q AS (
@@ -2457,14 +2457,17 @@ _GATE_FIRST = [
     #      scalar_derivations — hold churn/bank seats already):
     "scd2_snapshot", "stream_dedup_days", "cohort_retention",
     "rate_limit", "token_bucket", "attribution",
+    #      self-review follow-ups (same axis, day-boundary window +
+    #      latent pick-latest truncation — found by the pre-close
+    #      review, pinned by the mirror's new −86399.5 s row):
+    "cumulative_reach", "golden_record",
     # (4a) the r09 bank remainder — generation retired; the
-    #      alphabetical tail (string_suite, text_quality,
-    #      top2_per_user, top_k_orders) displaced by the ts-axis
-    #      churn block re-leads the r14 pool with its r09 proofs
-    #      disclosed stale:
+    #      alphabetical tail (semi_anti_join, set_ops, string_suite,
+    #      text_quality, top2_per_user, top_k_orders) displaced by
+    #      the ts-axis churn blocks re-leads the r14 pool with its
+    #      r09 proofs disclosed stale:
     "exact_dedup", "in_list_case_sort", "max_per_group", "pivot_status",
     "ranking_suite", "rollup_agg", "scalar_derivations",
-    "semi_anti_join", "set_ops",
     # (4b) squeezed to zero rotation seats by the two mid-round churn
     #      blocks (embedding_near_dup_lsh, range_frame and
     #      stream_running_totals keep their seats as r13-churned

@@ -1587,7 +1587,7 @@ WITH e AS (
   -- point has NaN distance to every centroid (and vec_id 0 would seed
   -- a poisoned init centroid) — mirrors the query's finite_vectors
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), c0 AS (
   SELECT id AS cid, v AS cv FROM e WHERE id < 8
 ), d1 AS (
@@ -1727,7 +1727,7 @@ WITH e AS (
   -- non-finite vectors excluded (r13 NaN-mirror axis): NaN distances
   -- and NaN pair cosines are meaningless — mirrors finite_vectors
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+  WHERE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
 ), c0 AS (
   SELECT id AS cid, v AS cv FROM e WHERE id < 8
 ), d1 AS (

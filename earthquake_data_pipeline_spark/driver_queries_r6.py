@@ -1548,8 +1548,10 @@ def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUMULATIVE_REACH = """
 WITH ud AS (
+  -- floor day (r13 ts-domain axis): integer // truncates in DuckDB,
+  -- shifting pre-1970 days — floor the quotient instead
   SELECT DISTINCT user_id AS u,
-         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
   FROM events
 ), first AS (
   SELECT u, min(d) AS fd FROM ud GROUP BY u

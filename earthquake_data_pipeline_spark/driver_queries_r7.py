@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc, reuse, round6x
+from .qcommon import _fanout, _table, _utc, epoch_s, reuse, round6x
 
 QUERIES_R7: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_R7: dict[str, str] = {}
@@ -1286,7 +1286,12 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+        # epoch_s (r13 ts-domain axis, self-review follow-up): the old
+        # floor(unix_timestamp) floored an ALREADY-truncated long, so a
+        # pre-1970 fractional latest-event tick could flip the
+        # (ts_s DESC, id DESC) pick-latest winner vs the oracle's
+        # floor(epoch)
+        epoch_s("ts").alias("ts_s"),
         F.expr("nullif(event_type, 'click')").alias("etype"),
         F.expr("CASE WHEN value < 50 THEN NULL ELSE value END").alias("val"),
     )

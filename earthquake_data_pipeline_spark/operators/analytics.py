@@ -34,9 +34,10 @@ def cohort_retention(
     (their cohort), counted as active per period offset from it.
 
     Periods are exact integer indices — ``year*12 + month - 1`` for
-    months, ``epoch_seconds div 86400`` for days — so cohort/offset
-    arithmetic is plain subtraction and the oracle replays it with
-    year()/month()/epoch(). Month output: (cohort_y, cohort_m, …);
+    months, ``floor(epoch_seconds / 86400)`` for days (FLOOR, not div:
+    r13 ts-domain axis — truncation shifts pre-1970 events one day
+    late) — so cohort/offset arithmetic is plain subtraction and the
+    oracle replays it with year()/month()/epoch(). Month output: (cohort_y, cohort_m, …);
     day output: (cohort_day_s = day start in epoch seconds, …).
 
     One corpus scan: the cohort period comes from a min() window over
@@ -765,7 +766,12 @@ def cumulative_reach(
     running-sum window over the DAY axis — day cardinality is tiny, so
     the unpartitioned window is a non-issue at any scale.
     """
-    day = F.expr(f"unix_timestamp({ts_col}) div 86400")
+    # floor day buckets (r13 ts-domain axis, self-review follow-up):
+    # the old `unix_timestamp div 86400` truncated BOTH steps while the
+    # oracle floors seconds first — divergent exactly in the 1-second
+    # window after each pre-1970 UTC day boundary (the mirror's
+    # −86399.5 s row now pins it)
+    day = F.floor(_qepoch_s(F.col(ts_col)) / F.lit(86400)).cast("long")
     ud = (
         events.select(F.col(user_col).alias("u"), day.alias("d"))
         .groupBy("u", "d")
@@ -1808,17 +1814,23 @@ def robust_scale(
     scaled_ppm; an all-NULL key has no bounds row and drops (both
     engines, both forms).
     """
+    from ..qcommon import reuse
+
     w = Window.partitionBy("k").orderBy("v", "id")
-    base = events.select(
-        F.col(key_col).alias("k"),
-        F.col(value_col).alias("v"),
-        F.col(id_col).alias("id"),
+    # reuse() on the NARROW PROJECTION, not the rank output (r13
+    # self-review): since the null-exclusion split, the ranked frame
+    # feeds only pcts — but `base` itself fans out to the rank path
+    # AND the join-back, and with pcts on the broadcast side there is
+    # no exchange for ReuseExchange to dedupe, so an unpinned base
+    # scans the source twice. Pinning base keeps one scan; the rank
+    # pass still runs once for its one consumer.
+    base = reuse(
+        events.select(
+            F.col(key_col).alias("k"),
+            F.col(value_col).alias("v"),
+            F.col(id_col).alias("id"),
+        )
     )
-    # the old localCheckpoint pin is GONE, not migrated (r13): since
-    # the null-exclusion split, the ranked frame feeds ONLY pcts (the
-    # join back reads the unranked base), so there is nothing left to
-    # pin — a reuse() here would materialize the rank pass for one
-    # consumer
     ranked = (
         base.filter(F.col("v").isNotNull())
         .withColumn("rn", F.row_number().over(w))

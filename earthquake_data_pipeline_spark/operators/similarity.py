@@ -105,14 +105,23 @@ def finite_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     and in sign-bit LSH its plane bits are all "NaN >= 0 → true",
     funneling every poisoned vector into one candidate-clique bucket.
     Exclusion is the directional extension of the zero-norm convention
-    (`cosine`): no direction → not a similarity candidate. Oracles
-    replay the exclusion with
-    ``len(list_filter(v, x -> isnan(x) OR isinf(x))) = 0``.
+    (`cosine`): no direction → not a similarity candidate. NULL
+    components are excluded by the same policy — and the per-element
+    predicate is spelled NULL-SAFE (``isNull() | …``), because a bare
+    ``isnan(x)`` lambda evaluates to NULL on a NULL element, making
+    ``exists`` return NULL and ``~NULL`` silently DROP the row in
+    Spark while DuckDB's ``list_filter`` (which keeps only TRUE
+    elements) would KEEP it — an engine split on the guard itself
+    (r13 continuation self-review finding, probe-confirmed). Whole-
+    NULL vectors drop consistently on both engines (NULL predicate →
+    filtered in Spark; len(NULL) = 0 is NULL → WHERE drops in
+    DuckDB). Oracles replay the exclusion with
+    ``len(list_filter(v, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0``.
     """
     return df.filter(
         ~F.exists(
             F.col(vec_col),
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
         )
     )
 

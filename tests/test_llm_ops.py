@@ -217,6 +217,12 @@ def test_finite_vectors_excluded_family_wide(spark):
     rows = [
         (0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]),
         (3, [nan, 1.0]), (4, [1.0, inf]), (5, [1.0, -inf]),
+        # NULL component and whole-NULL vector: excluded by the same
+        # no-direction policy, via a NULL-SAFE per-element predicate —
+        # a bare isnan lambda would return NULL on the element, making
+        # Spark drop the row where DuckDB's list_filter keeps it (the
+        # r13 self-review engine-split finding)
+        (6, [1.0, None]), (7, None),
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
         "embedding", F.col("embedding").cast("array<double>")

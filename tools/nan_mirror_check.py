@@ -4,9 +4,10 @@ Every gate scale is NaN-free, so the catalog's behavior on NaN input
 has only ever been reasoned about, never swept. Engine NaN semantics
 differ in DOCUMENTED ways — Spark and DuckDB both order NaN after
 +inf and group NaNs as one key, but they part ways at the decimal
-boundary: ``CAST(NaN AS DECIMAL)`` raises in ANSI Spark (the session
-default here) and in DuckDB, but silently NULLs in permissive Spark —
-and a silently-nulled addend DISAPPEARS from a sum. A 100 TB lake
+boundary: ``CAST(NaN AS DECIMAL)`` is silently NULL in Spark EVEN
+UNDER ANSI (the probe-pinned fact in test_functions.py — the session
+default here is ANSI on) while DuckDB raises — and a silently-nulled
+addend DISAPPEARS from a sum. A 100 TB lake
 carries NaN in measurement columns as a fact of life; what must never
 happen is a SILENT number shift. The axis therefore classifies every
 catalog query against a NaN-bearing mirror of sf0.001 into:

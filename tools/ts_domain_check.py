@@ -20,6 +20,12 @@ Mirror mutations of sf0.001 (deterministic, event_id-keyed):
   — the classic sentinel);
 - ``event_id % 40 == 21`` → ts = epoch −0.5 s (negative AND
   fractional: unix_timestamp/epoch() floor-vs-truncate twin);
+- ``event_id % 40 == 30`` → ts = epoch −86399.5 s (1969-12-31T00:00:00.5Z
+  — INSIDE the 1-second window after a pre-1970 UTC day boundary,
+  where truncate-seconds-then-truncate-days and floor-then-divide
+  land on DIFFERENT days even though both quotient steps agree on
+  the rest of the axis; the self-review found cumulative_reach
+  divergent exactly here);
 - ``event_id % 40 == 10`` → ts shifted +250 years (~2274: past any
   2038-style int32-seconds envelope).
 
@@ -81,6 +87,9 @@ def make_mirror() -> str:
                     micros[i] = 0
                 elif m == 21:
                     micros[i] = -500_000  # −0.5 s: negative + fractional
+                elif m == 30:
+                    # 1 s window past a pre-1970 day boundary
+                    micros[i] = -86_400_000_000 + 500_000
                 elif m == 10:
                     micros[i] = micros[i] + _SHIFT_FWD_US
             col = pa.array(micros, type=pa.int64()).cast(ts_type)
