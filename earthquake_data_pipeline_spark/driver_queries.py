@@ -27,7 +27,7 @@ from .operators.dedup import dedup_keep_any
 from .operators.merge import anti_join_merge, high_water_mark_filter
 
 
-from .qcommon import _fanout, _table, _utc, round6x  # noqa: F401  (re-exported)
+from .qcommon import _fanout, _table, _utc, reuse, round6x  # noqa: F401  (re-exported)
 
 
 # ---------------------------------------------------------------------------
@@ -349,9 +349,13 @@ def q_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. r13 ts-domain axis: Spark's unix_millis floor-divides the
     microseconds (floor-exact on pre-1970 fractions — the OPPOSITE of
     unix_timestamp, which truncates), while DuckDB's epoch_ms()
-    truncates toward zero — so the ORACLE spells the floor explicitly
-    as epoch_us(ts) // 1000 (integer floor division, exact over the
-    full range where epoch(ts)*1000 in double would not be).
+    truncates toward zero — so the ORACLE spells the floor as
+    epoch_us(date_trunc('millisecond', ts)) // 1000: date_trunc is
+    calendar (= floor) truncation in exact integer arithmetic, and the
+    truncated value's epoch_us is a multiple of 1000, so DuckDB's
+    truncating ``//`` cannot round it. (The r13 decimal route was NOT
+    exact — DECIMAL/INT division lowers to DOUBLE, wrong past 2^53 us;
+    r14 ADVICE fix, probe-pinned in test_functions.py.)
     Timestamps are output as formatted strings (engine-neutral hashing).
     """
     _utc(spark)
@@ -368,14 +372,14 @@ def q_scalar_derivations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SCALAR_DERIVATIONS = """
 SELECT event_id,
-       -- decimal floor-division: DuckDB's integer // TRUNCATES and
-       -- epoch(ts)*1000 in double is inexact past 2^53 micros — the
-       -- decimal route floors exactly over the full range, matching
-       -- Spark's unix_millis floorDiv (r13 ts-domain axis)
-       CAST(floor(CAST(epoch_us(ts) AS DECIMAL(20,0)) / 1000) AS BIGINT)
-         AS ts_ms,
-       strftime(make_timestamp(CAST(floor(CAST(epoch_us(ts) AS DECIMAL(20,0))
-                 / 1000) AS BIGINT) * 1000),
+       -- exact millisecond floor (r14 ADVICE fix): date_trunc is
+       -- calendar (= floor) truncation in integer arithmetic, and the
+       -- truncated epoch_us is a multiple of 1000 so the truncating
+       -- // cannot round it — exact over the full range, matching
+       -- Spark's unix_millis floorDiv. (Neither the old decimal route
+       -- nor epoch(ts)*1000 is: both pass through DOUBLE.)
+       (epoch_us(date_trunc('millisecond', ts)) // 1000) AS ts_ms,
+       strftime(date_trunc('millisecond', ts),
                 '%Y-%m-%d %H:%M:%S.%g') AS ts_rt,
        CAST(year(ts) AS INTEGER) AS event_year,
        CAST(CAST(floor(year(ts) / 10) AS BIGINT) * 10 AS INTEGER) AS event_decade
@@ -1659,11 +1663,11 @@ def q_lsh_jaccard_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
     cand = minhash_lsh_pairs(docs, num_hashes=MINHASH_SEEDS, num_bands=LSH_BANDS)
-    # checkpoint: the a/b sides below reference this subtree twice and
-    # Catalyst would re-run the shingling for each
-    sh = docs.select(
-        F.col("doc_id"), shingles_of("text", 3).alias("sh")
-    ).localCheckpoint(eager=False)
+    # reuse() pin (r14, the r10 ledger's per-seat migration): the a/b
+    # sides below reference this subtree twice and Catalyst would
+    # re-run the shingling for each; the pin flavor follows the
+    # deployment (localCheckpoint here, reliable/persist on a cluster)
+    sh = reuse(docs.select(F.col("doc_id"), shingles_of("text", 3).alias("sh")))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     from .qcommon import round6x
@@ -1971,11 +1975,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
     scored = fingerprint(quality_score(docs))
-    # checkpoint: kept feeds BOTH the survivor groupBy and the join back,
-    # and Catalyst would re-run the scoring+fingerprint chain for each
-    kept = scored.filter(
-        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5)
-    ).localCheckpoint(eager=False)
+    # reuse() pin (r14, the r10 ledger's per-seat migration): kept
+    # feeds BOTH the survivor groupBy and the join back, and Catalyst
+    # would re-run the scoring+fingerprint chain for each
+    kept = reuse(
+        scored.filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5))
+    )
     survivors = kept.groupBy("doc_fingerprint").agg(
         F.min("doc_id").alias("doc_id")
     )
@@ -2395,93 +2400,68 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-12 HEAD: proof debt enters the round at 0/148; last-green
-# histogram entering: r06×14, r07×23, r09×30, r10×31, r11×50. This head
-# (a) seats the round-12 churn — the exact-rank-statistics migration
-# (VERDICT r11 item 1: percentile_stats/mad_outliers/robust_scaling/
-# trimmed_mean/quality_deciles rewired onto the *_by_counts histogram
-# family; their sort-window twins stay as parity faces), the
-# pre-committed union_dedup → dedup_keep_first migration (item 2), and
-# the two ADVICE-fix hosts (zscore_outliers: lateral-alias removal;
-# dedup_keep_list: numeric-quality guard) — then (b) retires the last
-# 12 r06-generation rows, (c) refreshes the whole 21-query r07 bank
-# remainder, and (d) starts the r09 bank alphabetically (9 seats).
-# Round-13 pool: the 19 r09 leftovers (in_list_case_sort,
-# max_per_group, pagerank_tokens, pivot_status, pmi_collocations,
-# ranking_suite, region_rollup, rollup_agg, scalar_derivations,
-# semi_anti_join, set_ops, severity_buckets, stats_per_decade,
-# string_suite, text_quality, top2_per_user, top_k_orders,
-# unpivot_measures, window_running), then the r10 alphabetical front.
+# ROUND-14 HEAD: proof debt enters the round at 0/148; last-green
+# histogram entering: r09×6, r10×19, r11×33, r12×40, r13×50. The
+# VERDICT r13 brief asked for a rotation-led round (the six r09 rows
+# are five rounds stale at close); the ADVICE items add a bounded
+# churn block — the exact-floor oracle rewrite (the ts_ms decimal
+# route was probed WRONG past 2^53 us, and ~25 floor(epoch(...))
+# sites rode the same double-granularity class) and the last six
+# localCheckpoint→reuse() migrations the r10 ledger pre-committed.
+# This head seats (1) that churn — every host whose oracle text or
+# called operator changed — then (2) the six r09 rows, (3) the full
+# r10 bank, (4) the r11 alphabetical front. qcommon.py was touched
+# (epoch_s docstring), so the rule-3 sentinels are checked: events
+# (interval_merge et al.), lineitem (grouping_sets), documents
+# (text_quality), embeddings (kcenter_select) — all seated.
 _GATE_FIRST = [
-    # (2) round-13 churn — queries whose code/oracle/called operator
-    #     changed this round:
-    #     the five per-user-sequence pre-split migrations (VERDICT r12
-    #     item 1; interval_merge also carries the ADVICE sub-second
-    #     truncation fix):
-    "sessionization", "interval_merge", "event_debounce",
-    "event_transitions", "funnel_steps",
-    #     the bare-double-avg class close (VERDICT r12 item 3 — all 10
-    #     remaining catalog sites decimal-formed this round, oracles
-    #     re-pinned; the 6 plans/models.py sites stay as dbt-parity
-    #     faces by the documented decision):
-    "yearly_stats", "region_rollup", "stats_per_decade",
-    "label_centroids", "window_running", "json_extract", "range_join",
-    "unpivot_measures",
-    #     localCheckpoint→reuse() rotation migrations (VERDICT r12
-    #     item 8):
-    "pmi_collocations", "pagerank_tokens", "inverted_index",
-    #     NaN-mirror axis finding (late churn swap, the severity_buckets
-    #     precedent): rank statistics silently counted NULL values, and
-    #     window NULL ordering is engine-dependent (Spark first, DuckDB
-    #     last) — both forms + oracles now exclude NULL values per the
-    #     family convention. Displaced stream_window_counts and
-    #     tfidf_top_terms lead the r14 pool:
-    "robust_scaling", "trimmed_mean",
-    # (2b) mid-round churn — the NaN-mirror pending fixes landed IN
-    #      r13 instead of waiting for their r14 seats (the
-    #      severity_buckets late-swap precedent): the finite_vectors
-    #      exclusion family, the rank/OLS/ntile poison family, the
-    #      NULL drift-bin/curve-block pair, and the stateful
-    #      decimal-sum poison trio (stream_running_totals, the third
-    #      stateful host, was already seated below):
-    "embedding_near_dup", "cosine_topk", "ann_lsh", "ann_ivf",
-    "kmeans_clusters", "cluster_purity", "semdedup_prune",
-    "mad_outliers", "rfm_segments", "trend_fit", "histogram_drift",
-    "zorder_layout", "stream_window_counts", "incremental_agg",
-    # (2c) ts-domain-axis churn (the fourteenth axis, built and
-    #      triaged this session): unix_timestamp truncates toward
-    #      zero pre-1970 where CAST(ts AS LONG)/the oracles floor —
-    #      the six fixed hosts not already seated above (the other
-    #      seven fixed hosts — interval_merge, event_debounce,
-    #      event_transitions, trend_fit, rfm_segments, range_frame,
-    #      scalar_derivations — hold churn/bank seats already):
-    "scd2_snapshot", "stream_dedup_days", "cohort_retention",
-    "rate_limit", "token_bucket", "attribution",
-    #      self-review follow-ups (same axis, day-boundary window +
-    #      latent pick-latest truncation — found by the pre-close
-    #      review, pinned by the mirror's new −86399.5 s row):
-    "cumulative_reach", "golden_record",
-    # (4a) the r09 bank remainder — generation retired; the
-    #      alphabetical tail (semi_anti_join, set_ops, string_suite,
-    #      text_quality, top2_per_user, top_k_orders) displaced by
-    #      the ts-axis churn blocks re-leads the r14 pool with its
-    #      r09 proofs disclosed stale:
-    "exact_dedup", "in_list_case_sort", "max_per_group", "pivot_status",
-    "ranking_suite", "rollup_agg", "scalar_derivations",
-    # (4b) squeezed to zero rotation seats by the two mid-round churn
-    #      blocks (embedding_near_dup_lsh, range_frame and
-    #      stream_running_totals keep their seats as r13-churned
-    #      hosts; asof_join and cms_join_size join the displaced
-    #      pool). Round-14 pool order: string_suite, text_quality,
-    #      top2_per_user, top_k_orders (r09-stale, lead), then
-    #      asof_join, cms_join_size, codec_roundtrip, corpus_curation,
-    #      epoch_shuffle, fingerprint_dedup, gap_fill, grouping_sets,
-    #      hash_sample, hourly_profile, kcenter_select,
-    #      multimodal_features, null_census, regex_token_match,
-    #      salted_join (r10), then tfidf_top_terms + the other r10
-    #      leftovers (url_domains, usgs_pipeline, value_histogram),
-    #      then the r11 alphabetical front:
-    "embedding_near_dup_lsh", "range_frame", "stream_running_totals",
+    # (2) round-14 churn — oracle exactness rewrite (ADVICE r13): every
+    #     second/ms/day bucket is now epoch_us(date_trunc(...)) // k —
+    #     calendar-floor integer arithmetic, no DOUBLE anywhere —
+    #     replacing floor(epoch(ts)) (double, ~2 us granularity past
+    #     year 2242) and the scalar_derivations decimal route (probed
+    #     wrong at 2^53 us; the one MEDIUM finding):
+    "scalar_derivations", "interval_merge", "event_debounce",
+    "event_transitions", "funnel_windowed", "cohort_retention",
+    "cumulative_reach", "rfm_segments", "rate_limit", "token_bucket",
+    "trend_fit", "golden_record", "attribution", "stream_window_counts",
+    "stream_dedup_days", "range_frame", "scd2_snapshot",
+    #     (funnel_windowed also gains the axis-enforced within_s
+    #     boundary pin: the ts-domain mirror now plants a funnel
+    #     straddling the 48 h bound across a pre-1970 second boundary)
+    # (2b) the last raw localCheckpoint sites migrated to qcommon.reuse
+    #      (VERDICT r13 item 2 — closes the r10 ledger pre-commitment;
+    #      scd2_snapshot's site seats with its oracle churn above; the
+    #      new reuse-flavor axis proves the whole catalog in reliable
+    #      AND persist flavors end to end):
+    "lsh_jaccard_refine", "corpus_curation", "semdedup_prune",
+    "bigram_lm_score", "chi2_independence", "fk_integrity",
+    # (4a) the six r09-stale rows (VERDICT r13 item 1 — the oldest
+    #      proofs in the ledger, displaced twice by r13's mid-round
+    #      churn blocks):
+    "semi_anti_join", "set_ops", "string_suite", "text_quality",
+    "top2_per_user", "top_k_orders",
+    # (4b) the full r10 bank (corpus_curation holds a churn seat
+    #      above), retiring the generation:
+    "asof_join", "cms_join_size", "codec_roundtrip", "epoch_shuffle",
+    "fingerprint_dedup", "gap_fill", "grouping_sets", "hash_sample",
+    "hourly_profile", "kcenter_select", "multimodal_features",
+    "null_census", "regex_token_match", "salted_join", "tfidf_top_terms",
+    "url_domains", "usgs_pipeline", "value_histogram",
+    # (4c) the r11 alphabetical front fills the window. Round-15 pool
+    #      order: the r11 remainder alphabetically (array_suite,
+    #      bigram_lm_score† and lsh_jaccard_refine† hold r14 churn
+    #      seats — so bloom_prune, boilerplate_strip, char_diversity,
+    #      chunk_documents, column_profile, compaction_plan,
+    #      dedup_components, doc_repetition, domain_mixture,
+    #      enrich_coalesce, enrich_events, eval_overlap,
+    #      exact_substring_dup, expectations_report, fact_fact_join,
+    #      fact_reconciliation, lang_id, length_batching,
+    #      lsh_recall_audit, minhash_lsh, ngram_containment,
+    #      ngram_jaccard, pack_sequences, prefix_filter_join,
+    #      spatial_join, token_stats, winnow_fingerprint), then the
+    #      r12 bank alphabetically:
+    "approx_distinct", "approx_quality_bins", "approx_stats",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

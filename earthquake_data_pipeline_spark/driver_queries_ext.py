@@ -20,7 +20,15 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .qcommon import _fanout, _table, _utc, epoch_s, nonfinite_flag, round6x
+from .qcommon import (
+    _fanout,
+    _table,
+    _utc,
+    epoch_s,
+    nonfinite_flag,
+    reuse,
+    round6x,
+)
 
 # ---------------------------------------------------------------------------
 # Multi-level aggregates: ROLLUP / CUBE / PIVOT (SURVEY §2.5 "absent" set)
@@ -36,7 +44,8 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     # epoch_s, not unix_timestamp (r13 ts-domain axis): floor seconds,
-    # matching the oracle's floor(epoch(ts)) on pre-1970 fractions
+    # matching the oracle's exact epoch_us(date_trunc('second', ts))
+    # floor on pre-1970 fractions
     epoch = epoch_s("ts")
     w = (
         Window.partitionBy("user_id")
@@ -66,7 +75,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RANGE_FRAME = """
 SELECT user_id, event_id,
-       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       (epoch_us(date_trunc('second', ts)) // 1000000) AS epoch_s,
        count(*) OVER w AS n_events_1h,
        CASE WHEN bool_or(isnan(value) OR isinf(value)) OVER w THEN 'NaN'::DOUBLE
             ELSE CAST(sum(CAST(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
@@ -75,7 +84,7 @@ SELECT user_id, event_id,
 FROM events
 WHERE user_id < 30
 WINDOW w AS (PARTITION BY user_id
-             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             ORDER BY (epoch_us(date_trunc('second', ts)) // 1000000)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, epoch_s, event_id
 """
@@ -1691,10 +1700,11 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid, comps in sorted(by_cid.items())
     }
 
-    # checkpoint: the assignment subtree is referenced three times below
-    # (left side, right side, size count) — without this Catalyst
-    # re-evaluates the centroid-distance fold per reference
-    a = assign_clusters(pts, centroids).localCheckpoint(eager=False)
+    # reuse() pin (r14, the r10 ledger's per-seat migration): the
+    # assignment subtree is referenced three times below (left side,
+    # right side, size count) — without the pin Catalyst re-evaluates
+    # the centroid-distance fold per reference
+    a = reuse(assign_clusters(pts, centroids))
     capped = split_oversized_clusters(a, _SEMDEDUP_CAP)
 
     left = capped.select(
@@ -1990,7 +2000,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_type",
             # epoch_s (r13 ts-domain axis): floor seconds like the
-            # oracle's floor(epoch(ts))
+            # oracle's exact date_trunc('second') floor
             epoch_s("ts").alias("valid_from"),
         )
     )
@@ -2004,12 +2014,13 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", epoch_s("ts").alias("ts"))
     )
+    # reuse() pins (r14, the r10 ledger's per-seat migration):
     # scd2_apply references dim 3× (history/current split + unseen-key
-    # anti-join) and updates 2×; without the checkpoints Catalyst
-    # re-computes each events scan+window per reference (audited: 6
-    # fact scans → 2). Both frames are one row per user — tiny.
-    dim = dim.localCheckpoint(eager=False)
-    updates = updates.localCheckpoint(eager=False)
+    # anti-join) and updates 2×; without the pins Catalyst re-computes
+    # each events scan+window per reference (audited: 6 fact scans →
+    # 2). Both frames are one row per user — tiny.
+    dim = reuse(dim)
+    updates = reuse(updates)
     out = scd2_apply(dim, updates, ["user_id"], ["event_type"])
     return out.select(
         "user_id",
@@ -2026,7 +2037,7 @@ def q_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCD2_SNAPSHOT = """
 WITH e AS (
   SELECT user_id, event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         (epoch_us(date_trunc('second', ts)) // 1000000) AS s,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn_a,
          row_number() OVER (PARTITION BY user_id

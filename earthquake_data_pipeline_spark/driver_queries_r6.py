@@ -41,7 +41,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_COHORT_RETENTION = """
 WITH um AS (
   SELECT user_id AS u,
-         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS mi
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS mi
   FROM events
 ), c AS (
   SELECT u, mi, min(mi) OVER (PARTITION BY u) AS ci FROM um
@@ -960,8 +960,8 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INTERVAL_MERGE = """
 WITH ev AS (
   SELECT user_id AS k,
-         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
-         CAST(floor(epoch(ts)) AS BIGINT) + 43200 AS end_s
+         (epoch_us(date_trunc('second', ts)) // 1000000) AS start_s,
+         (epoch_us(date_trunc('second', ts)) // 1000000) + 43200 AS end_s
   FROM events
 ), f AS (
   SELECT k, start_s, end_s,
@@ -1399,16 +1399,16 @@ WITH w1 AS (
 ), w2 AS (
   SELECT user_id, event_type, ts, t0,
          min(CASE WHEN event_type = 'click' AND ts >= t0
-                   AND CAST(floor(epoch(ts)) AS BIGINT)
-                       <= CAST(floor(epoch(t0)) AS BIGINT) + 172800
+                   AND (epoch_us(date_trunc('second', ts)) // 1000000)
+                       <= (epoch_us(date_trunc('second', t0)) // 1000000) + 172800
                   THEN ts END)
            OVER (PARTITION BY user_id) AS t1
   FROM w1
 ), w3 AS (
   SELECT user_id, t0, t1,
          min(CASE WHEN event_type = 'purchase' AND ts >= t1
-                   AND CAST(floor(epoch(ts)) AS BIGINT)
-                       <= CAST(floor(epoch(t1)) AS BIGINT) + 172800
+                   AND (epoch_us(date_trunc('second', ts)) // 1000000)
+                       <= (epoch_us(date_trunc('second', t1)) // 1000000) + 172800
                   THEN ts END)
            OVER (PARTITION BY user_id) AS t2
   FROM w2
@@ -1518,11 +1518,11 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENT_DEBOUNCE = """
 WITH w AS (
   SELECT user_id, event_type, event_id,
-         CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-         CAST(floor(epoch(ts)) AS BIGINT)
-           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+         (epoch_us(date_trunc('second', ts)) // 1000000) AS epoch_s,
+         (epoch_us(date_trunc('second', ts)) // 1000000)
+           - lag((epoch_us(date_trunc('second', ts)) // 1000000))
              OVER (PARTITION BY user_id, event_type
-                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                   ORDER BY (epoch_us(date_trunc('second', ts)) // 1000000), event_id)
            AS gap_s
   FROM events
 )
@@ -1548,10 +1548,12 @@ def q_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUMULATIVE_REACH = """
 WITH ud AS (
-  -- floor day (r13 ts-domain axis): integer // truncates in DuckDB,
-  -- shifting pre-1970 days — floor the quotient instead
+  -- exact floor day (r13 ts-domain axis, r14 ADVICE exactness fix):
+  -- date_trunc('day') is calendar-floor integer arithmetic and its
+  -- epoch_us is a multiple of the divisor, so the truncating //
+  -- cannot round it — no DOUBLE anywhere in the bucket
   SELECT DISTINCT user_id AS u,
-         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+         (epoch_us(date_trunc('day', ts)) // 86400000000) AS d
   FROM events
 ), first AS (
   SELECT u, min(d) AS fd FROM ud GROUP BY u
@@ -1593,7 +1595,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENT_TRANSITIONS = """
 WITH steps AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id
-             ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+             ORDER BY (epoch_us(date_trunc('second', ts)) // 1000000), event_id)
            AS from_type,
          event_type AS to_type
   FROM events
@@ -1633,9 +1635,10 @@ WITH per_user AS (
   -- in the monetary ntile (native NaN sums sort greatest, tie-broken
   -- by user id) and poisons the segment's avg_monetary to NaN
   SELECT user_id AS u,
-         -- floor day, not integer-// (r13 ts-domain axis: DuckDB's //
-         -- TRUNCATES on integers, Spark's fixed site floors)
-         max(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS last_day,
+         -- exact floor day (r13 ts-domain axis, r14 ADVICE exactness
+         -- fix): calendar date_trunc floors for any sign, its epoch_us
+         -- is divisor-aligned, so // cannot round — no DOUBLE anywhere
+         max((epoch_us(date_trunc('day', ts)) // 86400000000)) AS last_day,
          count(*) AS frequency,
          coalesce(sum(CASE WHEN event_type = 'purchase'
               THEN CAST(CAST(CASE WHEN isnan(value) OR isinf(value)

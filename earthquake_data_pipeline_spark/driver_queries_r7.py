@@ -41,7 +41,7 @@ def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RATE_LIMIT = """
 WITH e AS (
-  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  SELECT event_id, user_id, (epoch_us(date_trunc('second', ts)) // 1000000) AS ts_s
   FROM events
 )
 SELECT event_id, user_id, ts_s,
@@ -323,9 +323,9 @@ def q_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_BUCKET = """
 WITH RECURSIVE e AS (
-  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+  SELECT user_id, event_id, (epoch_us(date_trunc('second', ts)) // 1000000) AS ts_s,
          row_number() OVER (PARTITION BY user_id
-                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                            ORDER BY (epoch_us(date_trunc('second', ts)) // 1000000),
                                      event_id) AS i
   FROM events
 ), rec AS (
@@ -465,7 +465,7 @@ WITH base AS (
   -- r13 non-finite discipline: NaN/±Inf values are masked to NULL y
   -- (excluded from the moments, like a NULL value) and flagged; the
   -- key's OLS outputs are poisoned to NaN — the native float answer
-  SELECT user_id AS k, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+  SELECT user_id AS k, (epoch_us(date_trunc('second', ts)) // 1000000) AS ts_s,
          CASE WHEN isnan(value) OR isinf(value) THEN NULL
               ELSE CAST(floor(value * 1000) AS BIGINT) END AS y,
          coalesce(isnan(value) OR isinf(value), FALSE) AS nf
@@ -1303,7 +1303,7 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GOLDEN_RECORD = """
 WITH e AS (
-  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+  SELECT user_id, event_id, (epoch_us(date_trunc('second', ts)) // 1000000) AS ts_s,
          nullif(event_type, 'click') AS etype,
          CASE WHEN value < 50 THEN NULL ELSE value END AS val
   FROM events
@@ -1490,7 +1490,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ATTRIBUTION = """
 WITH e AS (
   SELECT user_id AS k, event_id AS id, event_type AS etype,
-         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+         (epoch_us(date_trunc('second', ts)) // 1000000) AS ts_s
   FROM events
 ), carried AS (
   SELECT k, id, etype, ts_s,

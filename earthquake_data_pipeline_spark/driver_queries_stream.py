@@ -135,7 +135,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_WINDOW_COUNTS = """
-SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start_s,
+SELECT (epoch_us(date_trunc('day', ts)) // 1000000) AS window_start_s,
        event_type,
        count(*) AS n_events,
        CASE WHEN bool_or(isnan(value) OR isinf(value)) THEN 'NaN'::DOUBLE
@@ -262,7 +262,7 @@ def q_stream_dedup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_DEDUP_DAYS = """
 SELECT DISTINCT event_type,
-       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_s
+       (epoch_us(date_trunc('day', ts)) // 1000000) AS day_s
 FROM events
 """
 

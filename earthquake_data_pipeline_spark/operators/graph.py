@@ -21,8 +21,9 @@ iteration is one join (edges × ranks) + one aggregate keyed by dst —
 exactly the Pregel-style plan GraphX/GraphFrames runs. Two scale
 disciplines (VERDICT r06 item 5):
 
-- the rank vector is re-published through localCheckpoint after every
-  iteration, so iteration k's plan is bounded (scan ⋈ checkpoint →
+- the rank vector is re-published through qcommon.reuse (checkpoint
+  flavor by deployment) after every iteration, so iteration k's plan
+  is bounded (scan ⋈ checkpoint →
   agg → checkpoint) instead of a k-deep join tower — without it the
   optimizer re-derives the full lineage each round and a long run
   blows the driver's plan memory. Storage note: each iteration's

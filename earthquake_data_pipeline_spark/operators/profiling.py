@@ -234,10 +234,13 @@ def chi2_independence(
     contingency-table-sized frames after the first pass, so the test
     costs one scan regardless of input size.
     """
+    from ..qcommon import reuse
+
     cells = df.select(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).groupBy("a", "b").agg(F.count("*").cast("long").alias("o"))
-    cells = cells.localCheckpoint(eager=False)  # margins + join reuse it
+    # reuse() pin (r14 migration): margins + the join all read it
+    cells = reuse(cells)
     ra = cells.groupBy("a").agg(F.sum("o").alias("r"))
     cb = cells.groupBy("b").agg(F.sum("o").alias("c"))
     tot = cells.agg(

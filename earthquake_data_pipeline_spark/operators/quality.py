@@ -243,10 +243,11 @@ def fk_integrity_audit(
     key-domain-sized frames — at 100 TB you audit the domain, not the
     rows.
     """
-    fk_counts = (
-        fact.groupBy(F.col(fk_col).alias("fk"))
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)  # referenced by totals + anti-join
+    from ..qcommon import reuse
+
+    # reuse() pin (r14 migration): referenced by totals + the anti-join
+    fk_counts = reuse(
+        fact.groupBy(F.col(fk_col).alias("fk")).agg(F.count("*").alias("n"))
     )
     keys = dim.select(F.col(pk_col).alias("fk")).distinct()
     orphans = fk_counts.filter(F.col("fk").isNotNull()).join(

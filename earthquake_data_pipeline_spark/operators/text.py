@@ -299,9 +299,10 @@ def bigram_lm_scores(
     exactly (the round6x contract).
 
     Scale shape: ONE corpus scan. The tokenized corpus lands once in a
-    materialized intermediate (``localCheckpoint``; a production
-    pipeline would persist it as a columnar table between stages —
-    same plan shape), and every downstream subtree — bigram counting,
+    materialized intermediate (``qcommon.reuse`` — localCheckpoint by
+    default, reliable checkpoint / persist by deployment flavor; a
+    production pipeline could equally persist it as a columnar table
+    between stages — same plan shape), and every downstream subtree — bigram counting,
     the scoring join's second pairs reference, unigram counts, and the
     vocabulary size — reads the materialized tokens, never the raw
     corpus. Unigram/bigram counts are vocab-bounded aggregates
@@ -317,11 +318,12 @@ def bigram_lm_scores(
     inverts — single-scan is the shape that survives, so it ships, and
     the compact pre-explode arrays are the cheapest thing to land.)
     """
-    from ..qcommon import round6x
+    from ..qcommon import reuse, round6x
 
     toks = docs.select(id_col, tokens_of(text_col).alias("toks"))
     # the one corpus scan: tokenize once, materialize the token arrays
-    toks = toks.localCheckpoint(eager=False)
+    # (reuse() pin — r14, the r10 ledger's per-seat migration)
+    toks = reuse(toks)
     n = F.size("toks")
     pairs = toks.select(
         id_col,

@@ -228,9 +228,11 @@ def epoch_s(col) -> "F.Column":
     Engine fact (test-pinned in test_functions.py): ``unix_timestamp``
     TRUNCATES TOWARD ZERO on pre-1970 fractional timestamps
     (1969-12-31T23:59:59.5 → 0), while ``CAST(ts AS LONG)`` floor-
-    divides the microseconds (→ −1) — matching BOTH DuckDB's
-    ``floor(epoch(ts))`` and the calendar meaning of "the second this
-    event occurred in". The two agree on every non-negative epoch and
+    divides the microseconds (→ −1) — matching BOTH the oracles' exact
+    ``epoch_us(date_trunc('second', ts)) // 1000000`` floor (r14
+    ADVICE fix: the old ``floor(epoch(ts))`` rode a DOUBLE whose
+    granularity passes 2 us beyond ~year 2242) and the calendar
+    meaning of "the second this event occurred in". The two agree on every non-negative epoch and
     differ by exactly one second on every negative fractional one —
     a silent day/second-bucket shift class on a lake that carries
     bad-clock and sentinel timestamps. Exact over the full timestamp

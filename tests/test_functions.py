@@ -163,7 +163,8 @@ def test_epoch_s_floors_where_unix_timestamp_truncates(spark):
     already FLOORS (the two Spark functions disagree with each other).
     DuckDB-side twin facts (probed, recorded in the oracles): integer
     ``//`` TRUNCATES (-7 // 2 = -3) and epoch_ms() truncates — floors
-    there are spelled via floor(epoch/k) or decimal division."""
+    there are spelled via epoch_us(date_trunc(...)) // k (r14 ADVICE
+    fix; see test_duckdb_date_trunc_floor_route_is_exact)."""
     import datetime
 
     from earthquake_data_pipeline_spark.qcommon import epoch_s
@@ -215,3 +216,57 @@ def test_nan_poisoned_sum_matches_native_float_semantics(spark):
     }
     assert got["b"] == native["b"] == 5.0
     assert got["a"] != got["a"] and native["a"] != native["a"]  # both NaN
+
+
+def test_duckdb_date_trunc_floor_route_is_exact():
+    """r14 ADVICE fix, DuckDB-side engine-fact pin: the oracles spell
+    "floor of ts to a second / millisecond / day bucket" as
+
+        epoch_us(date_trunc(part, ts)) // k
+
+    because (a) date_trunc is CALENDAR truncation — integer timestamp
+    arithmetic that FLOORS for any sign (1969-12-31 23:59:59.5 →
+    ...:59:59, never ...:00:00), and (b) epoch_us of the truncated
+    value is an exact multiple of k, so DuckDB's truncate-toward-zero
+    ``//`` cannot round it — exact over the full timestamp range.
+
+    The routes they replace were NOT exact (probed, r13 ADVICE):
+    - CAST(floor(CAST(epoch_us(ts) AS DECIMAL(20,0)) / 1000) AS BIGINT)
+      lowers DECIMAL/INT division to DOUBLE — past 2^53 us (~2255) a
+      ...999-us timestamp floors to the WRONG millisecond;
+    - CAST(floor(epoch(ts)) AS BIGINT) rides epoch(ts) DOUBLE, whose
+      granularity passes 2 us beyond 2^33 s (~2242) — a latent
+      one-second shift for far-future rows near a boundary.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        # (ts literal, floor_s, floor_ms, floor_day)
+        ("TIMESTAMP '1969-12-31 23:59:59.5'", -1, -500, -1),
+        ("TIMESTAMP '1969-12-31 23:59:59.000001'", -1, -1000, -1),
+        ("TIMESTAMP '1970-01-01 00:00:00'", 0, 0, 0),
+        ("TIMESTAMP '1969-12-31 00:00:00.5'", -86400, -86399500, -1),
+        ("TIMESTAMP '1969-12-30 23:59:59.5'", -86401, -86400500, -2),
+        # +250y, 1999 us past an exact millisecond: the old decimal
+        # route answered 9656409600002 here (double rounding)
+        ("TIMESTAMP '2276-01-01 00:00:00.001999'",
+         9656409600, 9656409600001, 111764),
+    ]
+    for ts, want_s, want_ms, want_day in cases:
+        got = con.execute(
+            f"""SELECT
+                  epoch_us(date_trunc('second', {ts})) // 1000000,
+                  epoch_us(date_trunc('millisecond', {ts})) // 1000,
+                  epoch_us(date_trunc('day', {ts})) // 86400000000,
+                  typeof(epoch_us(date_trunc('second', {ts})) // 1000000)
+            """
+        ).fetchone()
+        assert got == (want_s, want_ms, want_day, "BIGINT"), (ts, got)
+    # and the decimal route's documented failure, kept as the probe
+    # that motivated the rewrite:
+    bad = con.execute(
+        "SELECT CAST(floor(CAST(9656409600001999 AS DECIMAL(20,0)) / 1000)"
+        " AS BIGINT), 9656409600001999 // 1000"
+    ).fetchone()
+    assert bad == (9656409600002, 9656409600001)

@@ -190,10 +190,17 @@ def main() -> int:
             outcome = "match"
         expected = KNOWN_NAN_BEHAVIOR.get(name, "match")
         kind = outcome.split(" ")[0]
-        if kind == expected or (outcome == "match" and name in KNOWN_NAN_BEHAVIOR
-                                ):
-            # stricter-than-documented is fine only in the match
-            # direction; record it so triage can tighten the table
+        if outcome == "match" and name in KNOWN_NAN_BEHAVIOR:
+            # a triaged entry that now MATCHES is stale — fail like a
+            # regression so expectation-table drift is never invisible
+            # (ADVICE r13: the old pass-through hid fixed entries)
+            findings.append(
+                f"{name}: expected {expected}, now matches — remove the "
+                f"stale KNOWN_NAN_BEHAVIOR entry"
+            )
+            print(f"NAN  {name}: match (stale entry: expected {expected})",
+                  flush=True)
+        elif kind == expected:
             n_pass += 1
             print(f"ok   {name}: {outcome}", flush=True)
         else:

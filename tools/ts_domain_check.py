@@ -27,7 +27,14 @@ Mirror mutations of sf0.001 (deterministic, event_id-keyed):
   the rest of the axis; the self-review found cumulative_reach
   divergent exactly here);
 - ``event_id % 40 == 10`` → ts shifted +250 years (~2274: past any
-  2038-style int32-seconds envelope).
+  2038-style int32-seconds envelope);
+- one deterministic pin user (smallest user_id with both a view and a
+  click) has every view moved to epoch −172800.5 s and every click to
+  epoch 0 — exactly the funnel ``within_s=172800`` bound across a
+  pre-1970 second boundary, where floor-exact second semantics exclude
+  the click and truncate-toward-zero semantics admit it (r14,
+  VERDICT r13 item 7: makes funnel_windowed's within_s pin
+  axis-enforced).
 
 Outcome classes mirror nan_mirror_check: ``match`` / ``loud_both`` /
 asymmetric / divergence, with ``KNOWN_TS_BEHAVIOR`` as the triaged
@@ -92,6 +99,36 @@ def make_mirror() -> str:
                     micros[i] = -86_400_000_000 + 500_000
                 elif m == 10:
                     micros[i] = micros[i] + _SHIFT_FWD_US
+            # within_s boundary pin (r14, VERDICT r13 item 7): ONE
+            # deterministic user's funnel straddles the 48 h bound
+            # across a pre-1970 second boundary — every view lands at
+            # epoch −172800.5 s, every click at epoch 0, everything
+            # else at +1 s. Floor-exact second semantics EXCLUDE the
+            # click (floor(−172800.5) + 172800 = −1 < 0), a
+            # truncate-toward-zero regression (unix_timestamp) ADMITS
+            # it (−172800 + 172800 = 0 ≥ 0) — so funnel_windowed's c1
+            # now pins its within_s comparison to floor-exact on the
+            # axis instead of doc-enforced consistent-both-sides.
+            users = tbl["user_id"].to_pylist()
+            etypes = tbl["event_type"].to_pylist()
+            funnel_sets: dict[int, set[str]] = {}
+            for u, et in zip(users, etypes):
+                if u is not None and et in ("view", "click"):
+                    funnel_sets.setdefault(u, set()).add(et)
+            pin_user = min(
+                (u for u, s in funnel_sets.items() if len(s) == 2),
+                default=None,
+            )
+            if pin_user is not None:
+                for i, u in enumerate(users):
+                    if u != pin_user or micros[i] is None:
+                        continue
+                    if etypes[i] == "view":
+                        micros[i] = -172_800_500_000
+                    elif etypes[i] == "click":
+                        micros[i] = 0
+                    else:
+                        micros[i] = 1_000_000
             col = pa.array(micros, type=pa.int64()).cast(ts_type)
             tbl = tbl.set_column(
                 tbl.schema.get_field_index("ts"), "ts", col
@@ -148,9 +185,17 @@ def main() -> int:
             outcome = "match"
         expected = KNOWN_TS_BEHAVIOR.get(name, "match")
         kind = outcome.split(" ")[0]
-        if kind == expected or (
-            outcome == "match" and name in KNOWN_TS_BEHAVIOR
-        ):
+        if outcome == "match" and name in KNOWN_TS_BEHAVIOR:
+            # a triaged entry that now MATCHES is stale — fail like a
+            # regression so expectation-table drift is never invisible
+            # (ADVICE r13: the old pass-through hid fixed entries)
+            findings.append(
+                f"{name}: expected {expected}, now matches — remove the "
+                f"stale KNOWN_TS_BEHAVIOR entry"
+            )
+            print(f"TS   {name}: match (stale entry: expected {expected})",
+                  flush=True)
+        elif kind == expected:
             n_pass += 1
             print(f"ok   {name}: {outcome}", flush=True)
         else:
