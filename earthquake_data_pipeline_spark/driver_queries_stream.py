@@ -42,7 +42,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .qcommon import _utc, normalize_events_ts
+from .qcommon import _utc, epoch_s, normalize_events_ts
 
 _SINK_IDS = itertools.count()
 
@@ -125,7 +125,10 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_memory(agg, "complete", "swc")
     return spark.table(name).select(
-        F.unix_timestamp(F.col("win.start")).alias("window_start_s"),
+        # epoch_s, not unix_timestamp (family convention, r14): window
+        # starts are second-aligned so truncate == floor today, but the
+        # floor form can never drift if the window grid gains fractions
+        epoch_s(F.col("win.start")).alias("window_start_s"),
         "event_type",
         "n_events",
         F.when(F.col("nf"), F.lit(float("nan")))

@@ -113,10 +113,15 @@ def funnel_steps(
             if within_s is not None:
                 # bounded conversion window (Amplitude-style): step k
                 # must land within within_s seconds of step k-1 —
-                # integer epoch arithmetic, exact in any engine
+                # FLOOR seconds on both sides (epoch_s, NOT
+                # unix_timestamp: the latter truncates toward zero on
+                # pre-1970 fractional timestamps, silently admitting a
+                # conversion exactly at the bound across a negative
+                # second boundary — caught r14 by the ts-domain
+                # mirror's within_s pin row)
                 cond = cond & (
-                    F.unix_timestamp(F.col(ts_col))
-                    <= F.unix_timestamp(F.col(prev)) + within_s
+                    _qepoch_s(F.col(ts_col))
+                    <= _qepoch_s(F.col(prev)) + within_s
                 )
         cur = f"_t{i}"
         df = df.withColumn(
@@ -186,7 +191,10 @@ def funnel_steps_presplit(
     k = len(steps)
     w = Window.partitionBy(user_col, "__b")
     df = events.select(user_col, type_col, ts_col).withColumn(
-        "__b", F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_s))
+        # epoch_s, not unix_timestamp (family convention, r14): bucket
+        # ids are stitch-invariant either way, but the floor form keeps
+        # every presplit member on the same exact integer day grid
+        "__b", F.floor(_qepoch_s(ts_col) / F.lit(bucket_s)).cast("long")
     )
     names: list[str] = []
     for e in range(k):
