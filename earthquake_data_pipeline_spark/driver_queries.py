@@ -2449,9 +2449,11 @@ _GATE_FIRST = [
     "null_census", "regex_token_match", "salted_join", "tfidf_top_terms",
     "url_domains", "usgs_pipeline", "value_histogram",
     # (4c) the r11 alphabetical front fills the window. Round-15 pool
-    #      order: the r11 remainder alphabetically (array_suite,
-    #      bigram_lm_score† and lsh_jaccard_refine† hold r14 churn
-    #      seats — so bloom_prune, boilerplate_strip, char_diversity,
+    #      order: the r11 remainder alphabetically — array_suite leads
+    #      (it just missed this window; bigram_lm_score and
+    #      lsh_jaccard_refine hold r14 churn seats above, so their r11
+    #      proofs retire this round), then bloom_prune,
+    #      boilerplate_strip, char_diversity,
     #      chunk_documents, column_profile, compaction_plan,
     #      dedup_components, doc_repetition, domain_mixture,
     #      enrich_coalesce, enrich_events, eval_overlap,
