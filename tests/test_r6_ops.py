@@ -1149,6 +1149,32 @@ def test_funnel_windowed_drops_late_conversions(spark):
     assert unbounded == {"view": 2, "click": 2}
 
 
+def test_funnel_within_bound_floors_pre1970_seconds(spark):
+    """r14 (ts-domain mirror's within_s pin row, made suite-local):
+    the bounded-conversion comparison must FLOOR seconds on both
+    sides. A view at epoch -10.5 s has floor second -11, so a click
+    at epoch 0 is OUTSIDE within_s=10 (0 > -11 + 10); the old
+    unix_timestamp form TRUNCATED the view to -10 and silently
+    admitted the conversion. Positive-domain boundary stays
+    inclusive (exactly at the bound converts)."""
+    from earthquake_data_pipeline_spark.operators.analytics import funnel_steps
+
+    ev = _ev(
+        spark,
+        [
+            (1, "view", "1969-12-31 23:59:49.5"),   # epoch -10.5 -> floor -11
+            (1, "click", "1970-01-01 00:00:00"),    # floor 0: excluded
+            (2, "view", "2024-01-01 00:00:00"),
+            (2, "click", "2024-01-01 00:00:10"),    # exactly at bound: in
+        ],
+    )
+    out = {
+        r.step: r.n_users
+        for r in funnel_steps(ev, ["view", "click"], within_s=10).collect()
+    }
+    assert out == {"view": 2, "click": 1}
+
+
 def test_dedup_keep_list_prefers_quality_over_min_id(spark):
     from earthquake_data_pipeline_spark.operators.curation import dedup_keep_list
 
