@@ -1,0 +1,137 @@
+"""Disk-pressure (ENOSPC) loudness sweep — nineteenth hostile axis (round 14).
+
+Shuffle and sort spills land in ``spark.local.dir``. On a production
+executor that volume WILL fill eventually (co-tenant spill storms,
+log growth, undersized scratch). The only acceptable behavior is a
+LOUD job failure naming the device state — never a silently truncated
+spill file feeding a plausible-but-short result downstream.
+
+Mechanics: a loopback ext4 filesystem of 64 MiB becomes
+``spark.local.dir`` for a fresh subprocess session whose heap is
+constrained to 1g, and the probe sorts ~2.5 GiB of generated payload —
+the external sort MUST spill far past the tiny volume. PASS =
+the job raises with a no-space/IO error in the chain. A control run of
+the IDENTICAL probe with local.dir on the normal /tmp must SUCCEED,
+proving the failure is the volume, not the plan. Root/loop-mount
+capability is probed first; without it the axis reports SKIPPED
+explicitly (an axis that silently tested nothing must say so).
+
+Usage: python tools/disk_pressure_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_IMG = "/tmp/edps-diskpressure.img"
+_MNT = "/tmp/edps-diskpressure"
+
+_PROBE = r"""
+import sys
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+local_dir = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("edps-disk-pressure-probe")
+    .config("spark.local.dir", local_dir)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+try:
+    # a wide SHUFFLE, not a sort: shuffle map output is ALWAYS written
+    # to spark.local.dir regardless of heap room (a first-draft
+    # orderBy+count probe spilled nothing — Catalyst removes a sort
+    # under an order-insensitive count), and 25M distinct sha256 keys
+    # write ~2+ GiB of map output — far past the 64 MiB volume
+    df = (
+        spark.range(25_000_000)
+        .select(F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+        .groupBy("payload")
+        .count()
+    )
+    n = df.count()
+    print(f"PROBE-SILENT rows={n}", flush=True)
+except Exception as e:  # noqa: BLE001
+    msg = str(e)[:4000].lower()
+    loud_disk = ("no space left" in msg or "enospc" in msg
+                 or "not enough space" in msg or "diskblock" in msg
+                 or "failed to write" in msg or "ioexception" in msg)
+    print(f"PROBE-LOUD {type(e).__name__} disk={loud_disk}", flush=True)
+finally:
+    spark.stop()
+"""
+
+
+def _mount() -> bool:
+    try:
+        subprocess.run(["umount", _MNT], capture_output=True)
+        subprocess.run(["truncate", "-s", "64M", _IMG], check=True,
+                       capture_output=True)
+        subprocess.run(["mkfs.ext4", "-q", "-F", _IMG], check=True,
+                       capture_output=True)
+        os.makedirs(_MNT, exist_ok=True)
+        subprocess.run(["mount", "-o", "loop", _IMG, _MNT], check=True,
+                       capture_output=True)
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _cleanup() -> None:
+    subprocess.run(["umount", _MNT], capture_output=True)
+    for p in (_IMG,):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def _run_probe(local_dir: str) -> str:
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE, local_dir],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("PROBE-"):
+            return ln
+    return f"PROBE-DEAD rc={proc.returncode} {proc.stderr[-400:]}"
+
+
+def main() -> int:
+    if not _mount():
+        print("SKIPPED: no loop-mount capability in this environment — "
+              "the axis cannot constrain a filesystem; nothing was tested")
+        return 0
+    try:
+        print("== spark.local.dir on a 64 MiB volume (must fail LOUD) ==")
+        constrained = _run_probe(_MNT)
+        print(f"  {constrained}")
+        print("== control: identical probe, roomy local.dir (must pass) ==")
+        control = _run_probe("/tmp")
+        print(f"  {control}")
+        ok = (
+            constrained.startswith("PROBE-LOUD")
+            and "disk=True" in constrained
+            and control.startswith("PROBE-SILENT")
+        )
+        if ok:
+            print("disk-pressure: LOUD on ENOSPC, control intact")
+            return 0
+        print("disk-pressure FINDINGS: "
+              f"constrained={constrained!r} control={control!r}")
+        return 1
+    finally:
+        _cleanup()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
