@@ -61,9 +61,12 @@ try:
     print(f"PROBE-SILENT rows={n}", flush=True)
 except Exception as e:  # noqa: BLE001
     msg = str(e)[:4000].lower()
+    # Space-specific signals ONLY (ADVICE r14): a generic IOException or
+    # "failed to write" on the constrained run could be an unrelated
+    # transient failure and must not be scored as a successful ENOSPC
+    # detection — it reports disk=False so triage sees the real cause.
     loud_disk = ("no space left" in msg or "enospc" in msg
-                 or "not enough space" in msg or "diskblock" in msg
-                 or "failed to write" in msg or "ioexception" in msg)
+                 or "not enough space" in msg)
     print(f"PROBE-LOUD {type(e).__name__} disk={loud_disk}", flush=True)
 finally:
     spark.stop()
@@ -96,10 +99,15 @@ def _cleanup() -> None:
 
 def _run_probe(local_dir: str) -> str:
     env = dict(os.environ)
-    proc = subprocess.run(
-        [sys.executable, "-c", _PROBE, local_dir],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE, local_dir],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+        )
+    except subprocess.TimeoutExpired:
+        # A hung probe is a finding, not a tool crash (ADVICE r14); the
+        # caller's finally block still unmounts the loop volume.
+        return "PROBE-DEAD timeout after 1200s"
     for ln in proc.stdout.splitlines():
         if ln.startswith("PROBE-"):
             return ln

@@ -89,7 +89,14 @@ def main() -> int:
             if ln.startswith(("FAIL", "ERROR"))
         ]
         new = [f for f in failures if f not in KNOWN_CEILING_FAILURES]
-        if not ok and new:
+        if not ok and not failures:
+            # Harness-level death (e.g. a hard driver-JVM OOM kills the
+            # subprocess before any FAIL line prints): nothing parseable
+            # is the axis's WORST outcome, not a pass (ADVICE r14).
+            print(f"{ceiling}: (harness error) subprocess died with no "
+                  "parseable FAIL lines — treating as a finding")
+            rc = 1
+        elif not ok and new:
             print(f"{ceiling}: NEW findings: {', '.join(new)}")
             rc = 1
         elif not ok:
