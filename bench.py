@@ -51,8 +51,21 @@ def load_noisy(load1: float, cpus: int) -> bool:
     return load1 / max(cpus, 1) > _NOISY_LOAD_RATIO
 
 
+def order_fingerprint(names: list[str]) -> str:
+    """12-hex fingerprint of the exact run order (VERDICT r14 item 4):
+    total query wall is order-sensitive by ~±8% through JIT/warmup
+    placement alone, so cross-round deltas are only admissible between
+    sweeps with the SAME direction and catalog order. The fingerprint
+    makes that check mechanical (tools/bench_compare.py refuses
+    mismatches) instead of prose in SURVEY entry 79."""
+    import hashlib
+
+    return hashlib.sha256("\n".join(names).encode()).hexdigest()[:12]
+
+
 def _compact_line(
-    timings: dict[str, float], total: float, sf: float, noisy: bool = False
+    timings: dict[str, float], total: float, sf: float, noisy: bool = False,
+    direction: str = "forward", fingerprint: str = "",
 ) -> str:
     """One JSON line guaranteed under the driver's stdout capture window.
 
@@ -69,6 +82,8 @@ def _compact_line(
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
         "sf": sf,
+        "direction": direction,
+        "order_fingerprint": fingerprint,
     }
     if noisy:  # flag rides the stdout line only when it matters
         base["noisy"] = True
@@ -150,6 +165,8 @@ def main() -> None:
     reverse = "--reverse" in sys.argv[1:]
     if reverse:
         items.reverse()
+    direction = "reverse" if reverse else "forward"
+    fp = order_fingerprint([name for name, _ in items])
 
     timings: dict[str, float] = {}
     for name, fn in items:
@@ -194,12 +211,18 @@ def main() -> None:
                 "calibration_ms": [cal_pre, cal_post],
                 "noisy": noisy or cal_noisy,
                 "sf": sf,
+                # direction-matched protocol (VERDICT r14 item 4): the
+                # run order is ±8%-level material; cross-round deltas
+                # are only admissible between identical fingerprints
+                "direction": direction,
+                "order_fingerprint": fp,
             },
             fh,
             indent=1,
         )
         fh.write("\n")
-    print(_compact_line(timings, total, sf, noisy or cal_noisy))
+    print(_compact_line(timings, total, sf, noisy or cal_noisy,
+                        direction=direction, fingerprint=fp))
 
 
 if __name__ == "__main__":

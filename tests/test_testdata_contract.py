@@ -109,3 +109,20 @@ def test_documents_text_has_no_vertical_tab():
         if v and "\x0b" in v
     ]
     assert not bad, f"documents rows with \\x0B (Java-only whitespace): {bad[:5]}"
+
+
+def test_documents_quality_columns_non_null():
+    """Quality-decile null-policy pin (the r14 pre-commitment, closed
+    r15): quality_decile_stats* and the mixture-sampling family key on
+    (lang, n_chars) with NO null branch by CONTRACT — Spark sorts ASC
+    NULLS FIRST while DuckDB's default is NULLS LAST, so a null score
+    or stratum would diverge engine-vs-oracle in bin assignment before
+    any operator bug could. The corpus guarantees both columns non-null;
+    if the generator ever emits one, this names the policy gap instead
+    of a cryptic hash mismatch. Callers with nullable scores must filter
+    or impute BEFORE the decile census (documented in curation.py)."""
+    tbl = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    assert tbl.column("lang").null_count == 0
+    assert tbl.column("n_chars").null_count == 0

@@ -32,6 +32,7 @@ def main() -> int:
         funnel_steps,
         funnel_steps_presplit,
         merge_intervals,
+        merge_intervals_adaptive,
         merge_intervals_presplit,
         session_ids,
         session_ids_presplit,
@@ -91,6 +92,14 @@ def main() -> int:
         p = min(t(pre), t(pre))
         print(f"{name:18s} window={w:7.2f}s  presplit={p:7.2f}s  "
               f"ratio={w / p:5.2f}x")
+    # r15: the skew-ADAPTIVE dispatcher on the same 90%-skew corpus
+    # must route to the pre-split twin and stay within probe-overhead
+    # of it (VERDICT r14 item 5 — the A/B win survives the dispatch)
+    t(lambda: merge_intervals_adaptive(ev))
+    a = min(t(lambda: merge_intervals_adaptive(ev)),
+            t(lambda: merge_intervals_adaptive(ev)))
+    print(f"merge_intervals_adaptive (skewed) = {a:7.2f}s "
+          f"(presplit route + probe)")
     return 0
 
 
