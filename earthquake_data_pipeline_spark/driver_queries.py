@@ -2400,70 +2400,52 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-14 HEAD: proof debt enters the round at 0/148; last-green
-# histogram entering: r09×6, r10×19, r11×33, r12×40, r13×50. The
-# VERDICT r13 brief asked for a rotation-led round (the six r09 rows
-# are five rounds stale at close); the ADVICE items add a bounded
-# churn block — the exact-floor oracle rewrite (the ts_ms decimal
-# route was probed WRONG past 2^53 us, and ~25 floor(epoch(...))
-# sites rode the same double-granularity class) and the last six
-# localCheckpoint→reuse() migrations the r10 ledger pre-committed.
-# This head seats (1) that churn — every host whose oracle text or
-# called operator changed — then (2) the six r09 rows, (3) the full
-# r10 bank, (4) the r11 alphabetical front. qcommon.py was touched
-# (epoch_s docstring), so the rule-3 sentinels are checked: events
-# (interval_merge et al.), lineitem (grouping_sets), documents
-# (text_quality), embeddings (kcenter_select) — all seated.
+# ROUND-15 HEAD: proof debt enters the round at 0/148; last-green
+# histogram entering: r11×28, r12×37, r13×33, r14×50. The VERDICT r14
+# brief orders the r11 generation retired (its 28 rows are the oldest
+# in the ledger) with round-15 churn leading. This head seats:
+# (1) round-15 churn — interval_merge (the host now runs the
+#     skew-ADAPTIVE dispatch: a sampled top-key-share probe routes
+#     uniform inputs to the window face and skewed inputs to the
+#     pre-split twin, VERDICT r14 item 5; both faces parity-pinned
+#     bit-identical) and quality_deciles (the carried r14
+#     pre-commitment, closed: (lang, n_chars) non-null is now a corpus
+#     CONTRACT pin in tests/test_testdata_contract.py, and the
+#     cross-engine NULLS FIRST/LAST divergence a null score would hit
+#     is documented at the operator — doc+test churn, seated on the
+#     pre-commitment's own terms);
+#     (zorder_skipping was bisected per item 3 and adjudicated
+#     order/JIT warmup placement — see DESIGN.md r15; the reuse()-pin
+#     experiment TIED unpinned and was reverted, so the host is
+#     unchurned and its r12 row stands)
+# (2) the full r11 bank alphabetically, retiring the generation
+#     (array_suite leads per the committed pool order);
+# (3) the r12 bank alphabetically until the window fills. qcommon.py,
+#     functions/scalar.py, tools/check.py untouched this round, so the
+#     rule-3 sentinels are not forced; events (interval_merge),
+#     lineitem (zone-map family via r12 fill), documents
+#     (quality_deciles et al.) are covered regardless.
 _GATE_FIRST = [
-    # (2) round-14 churn — oracle exactness rewrite (ADVICE r13): every
-    #     second/ms/day bucket is now epoch_us(date_trunc(...)) // k —
-    #     calendar-floor integer arithmetic, no DOUBLE anywhere —
-    #     replacing floor(epoch(ts)) (double, ~2 us granularity past
-    #     year 2242) and the scalar_derivations decimal route (probed
-    #     wrong at 2^53 us; the one MEDIUM finding):
-    "scalar_derivations", "interval_merge", "event_debounce",
-    "event_transitions", "funnel_windowed", "cohort_retention",
-    "cumulative_reach", "rfm_segments", "rate_limit", "token_bucket",
-    "trend_fit", "golden_record", "attribution", "stream_window_counts",
-    "stream_dedup_days", "range_frame", "scd2_snapshot",
-    #     (funnel_windowed also gains the axis-enforced within_s
-    #     boundary pin: the ts-domain mirror now plants a funnel
-    #     straddling the 48 h bound across a pre-1970 second boundary)
-    # (2b) the last raw localCheckpoint sites migrated to qcommon.reuse
-    #      (VERDICT r13 item 2 — closes the r10 ledger pre-commitment;
-    #      scd2_snapshot's site seats with its oracle churn above; the
-    #      new reuse-flavor axis proves the whole catalog in reliable
-    #      AND persist flavors end to end):
-    "lsh_jaccard_refine", "corpus_curation", "semdedup_prune",
-    "bigram_lm_score", "chi2_independence", "fk_integrity",
-    # (4a) the six r09-stale rows (VERDICT r13 item 1 — the oldest
-    #      proofs in the ledger, displaced twice by r13's mid-round
-    #      churn blocks):
-    "semi_anti_join", "set_ops", "string_suite", "text_quality",
-    "top2_per_user", "top_k_orders",
-    # (4b) the full r10 bank (corpus_curation holds a churn seat
-    #      above), retiring the generation:
-    "asof_join", "cms_join_size", "codec_roundtrip", "epoch_shuffle",
-    "fingerprint_dedup", "gap_fill", "grouping_sets", "hash_sample",
-    "hourly_profile", "kcenter_select", "multimodal_features",
-    "null_census", "regex_token_match", "salted_join", "tfidf_top_terms",
-    "url_domains", "usgs_pipeline", "value_histogram",
-    # (4c) the r11 alphabetical front fills the window. Round-15 pool
-    #      order: the r11 remainder alphabetically — array_suite leads
-    #      (it just missed this window; bigram_lm_score and
-    #      lsh_jaccard_refine hold r14 churn seats above, so their r11
-    #      proofs retire this round), then bloom_prune,
-    #      boilerplate_strip, char_diversity,
-    #      chunk_documents, column_profile, compaction_plan,
-    #      dedup_components, doc_repetition, domain_mixture,
-    #      enrich_coalesce, enrich_events, eval_overlap,
-    #      exact_substring_dup, expectations_report, fact_fact_join,
-    #      fact_reconciliation, lang_id, length_batching,
-    #      lsh_recall_audit, minhash_lsh, ngram_containment,
-    #      ngram_jaccard, pack_sequences, prefix_filter_join,
-    #      spatial_join, token_stats, winnow_fingerprint), then the
-    #      r12 bank alphabetically:
-    "approx_distinct", "approx_quality_bins", "approx_stats",
+    # (1) round-15 churn:
+    "interval_merge", "quality_deciles",
+    # (2) the r11 bank, retired in full (28 rows):
+    "array_suite", "bloom_prune", "boilerplate_strip", "char_diversity",
+    "chunk_documents", "column_profile", "compaction_plan",
+    "dedup_components", "doc_repetition", "domain_mixture",
+    "enrich_coalesce", "enrich_events", "eval_overlap",
+    "exact_substring_dup", "expectations_report", "fact_fact_join",
+    "fact_reconciliation", "lang_id", "length_batching",
+    "lsh_recall_audit", "minhash_lsh", "ngram_containment",
+    "ngram_jaccard", "pack_sequences", "prefix_filter_join",
+    "spatial_join", "token_stats", "winnow_fingerprint",
+    # (3) r12 bank alphabetical fill (20 rows; quality_deciles holds a
+    #     churn seat above, so the fill ends at mp4_probe):
+    "bm25_topk", "boolean_search", "clean_events", "cms_frequency",
+    "conditional_ratio", "corr_stats", "correlated_subquery", "cube_agg",
+    "datetime_suite", "dedup_keep_list", "distinct_agg",
+    "equidepth_histogram", "fuzzy_blocked_join", "heavy_hitters",
+    "high_water_mark", "incremental_join_view", "join_explosion",
+    "k_anonymity", "merge_anti_join", "mp4_probe",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)
