@@ -88,12 +88,25 @@ def foreach_batch_merge(
     """Replay-safe append: anti-join each micro-batch against the target
     before writing (R4/S13 per batch). Returns the un-started writer —
     caller does .start()/.trigger() as needed.
+
+    The batch is also deduplicated on ``keys`` WITHIN itself before the
+    anti-join (r15, caught by tools/stream_chaos_check.py): an
+    at-least-once transport can deliver an original and its re-delivery
+    in the SAME micro-batch — observed concretely when a SIGKILL
+    interrupted the offsets-log write for batch N and the restarted
+    query re-planned N to span two input files, one of which re-carried
+    the other's tail rows. The anti-join only guards batch-vs-target,
+    so both copies inserted. dropDuplicates on the merge keys is
+    keep-any — the same first-writer-wins contract the anti-join gives
+    across batches — and costs one hash exchange on the keys the merge
+    already shuffles, nothing at 100 TB the join didn't already pay.
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
         spark = batch.sparkSession
+        batch = batch.dropDuplicates(list(keys))
         try:
             existing = spark.read.parquet(target_path)
         except AnalysisException as e:

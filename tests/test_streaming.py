@@ -80,6 +80,35 @@ def test_foreach_batch_merge_replay_safe(spark, tmp_path):
     assert sorted(r.k for r in out.collect()) == ["a", "b"]
 
 
+def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
+    """r15, caught by the stream-chaos axis: an at-least-once transport
+    can deliver an original and its re-delivery in the SAME micro-batch
+    (observed when a SIGKILL mid-offsets-write made the restarted query
+    re-plan one batch to span two input files, one re-carrying the
+    other's tail). The anti-join only guards batch-vs-target, so both
+    copies inserted. The batch must be deduplicated on the merge keys
+    within itself too."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    # one physical batch containing a key twice, plus a distinct key
+    _write_batch(
+        spark,
+        src,
+        [
+            ("a", "2024-01-01 10:00:00", 1.0),
+            ("a", "2024-01-01 10:00:07", 1.0),  # re-delivery, later stamp
+            ("b", "2024-01-01 11:00:00", 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    writer = foreach_batch_merge(stream, target, ["k"], str(tmp_path / "c"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 2  # exactly one row per key, first batch included
+    assert sorted(r.k for r in out.collect()) == ["a", "b"]
+
+
 def test_windowed_event_counts(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(
