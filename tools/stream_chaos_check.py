@@ -32,6 +32,19 @@ each exercising a DIFFERENT recovery mechanism:
               input files are NOT re-read after restart, so a lost
               state store would silently UNDERCOUNT — the silent-wrong
               shape this axis exists to catch).
+- statetotals — streaming/incremental.py::running_user_totals: the
+              CUSTOM stateful operator (applyInPandasWithState). Its
+              (count, sum) state lives in the state store keyed by the
+              group-by hash; after the kill the store must reload the
+              last COMMITTED version (an uncommitted batch's update
+              rolled back, then recomputed deterministically on
+              replay). Sink: foreachBatch appends update rows stamped
+              with the epoch id; the final per-key state is the
+              max-epoch row (a replayed epoch re-appends IDENTICAL
+              content — deterministic recompute from the restored
+              state version — so the exact-duplicate rows are
+              harmless). v = event_id % 97 keeps every sum
+              integer-valued in float64, so the oracle is exact.
 
 Input: events.parquet at the gate SF, ts-ordered, split into 16 files;
 every file after the first also re-delivers the previous file's last
@@ -63,7 +76,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SHAPES = ["merge", "dedup", "windowagg"]
+SHAPES = ["merge", "dedup", "windowagg", "statetotals"]
 KILL_AFTER_COMMITS = [1, 3]
 N_FILES = 16
 REDELIVER_ROWS = 40
@@ -120,6 +133,19 @@ elif shape == "windowagg":
     q = (agg.writeStream.outputMode("complete").foreachBatch(overwrite)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
+elif shape == "statetotals":
+    from pyspark.sql import functions as SF
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        running_user_totals)
+    kv = ev.select(ev.user_id.cast("string").alias("k"),
+                   (ev.event_id %% 97).cast("double").alias("v"))
+    tot = running_user_totals(kv, key_col="k", value_col="v")
+    def stamp(batch, epoch_id):
+        (batch.withColumn("epoch", SF.lit(epoch_id))
+              .write.mode("append").parquet(sink))
+    q = (tot.writeStream.outputMode("update").foreachBatch(stamp)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
 else:
     raise SystemExit(f"unknown shape {shape}")
 
@@ -131,7 +157,20 @@ if phase == "verify":
     # Spark's reader honors it (dedup shape); the other sinks are
     # plain directories where this read is equivalent to any other
     out = spark.read.parquet(sink)
-    if shape == "windowagg":
+    if shape == "statetotals":
+        from pyspark.sql import Window as W
+        latest = (out.withColumn(
+                      "rn", F.row_number().over(
+                          W.partitionBy("k").orderBy(F.desc("epoch"))))
+                  .filter("rn = 1"))
+        row = latest.agg(
+            F.count("*").alias("nk"),
+            F.sum("n_events").alias("n"),
+            F.sum("total_value").cast("decimal(38,0)").alias("t"),
+        ).first()
+        print(f"FINAL nk={row['nk']} n={row['n']} t={int(row['t'])}",
+              flush=True)
+    elif shape == "windowagg":
         # epoch-SECONDS x count in decimal: epoch-us x count overflows
         # a long at ~1e20 (ANSI mode fails loud; the fix is exact width)
         ws = (F.unix_micros("window_start") / F.lit(1_000_000)).cast("long")
@@ -187,6 +226,13 @@ def _oracle(shape: str, input_dir: str) -> str:
 
     con = duckdb.connect()
     glob = f"{input_dir}/part-*.parquet"
+    if shape == "statetotals":
+        row = con.execute(
+            "SELECT count(DISTINCT user_id), count(*),"
+            " sum(event_id % 97) FROM read_parquet(?)",
+            [glob],
+        ).fetchone()
+        return f"FINAL nk={row[0]} n={int(row[1])} t={int(row[2])}"
     if shape == "windowagg":
         row = con.execute(
             "WITH w AS (SELECT epoch_us(date_trunc('day', ts)) // 1000000"
