@@ -2404,16 +2404,18 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 # histogram entering: r11×28, r12×37, r13×33, r14×50. The VERDICT r14
 # brief orders the r11 generation retired (its 28 rows are the oldest
 # in the ledger) with round-15 churn leading. This head seats:
-# (1) round-15 churn — interval_merge (the host now runs the
-#     skew-ADAPTIVE dispatch: a sampled top-key-share probe routes
-#     uniform inputs to the window face and skewed inputs to the
-#     pre-split twin, VERDICT r14 item 5; both faces parity-pinned
-#     bit-identical) and quality_deciles (the carried r14
-#     pre-commitment, closed: (lang, n_chars) non-null is now a corpus
-#     CONTRACT pin in tests/test_testdata_contract.py, and the
-#     cross-engine NULLS FIRST/LAST divergence a null score would hit
-#     is documented at the operator — doc+test churn, seated on the
-#     pre-commitment's own terms);
+# (1) round-15 churn — the skew-ADAPTIVE dispatch (VERDICT r14 item
+#     5, then rolled out FAMILY-WIDE): a sampled top-key-share probe
+#     routes uniform inputs to the window face and skewed inputs to
+#     the pre-split twin; both faces of every member parity-pinned
+#     bit-identical. Hosts churned: interval_merge, sessionization,
+#     funnel_steps, event_debounce, event_transitions. Plus
+#     quality_deciles (the carried r14 pre-commitment, closed:
+#     (lang, n_chars) non-null is now a corpus CONTRACT pin in
+#     tests/test_testdata_contract.py, and the cross-engine NULLS
+#     FIRST/LAST divergence a null score would hit is documented at
+#     the operator — doc+test churn, seated on the pre-commitment's
+#     own terms);
 #     (zorder_skipping was bisected per item 3 and adjudicated
 #     order/JIT warmup placement — see DESIGN.md r15; the reuse()-pin
 #     experiment TIED unpinned and was reverted, so the host is
@@ -2427,7 +2429,8 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #     (quality_deciles et al.) are covered regardless.
 _GATE_FIRST = [
     # (1) round-15 churn:
-    "interval_merge", "quality_deciles",
+    "interval_merge", "sessionization", "funnel_steps", "event_debounce",
+    "event_transitions", "quality_deciles",
     # (2) the r11 bank, retired in full (28 rows):
     "array_suite", "bloom_prune", "boilerplate_strip", "char_diversity",
     "chunk_documents", "column_profile", "compaction_plan",
@@ -2438,14 +2441,15 @@ _GATE_FIRST = [
     "lsh_recall_audit", "minhash_lsh", "ngram_containment",
     "ngram_jaccard", "pack_sequences", "prefix_filter_join",
     "spatial_join", "token_stats", "winnow_fingerprint",
-    # (3) r12 bank alphabetical fill (20 rows; quality_deciles holds a
-    #     churn seat above, so the fill ends at mp4_probe):
+    # (3) r12 bank alphabetical fill (16 rows; quality_deciles holds a
+    #     churn seat above, and the four family-dispatch seats push the
+    #     fill boundary back to incremental_join_view — join_explosion,
+    #     k_anonymity, merge_anti_join, mp4_probe roll to the r16 pool):
     "bm25_topk", "boolean_search", "clean_events", "cms_frequency",
     "conditional_ratio", "corr_stats", "correlated_subquery", "cube_agg",
     "datetime_suite", "dedup_keep_list", "distinct_agg",
     "equidepth_histogram", "fuzzy_blocked_join", "heavy_hitters",
-    "high_water_mark", "incremental_join_view", "join_explosion",
-    "k_anonymity", "merge_anti_join", "mp4_probe",
+    "high_water_mark", "incremental_join_view",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

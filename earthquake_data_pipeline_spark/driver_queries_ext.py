@@ -312,26 +312,26 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream: a new session starts
     after >1h of inactivity per user; then one agg per (user, session).
 
-    r13: the host runs :func:`operators.analytics.session_ids_presplit`
-    — the skew-immune per-(user, day) split-and-stitch twin (VERDICT
-    r12 item 1) — instead of the single per-user window. Bit-identical
-    session ids (parity test pins the twin against the window face,
-    which remains the canonical single-window form in
-    ``operators/analytics.py::session_ids``); at 90% bot skew the twin
-    measured 3.3× (tools/skew_bench_presplit.py), and its worst task
-    is bounded by the bot's busiest DAY, not its lifetime. The
-    streaming face is F.session_window (see streaming/); semantics are
-    identical for completed sessions.
+    r13 ran the skew-immune per-(user, day) split-and-stitch twin
+    (VERDICT r12 item 1); r15 upgrades to the skew-ADAPTIVE dispatch
+    (family-wide rollout of VERDICT r14 item 5): a sampled top-key-
+    share probe routes this uniform gate corpus to the single-window
+    face (no stitch tax) and a bot-skewed corpus to the pre-split twin
+    (3.3× at 90% skew, tools/skew_bench_presplit.py, worst task
+    bounded by the bot's busiest DAY). Both faces parity-pinned
+    bit-identical, so dispatch changes only the plan. The streaming
+    face is F.session_window (see streaming/); semantics are identical
+    for completed sessions.
     """
     _utc(spark)
-    from .operators.analytics import session_ids_presplit
+    from .operators.analytics import session_ids_adaptive
 
     ev = (
         _table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
         .select("user_id", "event_id", "ts", "value")
     )
-    sess = session_ids_presplit(
+    sess = session_ids_adaptive(
         ev,
         user_col="user_id",
         ts_col="ts",

@@ -61,19 +61,19 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel_steps): step k counts users whose first qualifying event is
     at-or-after their step-(k-1) time.
 
-    r13: the host runs the UNBOUNDED-funnel pre-split twin — per-
-    (user, day) conditional-min cascades composed by a pure-Column
-    prefix fold over the active-bucket summary (VERDICT r12 item 1;
-    2.8× at 90% bot skew). Bit-identical counts (parity-pinned);
-    ``funnel_steps`` stays as the canonical window face, and the
-    bounded ``within_s`` variant (``funnel_windowed``) stays on it by
-    the documented not-bucket-summarizable proof.
+    r13 ran the UNBOUNDED-funnel pre-split twin (per-(user, day)
+    conditional-min cascades, VERDICT r12 item 1; 2.8× at 90% bot
+    skew); r15 upgrades to the skew-ADAPTIVE dispatch (family-wide
+    rollout of VERDICT r14 item 5) — uniform corpora take the window
+    face, skewed take the twin, faces parity-pinned bit-identical.
+    The bounded ``within_s`` variant (``funnel_windowed``) stays on
+    the window face by the documented not-bucket-summarizable proof.
     """
     _utc(spark)
-    from .operators.analytics import funnel_steps_presplit
+    from .operators.analytics import funnel_steps_adaptive
 
     ev = _table(spark, sf_dir, "events")
-    return funnel_steps_presplit(ev, FUNNEL)
+    return funnel_steps_adaptive(ev, FUNNEL)
 
 
 SQL_FUNNEL_STEPS = """
@@ -1507,19 +1507,19 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     predecessor — lag-based; survivors carry their predecessor gap
     (-1 for firsts).
 
-    r13: the host runs the pre-split twin — the lag is per-(key, day)
-    with a (key, bucket)-summary boundary stitch (VERDICT r12 item 1;
-    1.9× at 90% bot skew, worst task bounded by one key-day).
-    Bit-identical survivors (parity-pinned); ``event_debounce`` stays
-    as the canonical window face.
+    r13 ran the pre-split twin (per-(key, day) lag with a boundary
+    stitch, VERDICT r12 item 1; 1.9× at 90% bot skew); r15 upgrades to
+    the skew-ADAPTIVE dispatch (family-wide rollout of VERDICT r14
+    item 5) — the probe groups on the COMPOSITE (user, type) window
+    key, uniform corpora take the window face, faces parity-pinned.
     """
     _utc(spark)
-    from .operators.analytics import event_debounce_presplit
+    from .operators.analytics import event_debounce_adaptive
 
     ev = _table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    return event_debounce_presplit(ev, min_gap_s=1800)
+    return event_debounce_adaptive(ev, min_gap_s=1800)
 
 
 SQL_EVENT_DEBOUNCE = """
@@ -1584,19 +1584,19 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence + row-normalized transition probabilities — the empirical
     transition matrix.
 
-    r13: the host runs the pre-split twin — per-(user, day) lag with
-    the previous bucket's last type stitched in via the domain-sized
-    summary (VERDICT r12 item 1; 4.6× at 90% bot skew). Bit-identical
-    census (parity-pinned); ``event_transitions`` stays as the
-    canonical window face.
+    r13 ran the pre-split twin (per-(user, day) lag, previous bucket's
+    last type stitched via the domain-sized summary, VERDICT r12 item
+    1; 4.6× at 90% bot skew); r15 upgrades to the skew-ADAPTIVE
+    dispatch (family-wide rollout of VERDICT r14 item 5) — uniform
+    corpora take the window face, faces parity-pinned bit-identical.
     """
     _utc(spark)
-    from .operators.analytics import event_transitions_presplit
+    from .operators.analytics import event_transitions_adaptive
 
     ev = _table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    return event_transitions_presplit(ev)
+    return event_transitions_adaptive(ev)
 
 
 SQL_EVENT_TRANSITIONS = """

@@ -677,7 +677,7 @@ def merge_intervals_presplit(
 
 def top_key_share(
     df: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     probe_fraction: float = 0.01,
     seed: int = 421,
 ) -> tuple[float, int]:
@@ -695,12 +695,16 @@ def top_key_share(
     counts — strictly cheaper than either downstream face.
 
     Returns ``(share, sample_rows)``; callers must treat a sample below
-    their trust floor as "unknown" rather than "uniform".
+    their trust floor as "unknown" rather than "uniform". Composite
+    window keys (e.g. debounce's (user, type)) pass a list — the
+    straggler unit is the whole partition key, so the probe groups on
+    the same tuple the window partitions on.
     """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     row = (
-        df.select(key_col)
+        df.select(*keys)
         .sample(fraction=probe_fraction, seed=seed)
-        .groupBy(key_col)
+        .groupBy(*keys)
         .count()
         .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
         .first()
@@ -708,6 +712,26 @@ def top_key_share(
     if row is None or not row["n"]:
         return 0.0, 0
     return float(row["mx"]) / float(row["n"]), int(row["n"])
+
+
+def _route_by_skew(
+    events: DataFrame,
+    key_col: str | list[str],
+    window_face,
+    presplit_face,
+    skew_threshold: float,
+    probe_fraction: float,
+    min_sample: int,
+) -> DataFrame:
+    """Shared dispatch for the per-key-sequence family (r15): probe the
+    window-partition key's top share on a row sample; route to the
+    pre-split twin iff the sample is trustworthy AND the top key holds
+    ≥ the threshold. Both faces of every family member are parity-
+    pinned bit-identical, so routing can change only the plan."""
+    share, n = top_key_share(events, key_col, probe_fraction=probe_fraction)
+    if n >= min_sample and share >= skew_threshold:
+        return presplit_face()
+    return window_face()
 
 
 def merge_intervals_adaptive(
@@ -742,19 +766,132 @@ def merge_intervals_adaptive(
     users → uniform share ~10^-8) and far below a bot key worth the
     stitch, so the threshold does not need tuning per corpus.
     """
-    share, n = top_key_share(
-        events, key_col, probe_fraction=probe_fraction
-    )
-    if n >= min_sample and share >= skew_threshold:
-        return merge_intervals_presplit(
+    return _route_by_skew(
+        events,
+        key_col,
+        lambda: merge_intervals(
+            events, key_col=key_col, ts_col=ts_col, duration_s=duration_s
+        ),
+        lambda: merge_intervals_presplit(
             events,
             key_col=key_col,
             ts_col=ts_col,
             duration_s=duration_s,
             bucket_us=bucket_us,
-        )
-    return merge_intervals(
-        events, key_col=key_col, ts_col=ts_col, duration_s=duration_s
+        ),
+        skew_threshold,
+        probe_fraction,
+        min_sample,
+    )
+
+
+def session_ids_adaptive(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_us: int = 3_600_000_000,
+    skew_threshold: float = 0.20,
+    probe_fraction: float = 0.01,
+    min_sample: int = 500,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-adaptive dispatch over :func:`session_ids` /
+    :func:`session_ids_presplit` (r15, extending the interval-merge
+    dispatcher family-wide): the uniform-corpus stitch tax goes away
+    while the 90 %-skew win (3.3×, tools/skew_bench_presplit.py) stays
+    one routed probe away. Faces parity-pinned bit-identical."""
+    return _route_by_skew(
+        events,
+        user_col,
+        lambda: session_ids(events, user_col, ts_col, tiebreak_col, gap_us),
+        lambda: session_ids_presplit(
+            events, user_col, ts_col, tiebreak_col, gap_us, bucket_us
+        ),
+        skew_threshold,
+        probe_fraction,
+        min_sample,
+    )
+
+
+def funnel_steps_adaptive(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    skew_threshold: float = 0.20,
+    probe_fraction: float = 0.01,
+    min_sample: int = 500,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-adaptive dispatch over the UNBOUNDED funnel faces (r15).
+    The bounded ``within_s`` variant stays on the window face by the
+    documented not-bucket-summarizable proof — this dispatcher is for
+    the unbounded funnel only (the pre-split twin's domain)."""
+    return _route_by_skew(
+        events,
+        user_col,
+        lambda: funnel_steps(events, steps, user_col, type_col, ts_col),
+        lambda: funnel_steps_presplit(
+            events, steps, user_col, type_col, ts_col, bucket_s
+        ),
+        skew_threshold,
+        probe_fraction,
+        min_sample,
+    )
+
+
+def event_debounce_adaptive(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_s: int = 60,
+    skew_threshold: float = 0.20,
+    probe_fraction: float = 0.01,
+    min_sample: int = 500,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-adaptive dispatch over the debounce faces (r15). The probe
+    groups on the COMPOSITE window key (the straggler unit is the whole
+    partition key, not its first column)."""
+    keys = key_cols or ["user_id", "event_type"]
+    return _route_by_skew(
+        events,
+        keys,
+        lambda: event_debounce(events, keys, ts_col, id_col, min_gap_s),
+        lambda: event_debounce_presplit(
+            events, keys, ts_col, id_col, min_gap_s, bucket_s
+        ),
+        skew_threshold,
+        probe_fraction,
+        min_sample,
+    )
+
+
+def event_transitions_adaptive(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    skew_threshold: float = 0.20,
+    probe_fraction: float = 0.01,
+    min_sample: int = 500,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Skew-adaptive dispatch over the transition-census faces (r15)."""
+    return _route_by_skew(
+        events,
+        user_col,
+        lambda: event_transitions(events, user_col, type_col, ts_col, id_col),
+        lambda: event_transitions_presplit(
+            events, user_col, type_col, ts_col, id_col, bucket_s
+        ),
+        skew_threshold,
+        probe_fraction,
+        min_sample,
     )
 
 

@@ -948,6 +948,101 @@ def test_merge_intervals_adaptive_dispatch_routes_by_skew(spark):
     assert "Join" not in plan_tiny
 
 
+def test_family_adaptive_dispatch_routes_and_matches(spark, monkeypatch):
+    """r15 family-wide rollout: each per-key-sequence dispatcher must
+    route a uniform corpus to its window face and a bot-skewed corpus
+    to its pre-split twin (routing pinned by recording which face the
+    dispatcher calls — the funnel twin is join-free, so plan markers
+    don't generalize), and both routes must equal the canonical window
+    face row-for-row. The debounce probe groups on the COMPOSITE
+    (user, type) key."""
+    import random
+    from datetime import datetime, timedelta
+
+    import earthquake_data_pipeline_spark.operators.analytics as A
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        event_debounce,
+        event_debounce_adaptive,
+        event_transitions,
+        event_transitions_adaptive,
+        funnel_steps,
+        funnel_steps_adaptive,
+        session_ids,
+        session_ids_adaptive,
+    )
+
+    routes: list[str] = []
+
+    def record(face_name: str):
+        orig = getattr(A, face_name)
+
+        def wrapped(*args, **kwargs):
+            routes.append(face_name)
+            return orig(*args, **kwargs)
+
+        return wrapped
+
+    for fname in ("session_ids", "session_ids_presplit",
+                  "funnel_steps", "funnel_steps_presplit",
+                  "event_debounce", "event_debounce_presplit",
+                  "event_transitions", "event_transitions_presplit"):
+        monkeypatch.setattr(A, fname, record(fname))
+
+    random.seed(77)
+    base = datetime(2024, 3, 1)
+    types = ["view", "click", "purchase", "noise"]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, ["user_id", "event_type", "ts", "event_id"]
+        )
+
+    uniform = mk([
+        (u, types[(u + i) % 4], base + timedelta(minutes=13 * i), u * 1000 + i)
+        for u in range(40) for i in range(30)
+    ])
+    skewed = mk(
+        [(7, types[i % 4], base + timedelta(minutes=2 * i), i)
+         for i in range(1500)]
+        + [(u, types[(u + i) % 4],
+            base + timedelta(minutes=17 * i), 100_000 + u * 100 + i)
+           for u in range(8) for i in range(20)]
+    )
+
+    steps = ["view", "click", "purchase"]
+    cases = [
+        ("sessions",
+         lambda df: session_ids(df).select("user_id", "event_id",
+                                           "session_id"),
+         lambda df: session_ids_adaptive(
+             df, probe_fraction=1.0).select("user_id", "event_id",
+                                            "session_id")),
+        ("funnel",
+         lambda df: funnel_steps(df, steps),
+         lambda df: funnel_steps_adaptive(df, steps, probe_fraction=1.0)),
+        ("debounce",
+         lambda df: event_debounce(df).select("event_id", "gap_s"),
+         lambda df: event_debounce_adaptive(
+             df, probe_fraction=1.0).select("event_id", "gap_s")),
+        ("transitions",
+         lambda df: event_transitions(df),
+         lambda df: event_transitions_adaptive(df, probe_fraction=1.0)),
+    ]
+    for name, window_face, adaptive in cases:
+        routes.clear()
+        adaptive(uniform)
+        assert routes and not routes[-1].endswith("_presplit"), (
+            f"{name}: uniform must take the window face, got {routes}")
+        routes.clear()
+        adaptive(skewed)
+        assert routes and routes[-1].endswith("_presplit"), (
+            f"{name}: skewed must take the pre-split twin, got {routes}")
+        for df in (uniform, skewed):
+            want = sorted(map(tuple, window_face(df).collect()))
+            got = sorted(map(tuple, adaptive(df).collect()))
+            assert got == want, name
+
+
 def test_event_debounce_presplit_matches_window_form(spark):
     """r12: bucket-split lag debounce must match the per-key window —
     including gaps exactly straddling bucket edges and per-key first
