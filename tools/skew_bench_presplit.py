@@ -92,14 +92,31 @@ def main() -> int:
         p = min(t(pre), t(pre))
         print(f"{name:18s} window={w:7.2f}s  presplit={p:7.2f}s  "
               f"ratio={w / p:5.2f}x")
-    # r15: the skew-ADAPTIVE dispatcher on the same 90%-skew corpus
-    # must route to the pre-split twin and stay within probe-overhead
-    # of it (VERDICT r14 item 5 — the A/B win survives the dispatch)
-    t(lambda: merge_intervals_adaptive(ev))
-    a = min(t(lambda: merge_intervals_adaptive(ev)),
-            t(lambda: merge_intervals_adaptive(ev)))
-    print(f"merge_intervals_adaptive (skewed) = {a:7.2f}s "
-          f"(presplit route + probe)")
+    # r15: the skew-ADAPTIVE dispatchers on the same 90%-skew corpus
+    # must route to the pre-split twins and stay within probe-overhead
+    # of them (VERDICT r14 item 5 + the family-wide rollout — the A/B
+    # wins survive the dispatch)
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        event_debounce_adaptive,
+        event_transitions_adaptive,
+        funnel_steps_adaptive,
+        merge_intervals_adaptive,
+        session_ids_adaptive,
+    )
+
+    adaptive = [
+        ("session_ids_adaptive", lambda: session_ids_adaptive(ev)),
+        ("merge_intervals_adaptive", lambda: merge_intervals_adaptive(ev)),
+        ("event_debounce_adaptive", lambda: event_debounce_adaptive(ev)),
+        ("event_transitions_adaptive",
+         lambda: event_transitions_adaptive(ev)),
+        ("funnel_steps_adaptive",
+         lambda: funnel_steps_adaptive(ev, ["visit", "signup", "purchase"])),
+    ]
+    for name, mk in adaptive:
+        t(mk)
+        a = min(t(mk), t(mk))
+        print(f"{name:28s} (skewed) = {a:7.2f}s (presplit route + probe)")
     return 0
 
 
