@@ -1043,6 +1043,62 @@ def test_family_adaptive_dispatch_routes_and_matches(spark, monkeypatch):
             assert got == want, name
 
 
+def test_route_by_skew_probes_once_per_input(spark, monkeypatch):
+    """r16 probe-cost hygiene (VERDICT r15 item 5): repeated adaptive
+    calls on the same (input plan, key) must run ONE sampled probe —
+    the routing decision is cached per (session, plan, key, fraction).
+    A caller-supplied skew_hint, or the SPARK_GRAFT_DISPATCH env escape
+    hatch for plan-only tooling, must skip the probe entirely (plan
+    construction then triggers no Spark action). Safe because routing
+    is parity-pinned: a stale cache entry can only change the plan,
+    never the rows."""
+    from datetime import datetime, timedelta
+
+    import earthquake_data_pipeline_spark.operators.analytics as A
+
+    calls: list[object] = []
+    real_probe = A.top_key_share
+
+    def counting(df, key_col, **kw):
+        calls.append(key_col)
+        return real_probe(df, key_col, **kw)
+
+    monkeypatch.setattr(A, "top_key_share", counting)
+    base = datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(u, base + timedelta(minutes=7 * i))
+         for u in range(20) for i in range(40)],
+        ["user_id", "ts"],
+    )
+
+    A._ROUTE_CACHE.clear()
+    r1 = A.merge_intervals_adaptive(df, duration_s=600, probe_fraction=1.0)
+    r2 = A.merge_intervals_adaptive(df, duration_s=600, probe_fraction=1.0)
+    assert len(calls) == 1, f"expected one probe, got {calls}"
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+
+    # a DIFFERENT input plan must re-probe (no false cache sharing)
+    A.merge_intervals_adaptive(df.limit(700), duration_s=600,
+                               probe_fraction=1.0, min_sample=100)
+    assert len(calls) == 2
+
+    # explicit hint: no probe, route honored
+    calls.clear()
+    A._ROUTE_CACHE.clear()
+    plan = A.merge_intervals_adaptive(
+        df, duration_s=600, skew_hint="skewed"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert calls == [] and "Join" in plan  # pre-split stitch join present
+
+    # env escape hatch (plan-only tooling): no probe, window face
+    monkeypatch.setenv("SPARK_GRAFT_DISPATCH", "window")
+    plan = A.merge_intervals_adaptive(
+        df, duration_s=600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert calls == [] and "Join" not in plan
+    monkeypatch.delenv("SPARK_GRAFT_DISPATCH")
+
+
 def test_event_debounce_presplit_matches_window_form(spark):
     """r12: bucket-split lag debounce must match the per-key window —
     including gaps exactly straddling bucket edges and per-key first

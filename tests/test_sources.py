@@ -4,6 +4,7 @@ registered Python DataSource (offline modes only), IO helpers."""
 from __future__ import annotations
 
 import json
+import os
 import time
 from datetime import date
 
@@ -613,6 +614,98 @@ def test_txnlog_merge_commit_is_versioned_upsert(spark, tmp_path):
     assert latest == {1: "a", 2: "B", 3: "c"}  # update 2, insert 3
     old = {r.k: r.v for r in read_snapshot(spark, t, 0).collect()}
     assert old == {1: "a", 2: "b"}  # time travel unaffected
+
+
+def test_txnlog_stale_overwrite_conflicts_loud(spark, tmp_path):
+    """r16 (VERDICT r15 item 4): optimistic concurrency on the
+    snapshot-based commit path. commit_overwrite pins the base version
+    at snapshot read and publishes at exactly base+1 — a writer whose
+    base went stale (another commit landed in between) must raise
+    ConcurrentCommitError LOUDLY, never mint a fresh version number
+    that silently drops the interleaved commit (the lost-update shape:
+    removing only the files the stale snapshot saw)."""
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        ConcurrentCommitError,
+        commit_append,
+        commit_overwrite,
+        latest_version,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)  # v0
+    stale_base = latest_version(t)
+    assert stale_base == 0
+    commit_overwrite(_tlog(spark, tmp_path, [(2, "b")]), t)  # winner: v1
+    with pytest.raises(ConcurrentCommitError):
+        commit_overwrite(
+            _tlog(spark, tmp_path, [(3, "c")]), t, base_version=stale_base
+        )
+    # the winner's commit is intact and no phantom version exists
+    assert latest_version(t) == 1
+    assert {r.k for r in read_snapshot(spark, t).collect()} == {2}
+    # ConcurrentCommitError subclasses FileExistsError — the original
+    # documented tripwire type keeps catching it
+    assert issubclass(ConcurrentCommitError, FileExistsError)
+
+
+def test_txnlog_append_retries_past_version_collision(spark, tmp_path,
+                                                      monkeypatch):
+    """Appends commute, so commit_append serializes through version-
+    mint collisions instead of surfacing them: a stale version listing
+    (simulating a concurrent writer landing between list and publish)
+    must be retried with a fresh listing, and every appended batch
+    lands exactly once."""
+    import earthquake_data_pipeline_spark.sources.txnlog as T
+
+    t = str(tmp_path / "tbl")
+    T.commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)  # v0
+    T.commit_append(_tlog(spark, tmp_path, [(2, "b")]), t)  # v1
+
+    real_versions = T._versions
+    stale_served = {"n": 0}
+
+    def stale_once(table_path):
+        if stale_served["n"] == 0:
+            stale_served["n"] += 1
+            return [0]  # stale: misses v1 -> collides at v1
+        return real_versions(table_path)
+
+    monkeypatch.setattr(T, "_versions", stale_once)
+    v = T.commit_append(_tlog(spark, tmp_path, [(3, "c")]), t)
+    assert v == 2 and stale_served["n"] == 1
+    assert {r.k for r in T.read_snapshot(spark, t).collect()} == {1, 2, 3}
+    # no leaked tmp manifest from the refused first attempt
+    leftovers = [f for f in os.listdir(t) if f.startswith(".tmp-manifest")]
+    assert leftovers == []
+
+
+def test_txnlog_merge_commit_reads_and_publishes_same_base(spark, tmp_path,
+                                                           monkeypatch):
+    """merge_commit must compute its upsert against the SAME version it
+    publishes over: a commit that lands after the snapshot read but
+    before the publish makes the merge a loud ConcurrentCommitError,
+    not a silent overwrite of the interloper."""
+    import earthquake_data_pipeline_spark.sources.txnlog as T
+
+    t = str(tmp_path / "tbl")
+    T.commit_append(_tlog(spark, tmp_path, [(1, "a")]), t)  # v0
+
+    real_read = T.read_snapshot
+    interloper = _tlog(spark, tmp_path, [(9, "z")])
+
+    def read_then_interleave(spark_, table_path, version=None):
+        snap = real_read(spark_, table_path, version)
+        if not getattr(read_then_interleave, "fired", False):
+            read_then_interleave.fired = True
+            T.commit_append(interloper, table_path)  # lands v1 mid-merge
+        return snap
+
+    monkeypatch.setattr(T, "read_snapshot", read_then_interleave)
+    with pytest.raises(T.ConcurrentCommitError):
+        T.merge_commit(_tlog(spark, tmp_path, [(1, "A")]), t, ["k"])
+    # interloper's append survives untouched
+    assert {r.k for r in real_read(spark, t).collect()} == {1, 9}
 
 
 def test_txnlog_vacuum_publish_before_delete_survives_crash(spark, tmp_path):

@@ -95,8 +95,8 @@ def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
         spark,
         src,
         [
+            ("a", "2024-01-01 10:00:07", 1.5),  # re-delivery, later stamp
             ("a", "2024-01-01 10:00:00", 1.0),
-            ("a", "2024-01-01 10:00:07", 1.0),  # re-delivery, later stamp
             ("b", "2024-01-01 11:00:00", 2.0),
         ],
     )
@@ -106,7 +106,14 @@ def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(target)
     assert out.count() == 2  # exactly one row per key, first batch included
-    assert sorted(r.k for r in out.collect()) == ["a", "b"]
+    rows = {r.k: (str(r.ts), r.v) for r in out.collect()}
+    assert sorted(rows) == ["a", "b"]
+    # r16 (ADVICE r15 medium): the in-batch pick is DETERMINISTIC, not
+    # keep-any — divergent duplicate payloads (the retry-with-a-later-
+    # stamp shape) resolve to the SMALLEST payload tuple in column
+    # order, bit-stable across runs and partitionings. Input order
+    # above is adversarial: the later stamp arrives first.
+    assert rows["a"] == ("2024-01-01 10:00:00", 1.0)
 
 
 def test_windowed_event_counts(spark, tmp_path):

@@ -32,6 +32,24 @@ def main() -> int:
     old = json.load(open(old_path))
     new = json.load(open(new_path))
 
+    # Refuse malformed input up front (ADVICE r15): an artifact missing
+    # "value" would TypeError in the delta arithmetic, and a compact
+    # stdout line passed by mistake lacks the full "queries" dict — both
+    # should produce this tool's advisory refusal, not a traceback.
+    for path, art in ((old_path, old), (new_path, new)):
+        if not isinstance(art, dict) or not isinstance(art.get("value"), (int, float)):
+            print(f"REFUSED: {path} has no numeric 'value' — not a BENCH "
+                  "artifact (pass BENCH_FULL*.json / BENCH_r*.json)")
+            return 2
+        if not isinstance(art.get("queries"), dict) or not art["queries"]:
+            print(f"REFUSED: {path} has no 'queries' dict — looks like a "
+                  "compact stdout line; pass the full artifact "
+                  "(BENCH_FULL.json)")
+            return 2
+    if not old["value"]:
+        print(f"REFUSED: {old_path} total is 0 — percentage delta undefined")
+        return 2
+
     d_old = old.get("direction", "unknown")
     d_new = new.get("direction", "unknown")
     if "unknown" not in (d_old, d_new) and d_old != d_new:

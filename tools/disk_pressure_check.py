@@ -60,7 +60,16 @@ try:
     n = df.count()
     print(f"PROBE-SILENT rows={n}", flush=True)
 except Exception as e:  # noqa: BLE001
-    msg = str(e)[:4000].lower()
+    # Walk the full cause chain (ADVICE r15): a genuine ENOSPC can
+    # surface wrapped in an exception whose OWN message omits the space
+    # phrase (e.g. a bare IOException from DiskBlockObjectWriter whose
+    # cause carries it), and scoring that disk=False is a false alarm.
+    parts, seen, cur = [], set(), e
+    while cur is not None and id(cur) not in seen:
+        seen.add(id(cur))
+        parts.append(f"{type(cur).__name__}: {cur}")
+        cur = cur.__cause__ or cur.__context__
+    msg = " || ".join(parts)[:16000].lower()
     # Space-specific signals ONLY (ADVICE r14): a generic IOException or
     # "failed to write" on the constrained run could be an unrelated
     # transient failure and must not be scored as a successful ENOSPC
@@ -110,6 +119,15 @@ def _run_probe(local_dir: str) -> str:
         return "PROBE-DEAD timeout after 1200s"
     for ln in proc.stdout.splitlines():
         if ln.startswith("PROBE-"):
+            if ln.startswith("PROBE-LOUD") and "disk=False" in ln:
+                # Second look before declaring a false alarm (ADVICE
+                # r15): the JVM logs the real device error to stderr
+                # even when the Python-side exception chain drops it.
+                err = proc.stderr.lower()
+                if ("no space left" in err or "enospc" in err
+                        or "not enough space" in err):
+                    return ln.replace("disk=False",
+                                      "disk=True (via stderr ENOSPC)")
             return ln
     return f"PROBE-DEAD rc={proc.returncode} {proc.stderr[-400:]}"
 

@@ -13,9 +13,18 @@ look at the full plan before the bench does.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# Plan-only tooling escape hatch (ADVICE r15): the *_adaptive catalog
+# entries run a sampled skew probe (a Spark ACTION) at plan-construction
+# time, which would make this auditor launch jobs and make the printed
+# plan depend on the sample. Pin the dispatch to the window face so
+# plan audits are action-free and deterministic; the pre-split twins
+# have their own named catalog/test coverage.
+os.environ.setdefault("SPARK_GRAFT_DISPATCH", "window")
 
 
 def summarize(plan: str) -> str:

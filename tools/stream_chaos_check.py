@@ -183,14 +183,21 @@ if phase == "verify":
         print(f"FINAL n={row['n']} total={row['total']} "
               f"wsum={int(row['wsum'])}", flush=True)
     else:
+        # decimal(38,0) sums (ADVICE r15): the DuckDB oracle widens both
+        # checksums to HUGEINT, but a LONG sum of event_id^2 on the
+        # Spark side overflows silently at a larger sf_dir (the probe
+        # session does not force ANSI) and would report a spurious
+        # MISMATCH — exact width on both sides, as the windowagg shape
+        # already does for wsum.
+        eid = F.col("event_id").cast("decimal(38,0)")
         row = out.agg(
             F.count("*").alias("n"),
             F.count_distinct("event_id").alias("nd"),
-            F.sum("event_id").alias("s"),
-            F.sum(F.col("event_id") * F.col("event_id")).alias("s2"),
+            F.sum(eid).cast("decimal(38,0)").alias("s"),
+            F.sum(eid * eid).cast("decimal(38,0)").alias("s2"),
         ).first()
-        print(f"FINAL n={row['n']} nd={row['nd']} s={row['s']} s2={row['s2']}",
-              flush=True)
+        print(f"FINAL n={row['n']} nd={row['nd']} s={int(row['s'])} "
+              f"s2={int(row['s2'])}", flush=True)
 spark.stop()
 """ % {"repo": REPO}
 
