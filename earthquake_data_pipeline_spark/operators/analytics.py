@@ -17,6 +17,8 @@ behavioral data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -714,6 +716,14 @@ def top_key_share(
     return float(row["mx"]) / float(row["n"]), int(row["n"])
 
 
+# (plan semanticHash, keys, fraction) -> (share, n): one probe per
+# distinct input per session (VERDICT r15 item 5). Safe because routing
+# is parity-pinned — a stale entry (the file behind an identical plan
+# changed mid-session) can only change the PLAN, never the rows.
+_ROUTE_CACHE: dict[tuple, tuple[float, int]] = {}
+_ROUTE_CACHE_MAX = 256
+
+
 def _route_by_skew(
     events: DataFrame,
     key_col: str | list[str],
@@ -722,13 +732,50 @@ def _route_by_skew(
     skew_threshold: float,
     probe_fraction: float,
     min_sample: int,
+    skew_hint: str | None = None,
 ) -> DataFrame:
     """Shared dispatch for the per-key-sequence family (r15): probe the
     window-partition key's top share on a row sample; route to the
     pre-split twin iff the sample is trustworthy AND the top key holds
     ≥ the threshold. Both faces of every family member are parity-
-    pinned bit-identical, so routing can change only the plan."""
-    share, n = top_key_share(events, key_col, probe_fraction=probe_fraction)
+    pinned bit-identical, so routing can change only the plan.
+
+    NOTE the probe is a Spark ACTION at plan-construction time — an
+    ``*_adaptive`` call is not a lazy plan builder, and its plan shape
+    can differ across environments with the sample (ADVICE r15; the
+    documented trade for skew immunity). Three ways to skip it:
+
+    - ``skew_hint="uniform"``/``"window"`` or ``"skewed"``/``"presplit"``
+      — a caller who knows the corpus routes directly;
+    - env ``SPARK_GRAFT_DISPATCH=window|presplit`` — the plan-only
+      escape hatch for explain/schema tooling (tools/explain.py sets
+      it), making plan construction action-free;
+    - the session probe cache: repeated calls on the same
+      (input plan, key, fraction) reuse the first probe's estimate —
+      one probe per input in a multi-call pipeline, not one per call
+      (pinned by tests/test_scale.py::
+      test_route_by_skew_probes_once_per_input).
+    """
+    hint = skew_hint or os.environ.get("SPARK_GRAFT_DISPATCH", "")
+    if hint in ("window", "uniform"):
+        return window_face()
+    if hint in ("presplit", "skewed"):
+        return presplit_face()
+    keys = tuple([key_col] if isinstance(key_col, str) else key_col)
+    try:
+        sig = (events.semanticHash(), keys, probe_fraction)
+    except Exception:  # plan not hashable (exotic/connect edge) — probe
+        sig = None
+    if sig is not None and sig in _ROUTE_CACHE:
+        share, n = _ROUTE_CACHE[sig]
+    else:
+        share, n = top_key_share(
+            events, key_col, probe_fraction=probe_fraction
+        )
+        if sig is not None:
+            if len(_ROUTE_CACHE) >= _ROUTE_CACHE_MAX:
+                _ROUTE_CACHE.clear()  # bounded; re-probing is cheap
+            _ROUTE_CACHE[sig] = (share, n)
     if n >= min_sample and share >= skew_threshold:
         return presplit_face()
     return window_face()
@@ -743,6 +790,7 @@ def merge_intervals_adaptive(
     probe_fraction: float = 0.01,
     min_sample: int = 500,
     bucket_us: int = 86_400_000_000,
+    skew_hint: str | None = None,
 ) -> DataFrame:
     """Skew-adaptive dispatch over the two proven interval-merge faces
     (VERDICT r14 item 5): a sampled :func:`top_key_share` probe routes
@@ -782,6 +830,7 @@ def merge_intervals_adaptive(
         skew_threshold,
         probe_fraction,
         min_sample,
+        skew_hint=skew_hint,
     )
 
 
@@ -795,6 +844,7 @@ def session_ids_adaptive(
     probe_fraction: float = 0.01,
     min_sample: int = 500,
     bucket_us: int = 86_400_000_000,
+    skew_hint: str | None = None,
 ) -> DataFrame:
     """Skew-adaptive dispatch over :func:`session_ids` /
     :func:`session_ids_presplit` (r15, extending the interval-merge
@@ -811,6 +861,7 @@ def session_ids_adaptive(
         skew_threshold,
         probe_fraction,
         min_sample,
+        skew_hint=skew_hint,
     )
 
 
@@ -824,6 +875,7 @@ def funnel_steps_adaptive(
     probe_fraction: float = 0.01,
     min_sample: int = 500,
     bucket_s: int = 86_400,
+    skew_hint: str | None = None,
 ) -> DataFrame:
     """Skew-adaptive dispatch over the UNBOUNDED funnel faces (r15).
     The bounded ``within_s`` variant stays on the window face by the
@@ -839,6 +891,7 @@ def funnel_steps_adaptive(
         skew_threshold,
         probe_fraction,
         min_sample,
+        skew_hint=skew_hint,
     )
 
 
@@ -852,6 +905,7 @@ def event_debounce_adaptive(
     probe_fraction: float = 0.01,
     min_sample: int = 500,
     bucket_s: int = 86_400,
+    skew_hint: str | None = None,
 ) -> DataFrame:
     """Skew-adaptive dispatch over the debounce faces (r15). The probe
     groups on the COMPOSITE window key (the straggler unit is the whole
@@ -867,6 +921,7 @@ def event_debounce_adaptive(
         skew_threshold,
         probe_fraction,
         min_sample,
+        skew_hint=skew_hint,
     )
 
 
@@ -880,6 +935,7 @@ def event_transitions_adaptive(
     probe_fraction: float = 0.01,
     min_sample: int = 500,
     bucket_s: int = 86_400,
+    skew_hint: str | None = None,
 ) -> DataFrame:
     """Skew-adaptive dispatch over the transition-census faces (r15)."""
     return _route_by_skew(
@@ -892,6 +948,7 @@ def event_transitions_adaptive(
         skew_threshold,
         probe_fraction,
         min_sample,
+        skew_hint=skew_hint,
     )
 
 

@@ -19,18 +19,29 @@ in version order, and reconstructs any version's live set by replaying
 manifests. Readers never list data/; unreferenced files are invisible
 garbage until vacuumed.
 
-Concurrency contract (documented, like Delta's early versions): ONE
-writer at a time — version numbers are assigned by listing _log/, so
-two racing writers could mint the same version; the exclusive
-os.link publish refuses to clobber an existing manifest, so the race
-is detectable (FileExistsError) — retry policy is the caller's.
+Concurrency contract (r16, VERDICT r15 item 4 — optimistic, like
+Delta's OCC core; proven by tools/txnlog_race_check.py):
+
+- **Appends serialize.** Appends commute, so commit_append retries
+  version minting through manifest collisions (fresh listing each
+  try); every racing writer's batches all land, each exactly once.
+- **Snapshot-based commits are first-to-publish-wins.** commit_overwrite
+  and merge_commit pin their base version AT SNAPSHOT READ and publish
+  via exclusive os.link at exactly base+1; a writer whose base went
+  stale raises ConcurrentCommitError LOUDLY. (The r12–r15 shape —
+  minting a fresh version number at publish time — had a lost-update
+  hole: a commit landing between a merge's snapshot read and its
+  publish was silently removed from the live set. Pinning closes it.)
+- Retry policy stays the caller's: a loser re-reads the new latest
+  snapshot and re-merges (txnlog_race_check's retry loop converges).
+
 Readers are always safe against TORN state (they see only whole,
 atomically-published manifests); the one sharp edge is vacuum
 concurrency: a reader that listed _log/ immediately before a vacuum
 can fail loudly (FileNotFoundError) opening a manifest the vacuum
 just deleted — never silently read a partial snapshot. Real lake
 formats solve this with retention windows; here it is in-scope for
-the single-writer reduction and documented instead.
+the single-writer-vacuum reduction and documented instead.
 
 100 TB: the log is manifest-sized (file names, not data); snapshot
 reads pass an explicit file list to the parquet scan, so partition
@@ -48,6 +59,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG = "_log"
 _DATA = "data"
+
+
+class ConcurrentCommitError(FileExistsError):
+    """A snapshot-based commit lost the optimistic race: another writer
+    published a version after this writer's snapshot read. Subclasses
+    FileExistsError — the exclusive-link tripwire's original type — so
+    pre-r16 callers catching that keep working. The table is untouched;
+    re-read the latest snapshot and retry if the operation commutes."""
 
 
 def _log_dir(table_path: str) -> str:
@@ -82,6 +101,13 @@ def live_files(table_path: str, version: int | None = None) -> list[str]:
     return sorted(os.path.join(table_path, _DATA, f) for f in live)
 
 
+def latest_version(table_path: str) -> int | None:
+    """Newest committed version, or None for a table with no log —
+    the base a snapshot-based writer pins before reading (r16 OCC)."""
+    versions = _versions(table_path)
+    return versions[-1] if versions else None
+
+
 def _publish_manifest(
     table_path: str, version: int, manifest: dict, overwrite: bool
 ) -> None:
@@ -98,7 +124,15 @@ def _publish_manifest(
     if overwrite:
         os.rename(tmp, final)
     else:
-        os.link(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            os.unlink(tmp)  # the refused manifest must not leak
+            raise ConcurrentCommitError(
+                f"version {version} already published at {table_path} — "
+                "another writer committed after this writer's snapshot "
+                "read; re-read the latest snapshot and retry"
+            ) from e
         os.unlink(tmp)
 
 
@@ -141,18 +175,57 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
     return names
 
 
-def commit_append(df: DataFrame, table_path: str) -> int:
+def commit_append(
+    df: DataFrame, table_path: str, max_retries: int = 10
+) -> int:
     """Append df as a new version; prior versions keep reading the old
-    live set. Returns the committed version number."""
-    return _commit(table_path, _write_data_files(df, table_path), [])
+    live set. Returns the committed version number.
+
+    Appends COMMUTE, so a version-mint collision with a concurrent
+    writer (r16 OCC) is retried with a fresh listing instead of
+    surfaced — the data files are written once; only the manifest
+    publish repeats. Bounded: after ``max_retries`` losses the
+    ConcurrentCommitError propagates (a table hot enough to lose 10
+    straight mints needs a real coordinator, and silence would hide
+    that)."""
+    names = _write_data_files(df, table_path)
+    for attempt in range(max_retries):
+        try:
+            return _commit(table_path, names, [])
+        except ConcurrentCommitError:
+            if attempt == max_retries - 1:
+                raise
+            time.sleep(0.01 * (attempt + 1))
+    raise AssertionError("unreachable")
 
 
-def commit_overwrite(df: DataFrame, table_path: str) -> int:
+def commit_overwrite(
+    df: DataFrame, table_path: str, base_version: int | None = None
+) -> int:
     """Replace the live set with df (logical overwrite): old files stay
     on disk for time travel, the new manifest removes them from the
-    live set."""
-    current = [os.path.basename(p) for p in live_files(table_path)]
-    return _commit(table_path, _write_data_files(df, table_path), current)
+    live set.
+
+    Optimistic concurrency (r16): the version REPLACED is pinned ONCE —
+    ``base_version`` if given (a snapshot the caller already read),
+    else the latest at entry — and the commit publishes at exactly
+    base+1. A commit that lands in between makes the publish raise
+    ConcurrentCommitError instead of minting a fresh version that
+    silently drops the interloper from the live set (the lost-update
+    hole the pre-r16 list-at-publish-time removal set had)."""
+    if base_version is None:
+        base_version = latest_version(table_path)
+    current = (
+        [os.path.basename(p) for p in live_files(table_path, base_version)]
+        if base_version is not None
+        else []
+    )
+    return _commit(
+        table_path,
+        _write_data_files(df, table_path),
+        current,
+        version=None if base_version is None else base_version + 1,
+    )
 
 
 def read_snapshot(
@@ -324,8 +397,19 @@ def merge_commit(
     the lake) and publish the result as one new version. Readers of the
     previous version are untouched; a crash before the manifest link
     leaves only invisible garbage.
+
+    Optimistic concurrency (r16): the upsert is computed against the
+    SAME pinned version the commit publishes over — a writer landing
+    between this merge's snapshot read and its publish raises
+    ConcurrentCommitError (first-to-publish wins; losers re-read and
+    retry — appends never conflict with each other, merges serialize
+    through the retry loop; tools/txnlog_race_check.py pins both
+    interleavings).
     """
     from ..operators.merge import upsert_merge
 
-    current = read_snapshot(updates.sparkSession, table_path)
-    return commit_overwrite(upsert_merge(current, updates, keys), table_path)
+    base = latest_version(table_path)
+    current = read_snapshot(updates.sparkSession, table_path, base)
+    return commit_overwrite(
+        upsert_merge(current, updates, keys), table_path, base_version=base
+    )

@@ -96,17 +96,41 @@ def foreach_batch_merge(
     interrupted the offsets-log write for batch N and the restarted
     query re-planned N to span two input files, one of which re-carried
     the other's tail rows. The anti-join only guards batch-vs-target,
-    so both copies inserted. dropDuplicates on the merge keys is
-    keep-any — the same first-writer-wins contract the anti-join gives
-    across batches — and costs one hash exchange on the keys the merge
-    already shuffles, nothing at 100 TB the join didn't already pay.
+    so both copies inserted.
+
+    The in-batch pick is DETERMINISTIC (r16, ADVICE r15): when
+    duplicate keys carry DIVERGENT payloads (the transport's normal
+    retry shape — same event, seconds-later retry timestamp), the row
+    with the SMALLEST payload tuple in column order survives
+    (row_number over the keys ordered by every non-key column,
+    nulls-first). A keep-any dropDuplicates would let the surviving
+    payload vary across runs and partitionings, breaking the repo's
+    bit-reproducibility discipline even though the keys match. Note
+    the cross-batch contract is unchanged and REMAINS arrival-order
+    (first batch to insert a key wins — the anti-join); determinism
+    here is within one micro-batch, which is exactly the scope replay
+    re-randomizes. Cost: the same single hash exchange on the merge
+    keys, plus an in-partition sort of duplicate groups (~1 row each).
     """
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
 
         spark = batch.sparkSession
-        batch = batch.dropDuplicates(list(keys))
+        payload = [c for c in batch.columns if c not in set(keys)]
+        if payload:
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                *[F.col(c).asc_nulls_first() for c in payload]
+            )
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:  # keys-only frame: duplicates are bit-identical
+            batch = batch.dropDuplicates(list(keys))
         try:
             existing = spark.read.parquet(target_path)
         except AnalysisException as e:
