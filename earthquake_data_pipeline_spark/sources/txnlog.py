@@ -410,6 +410,13 @@ def merge_commit(
 
     base = latest_version(table_path)
     current = read_snapshot(updates.sparkSession, table_path, base)
-    return commit_overwrite(
-        upsert_merge(current, updates, keys), table_path, base_version=base
-    )
+    # commit exactly the table's schema: upsert_merge appends its
+    # ``action`` audit column, and persisting it (the pre-r16 behavior,
+    # caught by tools/txnlog_race_check.py's retry loop) silently grew
+    # the table schema AND broke every SUBSEQUENT merge (the snapshot
+    # then has ``action`` as a value column the updates frame lacks).
+    # A table that legitimately owns a column named ``action`` makes
+    # this select ambiguous and fails loud — acceptable: rename or
+    # call upsert_merge + commit_overwrite directly.
+    merged = upsert_merge(current, updates, keys).select(*current.columns)
+    return commit_overwrite(merged, table_path, base_version=base)

@@ -616,6 +616,30 @@ def test_txnlog_merge_commit_is_versioned_upsert(spark, tmp_path):
     assert old == {1: "a", 2: "b"}  # time travel unaffected
 
 
+def test_txnlog_merge_commit_schema_stable_across_merges(spark, tmp_path):
+    """r16, caught by tools/txnlog_race_check.py's retry loop: the
+    pre-r16 merge_commit persisted upsert_merge's ``action`` audit
+    column into the table, silently growing the schema and breaking
+    every SUBSEQUENT merge (the snapshot then carries a value column
+    the updates frame lacks). Two back-to-back merges must both land
+    and the table schema must stay exactly the original."""
+    from earthquake_data_pipeline_spark.sources.txnlog import (
+        commit_append,
+        merge_commit,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)  # v0
+    merge_commit(_tlog(spark, tmp_path, [(2, "B"), (3, "c")]), t, ["k"])
+    merge_commit(_tlog(spark, tmp_path, [(3, "C"), (4, "d")]), t, ["k"])
+    snap = read_snapshot(spark, t)
+    assert snap.columns == ["k", "v"]  # no audit-column leak
+    assert {r.k: r.v for r in snap.collect()} == {
+        1: "a", 2: "B", 3: "C", 4: "d"
+    }
+
+
 def test_txnlog_stale_overwrite_conflicts_loud(spark, tmp_path):
     """r16 (VERDICT r15 item 4): optimistic concurrency on the
     snapshot-based commit path. commit_overwrite pins the base version
