@@ -32,6 +32,84 @@ from pyspark.sql.streaming import DataStreamWriter
 from ..operators.merge import anti_join_merge
 
 
+def audit_checkpoint_inputs(checkpoint_path: str) -> int:
+    """Restart guard (r16, caught by tools/file_source_chaos_check.py):
+    refuse to resume a file-source stream whose PENDING micro-batches
+    pin input files that no longer exist.
+
+    Why: Spark's restarted file source re-plans every batch after the
+    last commit from the file list pinned in ``sources/<i>/<batch>``,
+    and a pinned file missing at that point drops out at PLANNING time
+    — ``spark.sql.files.ignoreMissingFiles=false`` protects only
+    task-time disappearance — so the re-planned batch SILENTLY serves
+    short (measured: a deleted pending file cost exactly its 585 rows
+    with a clean exit). Only batches AFTER the last commit are checked:
+    committed batches are never re-read (their effect lives in
+    sink+state), so normal input retention — deleting files long since
+    processed — stays legal.
+
+    Call before ``.start()`` when resuming from an existing checkpoint;
+    :func:`foreach_batch_merge` calls it automatically at writer
+    construction. Local/NFS paths are auditable directly; object-store
+    URIs are reported as unauditable=skipped rather than guessed at.
+    Returns the number of pending-pinned files audited; raises
+    FileNotFoundError naming every vanished file.
+    """
+    import json
+    import os
+    from urllib.parse import unquote, urlparse
+
+    def _ids(d: str) -> set[int]:
+        try:
+            return {int(f) for f in os.listdir(d) if f.isdigit()}
+        except FileNotFoundError:
+            return set()
+
+    sources = os.path.join(checkpoint_path, "sources")
+    if not os.path.isdir(sources):
+        return 0  # fresh checkpoint: nothing pinned yet
+    committed = _ids(os.path.join(checkpoint_path, "commits"))
+    last_commit = max(committed) if committed else -1
+    audited, missing = 0, []
+    for src in sorted(os.listdir(sources)):
+        src_dir = os.path.join(sources, src)
+        if not os.path.isdir(src_dir):
+            continue
+        for fname in sorted(os.listdir(src_dir)):
+            batch = fname.split(".")[0]
+            if not batch.isdigit():
+                continue
+            is_compact = fname.endswith(".compact")
+            if not is_compact and int(batch) <= last_commit:
+                continue  # committed batch: never re-read
+            with open(os.path.join(src_dir, fname)) as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if not ln.startswith("{"):
+                        continue  # "v1" header
+                    entry = json.loads(ln)
+                    if entry.get("batchId", int(batch)) <= last_commit:
+                        continue
+                    p = entry.get("path", "")
+                    parsed = urlparse(p)
+                    if parsed.scheme not in ("", "file"):
+                        continue  # object store: not auditable locally
+                    local = unquote(parsed.path) if parsed.scheme else p
+                    audited += 1
+                    if not os.path.exists(local):
+                        missing.append(local)
+    if missing:
+        raise FileNotFoundError(
+            f"checkpoint {checkpoint_path} pins {len(missing)} input "
+            f"file(s) for PENDING (uncommitted) micro-batches that no "
+            f"longer exist — a restart would re-plan those batches and "
+            f"silently serve short (planning-time listing skips missing "
+            f"files; ignoreMissingFiles guards task time only): "
+            f"{missing[:5]}"
+        )
+    return audited
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: Sequence[str],
@@ -112,6 +190,11 @@ def foreach_batch_merge(
     re-randomizes. Cost: the same single hash exchange on the merge
     keys, plus an in-partition sort of duplicate groups (~1 row each).
     """
+
+    # restart guard (r16): resuming over a checkpoint whose pending
+    # batches pin vanished input files would silently serve short —
+    # fail at construction instead (see audit_checkpoint_inputs)
+    audit_checkpoint_inputs(checkpoint_path)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         from pyspark.errors import AnalysisException

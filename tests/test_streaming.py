@@ -116,6 +116,72 @@ def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
     assert rows["a"] == ("2024-01-01 10:00:00", 1.0)
 
 
+def test_audit_checkpoint_inputs_guards_pending_only(tmp_path):
+    """r16 restart guard (caught by tools/file_source_chaos_check.py):
+    a restarted file stream re-plans batches after the last commit from
+    the checkpoint's pinned file lists, and a pinned file missing at
+    that point silently drops out at PLANNING time. The audit must
+    (a) raise loud for a vanished PENDING-batch file, (b) ignore
+    vanished COMMITTED-batch files (input retention is legal), and
+    (c) skip object-store URIs it cannot stat locally."""
+    import json
+
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        audit_checkpoint_inputs,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "sources" / "0").mkdir(parents=True)
+    (ckpt / "commits").mkdir()
+    alive = tmp_path / "alive.parquet"
+    alive.write_bytes(b"PAR1")
+    gone = tmp_path / "gone.parquet"
+
+    def pin(batch: int, path, scheme="file://"):
+        with open(ckpt / "sources" / "0" / str(batch), "w") as fh:
+            fh.write("v1\n")
+            fh.write(json.dumps({"path": f"{scheme}{path}",
+                                 "timestamp": 1, "batchId": batch}) + "\n")
+
+    # batch 0 committed and its file retired: legal retention
+    pin(0, gone)
+    (ckpt / "commits" / "0").write_text("v1\n{}")
+    # batch 1 pending, file alive: audited, passes
+    pin(1, alive)
+    assert audit_checkpoint_inputs(str(ckpt)) == 1
+
+    # batch 2 pending with a vanished file: loud, names the path
+    pin(2, gone)
+    with pytest.raises(FileNotFoundError, match="gone.parquet"):
+        audit_checkpoint_inputs(str(ckpt))
+
+    # object-store pin is skipped, not guessed at
+    pin(2, "bucket/missing.parquet", scheme="s3a://")
+    assert audit_checkpoint_inputs(str(ckpt)) == 1
+
+    # fresh checkpoint: nothing pinned
+    assert audit_checkpoint_inputs(str(tmp_path / "nonexistent")) == 0
+
+
+def test_foreach_batch_merge_refuses_vanished_pending_input(spark, tmp_path):
+    """The merge writer runs the restart audit at CONSTRUCTION: resuming
+    over a checkpoint whose pending batch pins a vanished file must
+    fail before any batch runs."""
+    import json
+
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [("a", "2024-01-01 10:00:00", 1.0)])
+    ckpt = tmp_path / "c"
+    (ckpt / "sources" / "0").mkdir(parents=True)
+    with open(ckpt / "sources" / "0" / "0", "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"path": f"file://{tmp_path}/vanished.parquet",
+                             "timestamp": 1, "batchId": 0}) + "\n")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    with pytest.raises(FileNotFoundError, match="vanished.parquet"):
+        foreach_batch_merge(stream, str(tmp_path / "t"), ["k"], str(ckpt))
+
+
 def test_windowed_event_counts(spark, tmp_path):
     src = str(tmp_path / "src")
     _write_batch(

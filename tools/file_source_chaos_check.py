@@ -57,8 +57,13 @@ TAMPERS = ["delete", "truncate", "garbage"]
 # successful detection. Matched case-insensitively against the verify
 # run's stderr chain.
 _LOUD_SIGNALS = {
-    "delete": ("filenotfoundexception", "does not exist",
-               "path does not exist", "no such file"),
+    # delete is caught by the r16 restart guard (incremental.py::
+    # audit_checkpoint_inputs), NOT by Spark: a file missing at restart
+    # drops out at PLANNING time (measured: clean exit, batch short by
+    # exactly the file's rows) — ignoreMissingFiles guards task time
+    # only. The guard's FileNotFoundError is the required loud failure.
+    "delete": ("filenotfounderror", "no longer exist",
+               "filenotfoundexception", "does not exist", "no such file"),
     "truncate": ("parquet", "footer", "corrupt", "magic",
                  "unexpected end", "eofexception"),
     "garbage": ("parquet", "footer", "corrupt", "magic", "not a parquet"),
@@ -149,6 +154,16 @@ def _tamper(path: str, mode: str) -> None:
         raise ValueError(mode)
 
 
+def _put_schema_ref(master_input: str, work: str) -> None:
+    """Pristine single-file schema sidecar: the probe must not batch-
+    infer schema over the (tampered) input dir — that read happens
+    outside the stream under test and fails on corrupt files."""
+    first = sorted(f for f in os.listdir(master_input)
+                   if f.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(master_input, first),
+                os.path.join(work, "schema_ref.parquet"))
+
+
 def _restart(shape: str, input_dir: str, work: str):
     try:
         return subprocess.run(
@@ -167,6 +182,7 @@ def run_loud_case(shape: str, tamper: str, master_input: str,
         work = tempfile.mkdtemp(prefix=f"edps_fschaos_{shape}_{tamper}_")
         input_dir = os.path.join(work, "input")
         shutil.copytree(master_input, input_dir)
+        _put_schema_ref(master_input, work)
         ckpt = os.path.join(work, "ckpt")
         try:
             p = scc._spawn(shape, input_dir, work, "run")
@@ -207,6 +223,7 @@ def run_control_case(shape: str, tamper: str, master_input: str,
         work = tempfile.mkdtemp(prefix=f"edps_fsctrl_{shape}_{tamper}_")
         input_dir = os.path.join(work, "input")
         shutil.copytree(master_input, input_dir)
+        _put_schema_ref(master_input, work)
         ckpt = os.path.join(work, "ckpt")
         try:
             want = scc._oracle(shape, input_dir)  # pre-tamper truth

@@ -101,13 +101,28 @@ spark = (SparkSession.builder.master("local[8]")
          .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-schema = spark.read.parquet(input_dir).schema
+import os as _os
+# schema from a pristine sidecar when present (the file-source tamper
+# axis corrupts input files; batch-inferring schema over the whole
+# input dir would re-read them OUTSIDE the stream under test)
+_schema_ref = work + "/schema_ref.parquet"
+schema = spark.read.parquet(
+    _schema_ref if _os.path.exists(_schema_ref) else input_dir
+).schema
 raw = (spark.readStream.schema(schema)
        .option("maxFilesPerTrigger", "1")
        .parquet(input_dir))
 ev = normalize_events_ts(raw)
 ckpt = work + "/ckpt"
 sink = work + "/sink"
+
+if phase == "verify":
+    # restart guard (r16): every resume audits the checkpoint's pending
+    # pinned inputs first — the documented caller contract for shapes
+    # whose writers don't construct it themselves
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        audit_checkpoint_inputs)
+    audit_checkpoint_inputs(ckpt)
 
 if shape == "merge":
     from earthquake_data_pipeline_spark.streaming.incremental import (
