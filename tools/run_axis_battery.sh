@@ -41,5 +41,8 @@ run memory-ceiling     python tools/memory_ceiling_check.py
 run disk-pressure      python tools/disk_pressure_check.py
 run stream-chaos       python tools/stream_chaos_check.py
 run drift-pins         python tools/drift_pin_check.py
+run file-source-chaos  python tools/file_source_chaos_check.py
+run txnlog-race        python tools/txnlog_race_check.py
+run state-format-drift python tools/state_format_drift_check.py
 echo "battery done: $fails axis failure(s)" >> "$LOG"
 exit "$fails"
