@@ -44,5 +44,6 @@ run drift-pins         python tools/drift_pin_check.py
 run file-source-chaos  python tools/file_source_chaos_check.py
 run txnlog-race        python tools/txnlog_race_check.py
 run state-format-drift python tools/state_format_drift_check.py
+run vacuum-race        python tools/txnlog_vacuum_race_check.py
 echo "battery done: $fails axis failure(s)" >> "$LOG"
 exit "$fails"
