@@ -761,6 +761,16 @@ def _route_by_skew(
         return window_face()
     if hint in ("presplit", "skewed"):
         return presplit_face()
+    if hint:
+        # A typo'd hint (e.g. 'Window', 'pre-split') must not silently
+        # fall through to the probing path — that fires a Spark action
+        # at plan-construction time, exactly what the hatch exists to
+        # prevent (r17, ADVICE r16).
+        raise ValueError(
+            f"unrecognized skew hint {hint!r} (from skew_hint or "
+            f"SPARK_GRAFT_DISPATCH): expected one of "
+            f"'window'/'uniform'/'presplit'/'skewed'"
+        )
     keys = tuple([key_col] if isinstance(key_col, str) else key_col)
     try:
         sig = (events.semanticHash(), keys, probe_fraction)

@@ -212,7 +212,14 @@ def commit_overwrite(
     base+1. A commit that lands in between makes the publish raise
     ConcurrentCommitError instead of minting a fresh version that
     silently drops the interloper from the live set (the lost-update
-    hole the pre-r16 list-at-publish-time removal set had)."""
+    hole the pre-r16 list-at-publish-time removal set had).
+
+    An EMPTY table (no committed version yet) pins version=0 (r17,
+    ADVICE r16): the pre-r17 path published with version=None —
+    mint-at-publish — so a first commit racing in between
+    latest_version() and the publish was silently UNIONED into the
+    "overwrite" result (removed=[] can't remove files it never saw).
+    Pinning 0 makes the exclusive link trip loudly instead."""
     if base_version is None:
         base_version = latest_version(table_path)
     current = (
@@ -224,7 +231,7 @@ def commit_overwrite(
         table_path,
         _write_data_files(df, table_path),
         current,
-        version=None if base_version is None else base_version + 1,
+        version=0 if base_version is None else base_version + 1,
     )
 
 

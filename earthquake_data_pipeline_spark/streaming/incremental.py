@@ -90,10 +90,20 @@ def audit_checkpoint_inputs(checkpoint_path: str) -> int:
                     entry = json.loads(ln)
                     if entry.get("batchId", int(batch)) <= last_commit:
                         continue
-                    p = entry.get("path", "")
+                    p = entry.get("path")
+                    if not p:
+                        # not a file-source entry (no path key) — never
+                        # count it audited or report '' vanished (r17,
+                        # ADVICE r16)
+                        continue
                     parsed = urlparse(p)
                     if parsed.scheme not in ("", "file"):
                         continue  # object store: not auditable locally
+                    if parsed.scheme == "file" and parsed.netloc:
+                        # file://host/path names a REMOTE host — auditing
+                        # the local path would silently check the wrong
+                        # file; unauditable, like an object store (r17)
+                        continue
                     local = unquote(parsed.path) if parsed.scheme else p
                     audited += 1
                     if not os.path.exists(local):
@@ -157,6 +167,23 @@ def streaming_dedup_within_watermark(
     )
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark can ORDER BY a column of this type (r17, ADVICE
+    r16): MapType is non-orderable at any nesting depth (Catalyst's
+    TypeUtils rejects it inside arrays/structs too), as is VariantType.
+    Everything else — atomics, binary, arrays, structs — sorts.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType) or type(dt).__name__ == "VariantType":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def foreach_batch_merge(
     stream: DataFrame,
     target_path: str,
@@ -189,6 +216,14 @@ def foreach_batch_merge(
     here is within one micro-batch, which is exactly the scope replay
     re-randomizes. Cost: the same single hash exchange on the merge
     keys, plus an in-partition sort of duplicate groups (~1 row each).
+
+    Non-orderable payload columns (MapType anywhere in the type tree,
+    VariantType) cannot feed an ORDER BY — Spark raises
+    AnalysisException on the whole micro-batch (r17, ADVICE r16; the
+    r16 version ordered by every payload column and so broke any
+    stream carrying a map). They tie-break through ``to_json`` instead:
+    deterministic for a given row's binary layout, which is exactly
+    the replay-re-randomization scope this pick has to pin.
     """
 
     # restart guard (r16): resuming over a checkpoint whose pending
@@ -202,10 +237,17 @@ def foreach_batch_merge(
         from pyspark.sql import functions as F
 
         spark = batch.sparkSession
-        payload = [c for c in batch.columns if c not in set(keys)]
+        payload = [f for f in batch.schema.fields if f.name not in set(keys)]
         if payload:
             w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-                *[F.col(c).asc_nulls_first() for c in payload]
+                *[
+                    (
+                        F.col(f.name)
+                        if _orderable(f.dataType)
+                        else F.to_json(F.col(f.name))
+                    ).asc_nulls_first()
+                    for f in payload
+                ]
             )
             batch = (
                 batch.withColumn("__rn", F.row_number().over(w))

@@ -1099,6 +1099,27 @@ def test_route_by_skew_probes_once_per_input(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_DISPATCH")
 
 
+def test_route_by_skew_rejects_unknown_hint(spark, monkeypatch):
+    """r17 (ADVICE r16 low): a typo'd skew_hint or SPARK_GRAFT_DISPATCH
+    value ('Window', 'pre-split') must raise ValueError, not silently
+    fall through to the probing path — the probe is a Spark ACTION at
+    plan-construction time, exactly what the hatch exists to avoid."""
+    import earthquake_data_pipeline_spark.operators.analytics as A
+
+    def never(*a, **kw):  # the probe must not fire on a bad hint
+        raise AssertionError("probe fired despite a non-empty hint")
+
+    monkeypatch.setattr(A, "top_key_share", never)
+    df = spark.createDataFrame([(1, "2024-03-01 00:00:00")],
+                               ["user_id", "ts"])
+    with pytest.raises(ValueError, match="Window"):
+        A.merge_intervals_adaptive(df, skew_hint="Window")
+    monkeypatch.setenv("SPARK_GRAFT_DISPATCH", "pre-split")
+    with pytest.raises(ValueError, match="pre-split"):
+        A.merge_intervals_adaptive(df)
+    monkeypatch.delenv("SPARK_GRAFT_DISPATCH")
+
+
 def test_event_debounce_presplit_matches_window_form(spark):
     """r12: bucket-split lag debounce must match the per-key window —
     including gaps exactly straddling bucket edges and per-key first

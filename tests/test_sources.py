@@ -526,6 +526,42 @@ def test_txnlog_overwrite_keeps_history(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, t, 0).collect()} == {1, 2}
 
 
+def test_txnlog_first_overwrite_race_is_loud(spark, tmp_path, monkeypatch):
+    """r17 (ADVICE r16 low): commit_overwrite on an EMPTY table pins
+    version=0 — the pre-r17 path published with version=None
+    (mint-at-publish), so a first commit racing in between
+    latest_version() and the publish was silently UNIONED into the
+    'overwrite' result (removed=[] cannot remove files it never saw).
+    The interloper is injected after the snapshot read, before the
+    publish; the overwrite must raise ConcurrentCommitError and leave
+    the interloper's commit intact."""
+    from earthquake_data_pipeline_spark.sources import txnlog
+
+    t = str(tmp_path / "tbl")
+    real_write = txnlog._write_data_files
+    fired = []
+
+    def write_then_interlope(df, path):
+        names = real_write(df, path)
+        if not fired:
+            fired.append(True)
+            inames = real_write(_tlog(spark, tmp_path, [(7, "race")]), path)
+            txnlog._commit(path, inames, [])  # interloper mints v0
+        return names
+
+    monkeypatch.setattr(txnlog, "_write_data_files", write_then_interlope)
+    with pytest.raises(txnlog.ConcurrentCommitError):
+        txnlog.commit_overwrite(_tlog(spark, tmp_path, [(9, "z")]), t)
+    monkeypatch.setattr(txnlog, "_write_data_files", real_write)
+    # the interloper's commit is the live set — nothing silently merged
+    assert txnlog.latest_version(t) == 0
+    assert {r.k for r in txnlog.read_snapshot(spark, t).collect()} == {7}
+    # and a NON-racing first overwrite still commits at version 0
+    t2 = str(tmp_path / "tbl2")
+    assert txnlog.commit_overwrite(_tlog(spark, tmp_path, [(1, "a")]), t2) == 0
+    assert {r.k for r in txnlog.read_snapshot(spark, t2).collect()} == {1}
+
+
 def test_txnlog_reader_never_sees_partial_commit(spark, tmp_path):
     from earthquake_data_pipeline_spark.sources.txnlog import (
         commit_append,

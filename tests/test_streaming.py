@@ -116,6 +116,60 @@ def test_foreach_batch_merge_dedups_within_batch(spark, tmp_path):
     assert rows["a"] == ("2024-01-01 10:00:00", 1.0)
 
 
+def test_foreach_batch_merge_map_payload_deterministic(spark, tmp_path):
+    """r17 (ADVICE r16 medium): the deterministic in-batch pick ordered
+    by EVERY non-key column — but Spark cannot ORDER BY non-orderable
+    types (MapType), so any stream whose payload carried a map failed
+    every micro-batch with AnalysisException where the prior
+    dropDuplicates(keys) worked. Non-orderable payload columns must
+    tie-break through to_json instead; the pick stays deterministic
+    (the orderable `v` column already decides here) and orderable
+    columns keep their native order (no string-ordering regression:
+    v=2.0 < v=10.0)."""
+    src = str(tmp_path / "src")
+    schema = "k string, v double, attrs map<string,string>"
+    spark.createDataFrame(
+        [
+            ("a", 10.0, {"retry": "1"}),
+            ("a", 2.0, {"retry": "0"}),
+            ("b", 5.0, {}),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    writer = foreach_batch_merge(
+        stream, str(tmp_path / "t"), ["k"], str(tmp_path / "c")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "t"))
+    rows = {r.k: (r.v, dict(r.attrs)) for r in out.collect()}
+    assert sorted(rows) == ["a", "b"]
+    # numeric order, not to_json string order ("10.0" < "2.0")
+    assert rows["a"] == (2.0, {"retry": "0"})
+
+
+def test_orderable_type_predicate():
+    """The _orderable helper must reject MapType at ANY nesting depth
+    (Catalyst rejects it inside arrays/structs too) and accept the
+    sortable composites."""
+    from pyspark.sql import types as T
+
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        _orderable,
+    )
+
+    m = T.MapType(T.StringType(), T.LongType())
+    assert not _orderable(m)
+    assert not _orderable(T.ArrayType(m))
+    assert not _orderable(
+        T.StructType([T.StructField("inner", m)])
+    )
+    assert _orderable(T.ArrayType(T.LongType()))
+    assert _orderable(T.StructType([T.StructField("s", T.StringType())]))
+    assert _orderable(T.BinaryType())
+
+
 def test_audit_checkpoint_inputs_guards_pending_only(tmp_path):
     """r16 restart guard (caught by tools/file_source_chaos_check.py):
     a restarted file stream re-plans batches after the last commit from
@@ -161,6 +215,43 @@ def test_audit_checkpoint_inputs_guards_pending_only(tmp_path):
 
     # fresh checkpoint: nothing pinned
     assert audit_checkpoint_inputs(str(tmp_path / "nonexistent")) == 0
+
+
+def test_audit_checkpoint_inputs_skips_pathless_and_remote_host(tmp_path):
+    """r17 (ADVICE r16 low): a source-log entry with no 'path' key must
+    be skipped, not counted audited and reported as a vanished '' —
+    and a file://host/path URI with a non-empty netloc names a REMOTE
+    host, so it is unauditable (skipped), never checked against the
+    local filesystem with the host silently stripped."""
+    import json
+
+    from earthquake_data_pipeline_spark.streaming.incremental import (
+        audit_checkpoint_inputs,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "sources" / "0").mkdir(parents=True)
+    alive = tmp_path / "alive.parquet"
+    alive.write_bytes(b"PAR1")
+
+    def pin(batch: int, entries):
+        with open(ckpt / "sources" / "0" / str(batch), "w") as fh:
+            fh.write("v1\n")
+            for e in entries:
+                fh.write(json.dumps({"timestamp": 1, "batchId": batch,
+                                     **e}) + "\n")
+
+    # pending batch: one pathless metadata entry, one empty path, one
+    # remote-host file URI (the local /nonexistent does not exist),
+    # one real alive local pin
+    pin(0, [
+        {"version": 2},
+        {"path": ""},
+        {"path": "file://datanode7/nonexistent.parquet"},
+        {"path": f"file://{alive}"},
+    ])
+    # only the local alive pin is audited; nothing spurious raised
+    assert audit_checkpoint_inputs(str(ckpt)) == 1
 
 
 def test_foreach_batch_merge_refuses_vanished_pending_input(spark, tmp_path):

@@ -1,4 +1,5 @@
-"""Direction-matched bench comparison (VERDICT r14 item 4).
+"""Direction-matched, era-normalized bench comparison (VERDICT r14
+item 4; era-normalization mechanized r17 per VERDICT r16 item 2).
 
 Total query wall is order-sensitive by ~±8% through JIT/warmup placement
 alone (SURVEY entry 79: the r14 catalog rotation flipped a rev-faster
@@ -8,44 +9,153 @@ and per-query deltas additionally require the SAME catalog order
 (identical ``order_fingerprint``: a rotated catalog moves the warmup
 tax onto different hosts).
 
-This tool makes that rule mechanical instead of SURVEY prose: it
+The host's clock era moves totals too: three zero-churn r16 sweeps
+tracked the single-thread calibration spin almost linearly
+(cal 168.5 ms -> 126.47 s, 177.3 -> 131.69, 190.4 -> 158.87). This tool
+therefore emits a CAL-NORMALIZED advisory total beside the raw delta
+whenever both artifacts carry ``calibration_ms``: the new total scaled
+by (era_old / era_new), where era is min(calibration_ms) — spin
+contamination only ever slows, so the min is the cleanest in-session
+era reading. When the eras differ by more than ERA_TOL AND the raw
+delta exceeds BAND, the raw delta is REFUSED for regression
+adjudication (exit 2) — the normalized advisory is the admissible
+number (the r16 131.95-vs-106.92 shape, which was clock era + reorder,
+not code).
+
+This tool makes those rules mechanical instead of SURVEY prose: it
 REFUSES (exit 2) to compare artifacts whose directions differ, warns
 when fingerprints differ (totals still comparable like-direction;
 per-query deltas are then order-confounded and are NOT printed), and
 flags noisy artifacts as inadmissible for regression adjudication.
 
-Usage: python tools/bench_compare.py OLD_BENCH.json NEW_BENCH.json [top_n]
+Usage:
+  python tools/bench_compare.py OLD_BENCH.json NEW_BENCH.json [top_n]
+  python tools/bench_compare.py --baseline NEW_BENCH.json
+      compare NEW against the committed era-indexed baseline rows
+      (tools/bench_baseline_era.json): picks the newest like-direction
+      row, preferring a matching order_fingerprint, and prints the raw
+      and era-normalized ratios against it.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+ERA_TOL = 0.06  # >6% calibration difference = different host clock era
+BAND = 0.10     # raw total delta beyond ±10% is inadmissible cross-era
+
+
+def _era_ms(art: dict) -> float | None:
+    cal = art.get("calibration_ms")
+    if isinstance(cal, (list, tuple)) and cal and all(
+        isinstance(x, (int, float)) and x > 0 for x in cal
+    ):
+        return float(min(cal))
+    return None
+
+
+def _era_advisory(t_old: float, t_new: float,
+                  era_old: float | None, era_new: float | None) -> int:
+    """Print the cal-normalized advisory; return 2 if the raw delta is
+    refused (out-of-era AND beyond band), else 0."""
+    raw = (t_new - t_old) / t_old
+    if era_old is None or era_new is None:
+        print("cal-normalization unavailable (an artifact lacks "
+              "calibration_ms) — raw delta only; treat cross-era "
+              "comparisons as advisory")
+        return 0
+    norm_new = t_new * (era_old / era_new)
+    norm = (norm_new - t_old) / t_old
+    out_of_era = abs(era_new / era_old - 1.0) > ERA_TOL
+    print(f"host era: {era_old:.1f} ms -> {era_new:.1f} ms "
+          f"({'OUT-OF-ERA' if out_of_era else 'same era'}, "
+          f"tol {ERA_TOL:.0%})")
+    print(f"cal-normalized advisory total: {t_old:.2f} -> "
+          f"{norm_new:.2f} ({norm * 100:+.1f}%)  "
+          f"[= {t_new:.2f} x {era_old:.1f}/{era_new:.1f}]")
+    if out_of_era and abs(raw) > BAND:
+        print(f"RAW DELTA REFUSED for regression adjudication: eras "
+              f"differ >{ERA_TOL:.0%} and the raw delta {raw * 100:+.1f}% "
+              f"exceeds the ±{BAND:.0%} band — use the cal-normalized "
+              f"advisory above (clock era, not code, until an isolated "
+              f"like-era rerun says otherwise)")
+        return 2
+    return 0
+
+
+def _load(path: str) -> dict | None:
+    art = json.load(open(path))
+    if not isinstance(art, dict) or not isinstance(
+        art.get("value"), (int, float)
+    ):
+        print(f"REFUSED: {path} has no numeric 'value' — not a BENCH "
+              "artifact (pass BENCH_FULL*.json / BENCH_r*.json)")
+        return None
+    if not isinstance(art.get("queries"), dict) or not art["queries"]:
+        print(f"REFUSED: {path} has no 'queries' dict — looks like a "
+              "compact stdout line; pass the full artifact "
+              "(BENCH_FULL.json)")
+        return None
+    return art
+
+
+def _against_baseline(new_path: str) -> int:
+    rows_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline_era.json")
+    rows = json.load(open(rows_path))["rows"]
+    new = _load(new_path)
+    if new is None:
+        return 2
+    d_new = new.get("direction", "unknown")
+    like = [r for r in rows if r["direction"] == d_new]
+    if not like:
+        print(f"REFUSED: no committed baseline row for direction "
+              f"{d_new!r} in {rows_path}")
+        return 2
+    fp = new.get("order_fingerprint")
+    matched = [r for r in like if r.get("order_fingerprint") == fp]
+    row = (matched or like)[-1]  # rows are append-only: newest last
+    if not matched:
+        print(f"note: no baseline row matches fingerprint {fp} — "
+              f"comparing like-direction against {row['id']} "
+              f"(order-confounded by ±8%-class warmup placement)")
+    t_old, t_new = float(row["total_sec"]), float(new["value"])
+    print(f"baseline row: {row['id']} "
+          f"(fp {row.get('order_fingerprint')}, {row['total_sec']} s, "
+          f"era {row.get('era_ms')} ms)")
+    if new.get("noisy"):
+        print(f"WARNING: {new_path} is noisy=true — inadmissible for "
+              "certification; numbers advisory only")
+    print(f"total: {t_old} -> {t_new} "
+          f"({(t_new - t_old) / t_old * 100:+.1f}%), "
+          f"ratio {t_new / t_old:.3f}x")
+    rc = _era_advisory(t_old, t_new, row.get("era_ms"), _era_ms(new))
+    era_old, era_new = row.get("era_ms"), _era_ms(new)
+    if era_old and era_new:
+        print(f"era-normalized ratio: "
+              f"{t_new * (era_old / era_new) / t_old:.3f}x")
+    return rc
 
 
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--baseline":
+        return _against_baseline(sys.argv[2])
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
     old_path, new_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 15
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
 
     # Refuse malformed input up front (ADVICE r15): an artifact missing
     # "value" would TypeError in the delta arithmetic, and a compact
     # stdout line passed by mistake lacks the full "queries" dict — both
     # should produce this tool's advisory refusal, not a traceback.
-    for path, art in ((old_path, old), (new_path, new)):
-        if not isinstance(art, dict) or not isinstance(art.get("value"), (int, float)):
-            print(f"REFUSED: {path} has no numeric 'value' — not a BENCH "
-                  "artifact (pass BENCH_FULL*.json / BENCH_r*.json)")
-            return 2
-        if not isinstance(art.get("queries"), dict) or not art["queries"]:
-            print(f"REFUSED: {path} has no 'queries' dict — looks like a "
-                  "compact stdout line; pass the full artifact "
-                  "(BENCH_FULL.json)")
-            return 2
+    old = _load(old_path)
+    new = _load(new_path)
+    if old is None or new is None:
+        return 2
     if not old["value"]:
         print(f"REFUSED: {old_path} total is 0 — percentage delta undefined")
         return 2
@@ -70,6 +180,7 @@ def main() -> int:
     t_old, t_new = old.get("value"), new.get("value")
     print(f"total: {t_old} -> {t_new} "
           f"({(t_new - t_old) / t_old * 100:+.1f}%)")
+    rc = _era_advisory(t_old, t_new, _era_ms(old), _era_ms(new))
 
     fp_old = old.get("order_fingerprint")
     fp_new = new.get("order_fingerprint")
@@ -77,7 +188,7 @@ def main() -> int:
         print(f"order_fingerprint differs ({fp_old} vs {fp_new}): catalog "
               "order changed between sweeps — per-query deltas are "
               "order-confounded and are not printed")
-        return 0
+        return rc
 
     q_old = old.get("queries", {})
     q_new = new.get("queries", {})
@@ -96,7 +207,7 @@ def main() -> int:
         print("only in old:", ", ".join(gone))
     if added:
         print("only in new:", ", ".join(added))
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
