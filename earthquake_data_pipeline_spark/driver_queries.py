@@ -2400,51 +2400,52 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-16 HEAD: proof debt enters the round at 0/148; last-green
-# histogram entering: r12×20, r13×31, r14×47, r15×50 (the r15 close
-# target, verified by the judge digit-for-digit). Per the committed
-# r15 sketch and VERDICT r15 item 2, this head seats:
-# (1) round-16 churn — probe-cost hygiene on the adaptive-dispatch
-#     family (VERDICT item 5 + ADVICE r15 low): _route_by_skew gains a
-#     session probe cache keyed on (plan semanticHash, keys, fraction)
-#     — one probe per input per session, not per call — plus a
-#     caller skew_hint and the SPARK_GRAFT_DISPATCH plan-only escape
-#     hatch; routing/caching pinned by call-recording test. The five
-#     dispatch hosts re-seat under rotation rule 2 (called operator
-#     changed): interval_merge, sessionization, funnel_steps,
-#     event_debounce, event_transitions. (The other r16 engine churn —
-#     txnlog optimistic concurrency, deterministic in-batch merge
-#     dedup — touches no catalog host; covered by suite tests and the
-#     new txnlog-race / file-source-chaos / state-format-drift axes.)
-# (2) the r12 bank remainder alphabetically (20 rows — retiring the
-#     r12 generation);
-# (3) the r13 bank alphabetically until the window fills (25 rows,
-#     through stats_per_decade; stream_running_totals..zorder_layout —
-#     6 rows — roll to r17). qcommon.py, functions/scalar.py,
-#     tools/check.py untouched this round, so the rule-3 sentinels are
-#     not forced; events (interval_merge), lineitem (percentile_stats,
-#     pricing_summary), documents (simhash, top_p_select), embeddings
-#     (ann_ivf, cosine_topk) are covered regardless.
+# ROUND-17 HEAD: proof debt enters the round at 0/148; last-green
+# histogram entering: r13×6, r14×47, r15×45, r16×50 (the r16 close
+# target, judge-verified digit-for-digit). Per the committed r16
+# sketch and VERDICT r16 item 1, this head seats:
+# (1) round-17 churn — ADVICE r16's four fixes: _route_by_skew rejects
+#     unrecognized skew hints loudly (analytics.py — the five dispatch
+#     hosts re-seat under rotation rule 2: called operator changed);
+#     foreach_batch_merge tie-breaks non-orderable payload columns via
+#     to_json; audit_checkpoint_inputs skips pathless/remote-host
+#     entries; txnlog commit_overwrite pins version=0 on empty tables.
+#     (The last three touch no catalog host — the stream catalog
+#     queries use memory sinks, not foreach_batch_merge, and no query
+#     calls the txnlog — covered by suite tests plus the file-source
+#     chaos / txnlog-race / writer-permission axes.)
+# (2) the r13 bank remainder (6 rows — retiring the r13 generation):
+#     stream_running_totals, trimmed_mean, unpivot_measures,
+#     window_running, yearly_stats, zorder_layout;
+# (3) the r14 bank alphabetically until the window fills (39 rows,
+#     approx_distinct..text_quality; tfidf_top_terms, token_bucket,
+#     top2_per_user, top_k_orders, trend_fit, url_domains,
+#     usgs_pipeline, value_histogram — 8 rows — roll to r18).
+#     qcommon.py, functions/scalar.py, tools/check.py untouched this
+#     round, so the rule-3 sentinels are not forced; events
+#     (interval_merge, sessionization), lineitem (asof_join,
+#     grouping_sets, salted_join), documents (text_quality,
+#     corpus_curation), embeddings (semdedup_prune, kcenter_select)
+#     are covered regardless.
 _GATE_FIRST = [
-    # (1) round-16 churn (adaptive-dispatch probe cache):
+    # (1) round-17 churn (dispatch-hint validation, ADVICE r16):
     "interval_merge", "sessionization", "funnel_steps", "event_debounce",
     "event_transitions",
-    # (2) the r12 bank, retired in full (20 rows):
-    "join_explosion", "k_anonymity", "merge_anti_join", "mp4_probe",
-    "pareto_frontier", "percentile_stats", "pii_redact",
-    "pricing_summary", "severity_buckets", "simhash", "snapshot_diff",
-    "split_assignment", "top_p_select", "union_dedup", "upsert_merge",
-    "url_canonical", "weighted_sample", "zone_skipping",
-    "zorder_skipping", "zscore_outliers",
-    # (3) r13 bank alphabetical fill (25 rows):
-    "ann_ivf", "ann_lsh", "cluster_purity", "cosine_topk",
-    "embedding_near_dup", "embedding_near_dup_lsh", "exact_dedup",
-    "histogram_drift", "in_list_case_sort", "incremental_agg",
-    "inverted_index", "json_extract", "kmeans_clusters",
-    "label_centroids", "mad_outliers", "max_per_group",
-    "pagerank_tokens", "pivot_status", "pmi_collocations", "range_join",
-    "ranking_suite", "region_rollup", "robust_scaling", "rollup_agg",
-    "stats_per_decade",
+    # (2) the r13 bank, retired in full (6 rows):
+    "stream_running_totals", "trimmed_mean", "unpivot_measures",
+    "window_running", "yearly_stats", "zorder_layout",
+    # (3) the r14 bank alphabetically through text_quality (39 rows):
+    "approx_distinct", "approx_quality_bins", "approx_stats", "asof_join",
+    "attribution", "bigram_lm_score", "chi2_independence", "cms_join_size",
+    "codec_roundtrip", "cohort_retention", "corpus_curation",
+    "cumulative_reach", "epoch_shuffle", "fingerprint_dedup",
+    "fk_integrity", "funnel_windowed", "gap_fill", "golden_record",
+    "grouping_sets", "hash_sample", "hourly_profile", "kcenter_select",
+    "lsh_jaccard_refine", "multimodal_features", "null_census",
+    "range_frame", "rate_limit", "regex_token_match", "rfm_segments",
+    "salted_join", "scalar_derivations", "scd2_snapshot", "semdedup_prune",
+    "semi_anti_join", "set_ops", "stream_dedup_days",
+    "stream_window_counts", "string_suite", "text_quality",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

@@ -336,14 +336,47 @@ def vacuum(
         for v in sorted(cut, reverse=True):
             os.unlink(os.path.join(_log_dir(table_path), f"{v:012d}.json"))
     # 3) physical deletion LAST — everything above leaves the data
-    #    files untouched, so a crash anywhere keeps readers whole
+    #    files untouched, so a crash anywhere keeps readers whole.
+    #    Files split two ways (r17, vacuum-vs-writer axis):
+    #    - KNOWN-DEAD (named by a manifest this vacuum listed, live in
+    #      no surviving version): deleted immediately — data-file
+    #      prefixes are commit-unique uuids, so no concurrent commit
+    #      can be about to reference one of these names.
+    #    - ORPHANS (in data/ but named by NO listed manifest): a
+    #      concurrent commit renames its files into data/ BEFORE
+    #      publishing its manifest, so a mid-publish commit's files
+    #      look exactly like crashed-writer leftovers. Deleting one
+    #      would hand the racing commit a manifest chain naming
+    #      vanished files — so orphans get the SAME age guard as the
+    #      staging sweep: young ones are deferred to a later vacuum
+    #      (they age past the grace only if their commit genuinely
+    #      crashed). Winner semantics: the append/merge WINS, the
+    #      vacuum defers. staging_grace_s=0 keeps the old
+    #      single-writer behavior.
+    # "known" uses ONLY the entry-time version set: a manifest
+    # published since then names LIVE files that are not in `needed` —
+    # re-listing here would misclassify them as known-dead.
+    known: set[str] = set(needed)
+    for v in surviving:
+        known |= set(_read_manifest(table_path, v)["added"])
+    if cut:
+        known |= old_added
+    now = time.time()
     data_dir = os.path.join(table_path, _DATA)
     deleted = []
     if os.path.isdir(data_dir):
         for f in sorted(os.listdir(data_dir)):
-            if f.endswith(".parquet") and f not in needed:
-                os.unlink(os.path.join(data_dir, f))
-                deleted.append(f)
+            if not f.endswith(".parquet") or f in needed:
+                continue
+            full = os.path.join(data_dir, f)
+            try:
+                if (f not in known
+                        and now - os.path.getmtime(full) < staging_grace_s):
+                    continue  # possibly a mid-publish commit's file
+                os.unlink(full)
+            except FileNotFoundError:
+                continue  # another vacuum got it first
+            deleted.append(f)
     # 4) collect CRASHED-WRITER garbage: a crash mid-commit leaves a
     #    .tmp-manifest-*.json and/or a .stage-* directory in the table
     #    root — invisible to readers (who list only _log/) but

@@ -619,6 +619,44 @@ def test_txnlog_vacuum_drops_dead_files_keeps_live_history(spark, tmp_path):
     assert {r.k for r in read_snapshot(spark, t, 1).collect()} == {9}
 
 
+def test_txnlog_vacuum_defers_young_orphans_deletes_known_dead(
+    spark, tmp_path
+):
+    """r17 (vacuum-vs-writer axis): a concurrent commit renames its data
+    files into data/ BEFORE publishing its manifest, so a mid-publish
+    commit's files look exactly like crashed-writer orphans. vacuum
+    must (a) delete KNOWN-DEAD files (named by a truncated manifest)
+    immediately, (b) AGE-GUARD orphans — a young unreferenced file
+    survives a default-grace vacuum so the racing commit can publish,
+    (c) still collect genuinely crashed leftovers once staging_grace_s
+    is waived, and the racing commit's subsequent publish+read must be
+    exact."""
+    import os
+
+    from earthquake_data_pipeline_spark.sources import txnlog
+
+    t = str(tmp_path / "tbl")
+    txnlog.commit_append(_tlog(spark, tmp_path, [(1, "a"), (2, "b")]), t)
+    txnlog.commit_overwrite(_tlog(spark, tmp_path, [(9, "z")]), t)  # v1
+    # the racing writer's first half: data files staged into data/,
+    # manifest NOT yet published
+    names = txnlog._write_data_files(_tlog(spark, tmp_path, [(10, "y")]), t)
+    deleted = txnlog.vacuum(t, keep_after_version=0)
+    assert deleted  # (a) v0's overwritten files went immediately
+    assert not set(deleted) & set(names)  # (b) young orphans deferred
+    # the racing writer's second half publishes and the table is exact
+    txnlog._commit(t, names, [])
+    assert {r.k for r in txnlog.read_snapshot(spark, t).collect()} == {9, 10}
+    # (c) a genuinely crashed orphan ages past the grace and is swept
+    orphan = os.path.join(t, "data", "deadbeef-0.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1")
+    os.utime(orphan, (1, 1))
+    swept = txnlog.vacuum(t, keep_after_version=-1)
+    assert "deadbeef-0.parquet" in swept
+    assert {r.k for r in txnlog.read_snapshot(spark, t).collect()} == {9, 10}
+
+
 def test_txnlog_empty_overwrite_reads_empty_with_schema(spark, tmp_path):
     from earthquake_data_pipeline_spark.sources.txnlog import (
         commit_append,
