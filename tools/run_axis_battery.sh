@@ -45,5 +45,9 @@ run file-source-chaos  python tools/file_source_chaos_check.py
 run txnlog-race        python tools/txnlog_race_check.py
 run state-format-drift python tools/state_format_drift_check.py
 run vacuum-race        python tools/txnlog_vacuum_race_check.py
+run writer-permission  python tools/writer_permission_check.py
+run pydep-drift        python tools/pydep_drift_check.py
+run vacuum-writer-race python tools/txnlog_vacuum_writer_race_check.py
+run clock-skew         python tools/clock_skew_check.py
 echo "battery done: $fails axis failure(s)" >> "$LOG"
 exit "$fails"
