@@ -1561,12 +1561,19 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # poisoned point has NaN distance to every centroid, and a poisoned
     # vec_id < k row would seed a poisoned init centroid that NaNs the
     # distance of EVERY point — the oracle's e CTE replays the filter
-    pts = finite_vectors(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        ),
-        "v",
+    # reuse() pin (r17 optimization, guide §5): three sequential
+    # actions ride this frame (init collect, update collect, the final
+    # assignment execution) — without the pin each re-runs the
+    # scan + _fanout repartition + finite filter. One materialization,
+    # then every action reads executor-resident blocks.
+    pts = reuse(
+        finite_vectors(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "v",
+        )
     )
     k = 8
     init = pts.filter(F.col("id") < k).collect()  # k×d doubles — bounded
@@ -1681,12 +1688,19 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _fanout(_table(spark, sf_dir, "embeddings"))
     # non-finite vectors excluded (r13 NaN-mirror axis) — see
     # q_kmeans_clusters; the oracle's e CTE replays the filter
-    pts = finite_vectors(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        ),
-        "v",
+    # reuse() pin (r17 optimization, guide §5): three sequential
+    # actions ride this frame (init collect, update collect, the final
+    # assignment execution) — without the pin each re-runs the
+    # scan + _fanout repartition + finite filter. One materialization,
+    # then every action reads executor-resident blocks.
+    pts = reuse(
+        finite_vectors(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "v",
+        )
     )
     k = 8
     init = pts.filter(F.col("id") < k).collect()

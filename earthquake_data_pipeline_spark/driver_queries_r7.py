@@ -1361,12 +1361,19 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_kmeans_clusters, whose oracle e CTE this query's oracle reuses;
     # labels still join from the unfiltered table (inner join keeps
     # only assigned = finite points, replaying the oracle's lab CTE)
-    pts = finite_vectors(
-        emb.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        ),
-        "v",
+    # reuse() pin (r17 optimization, guide §5): three sequential
+    # actions ride this frame (init collect, update collect, the final
+    # assignment execution) — without the pin each re-runs the
+    # scan + _fanout repartition + finite filter. One materialization,
+    # then every action reads executor-resident blocks.
+    pts = reuse(
+        finite_vectors(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            "v",
+        )
     )
     k = 8
     init = pts.filter(F.col("id") < k).collect()

@@ -195,9 +195,20 @@ def lloyd_kmeans(
     A dropped cluster counts as a shift of +inf for the tolerance check
     (the partition changed structurally, so iterate again).
     """
-    pts = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    from ..qcommon import reuse
+
+    # Pin the iterated frame once (r17 optimization, guide §5): every
+    # Lloyd round runs TWO actions over pts (assignment+update collect),
+    # plus the init collect and the caller's final action — without the
+    # pin each one re-runs the upstream scan/projection (and any
+    # _fanout repartition the caller added). One materialization, then
+    # every round reads executor-resident blocks; the standard persist
+    # discipline for iterative ML inputs.
+    pts = reuse(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     init = pts.orderBy("id").limit(k).collect()
     centroids = {int(r["id"]): list(r["v"]) for r in init}
@@ -312,11 +323,16 @@ def kcenter_select(
     radius contribution 0 — dedupe upstream if exemplars must be
     vector-distinct); ``k <= 0`` or an empty frame returns [].
     """
-    from ..qcommon import round6x
+    from ..qcommon import reuse, round6x
 
     if k <= 0:
         return []
-    seed_rows = df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    # Pin once (r17, guide §5): the traversal runs k+1 sequential
+    # actions over this frame; without the pin each TakeOrdered re-runs
+    # the caller's scan/projection (and any _fanout repartition) before
+    # the distance fold. One materialization, k+1 checkpoint scans.
+    df = reuse(df.select(id_col, vec_col))
+    seed_rows = df.orderBy(id_col).limit(1).collect()
     if not seed_rows:
         return []
     seed = seed_rows[0]

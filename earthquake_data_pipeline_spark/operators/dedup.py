@@ -152,11 +152,36 @@ def connected_components(
     pointer-jumps (label := label's label), which halves remaining label
     paths so convergence is ~log2(diameter) rounds instead of diameter.
     Labels only ever decrease, so the convergence check is a filter on
-    the stepped frame, not a compare join. Each iteration re-publishes
-    labels through ``qcommon.reuse``: in the checkpoint flavors the
-    lineage truncates so plans don't grow with iterations; in persist
-    mode the logical tower grows by one cached layer per round —
-    bounded, since path halving converges in ~log2(diameter) rounds.
+    the final frame of the round, not a compare join.
+
+    Round-17 optimization (guide §1.2/§2.4 — fewer sequential actions,
+    fewer exchanges; output bit-identical, proven by the unchanged
+    recursive-CTE oracle):
+    - the FIRST propagation step is fused into label init
+      (``comp = least(a, min(b))`` straight off the symmetric edge
+      groupBy) — one full join+aggregate round disappears;
+    - each remaining round materializes ONE frame (step + path-halving
+      composed in a single subtree) instead of two, and the convergence
+      count rides that same materialized frame: 2 sequential actions
+      per round become 1 action + 1 cheap checkpoint-scan count. The
+      halving self-join reads the stepped subtree twice inside one job
+      — both references are joins of already-checkpointed inputs, so
+      the duplicated work is two cheap hash joins, not a recomputed
+      lineage (the pre-r17 shape paid a full extra materialization
+      barrier per round instead);
+    - the symmetric edge list is hash-partitioned on its join key ``b``
+      BEFORE the checkpoint: LogicalRDD preserves the partitioning, so
+      the per-round edge-side exchange (the only corpus-sized shuffle
+      in the loop) is paid once at setup, not once per round.
+
+    Exit condition: labels decrease monotonically and
+    ``halved <= stepped <= old`` pointwise, so "no row with
+    halved < old" implies the step alone was also a no-op — and a
+    step-stable labeling is constant per component at the component's
+    min id (equality propagates across every edge), i.e. exactly the
+    state the pre-r17 shape exited with. In persist mode the logical
+    tower grows by one cached layer per round — bounded, since path
+    halving converges in ~log2(diameter) rounds.
 
     Output: (doc_id, component_id = min id in component, is_canonical) —
     fully deterministic, so it carries an exact recursive-CTE oracle.
@@ -173,11 +198,15 @@ def connected_components(
     )
     sym = reuse(
         base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(F.col("b"))
     )
+    # init == the first propagation round: comp[v] = min(v, min nbr(v))
+    # (labels start as own ids, so round 1's join degenerates to this
+    # groupBy — same output, one less join+checkpoint+count cycle)
     labels = reuse(
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("comp"))
+        .select("id", "comp")
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -185,7 +214,7 @@ def connected_components(
             .groupBy(F.col("a").alias("id2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = reuse(
+        stepped = (
             labels.join(nbr_min, labels["id"] == F.col("id2"), "left")
             .select(
                 "id",
@@ -195,22 +224,25 @@ def connected_components(
                 ).alias("comp"),
             )
         )
-        changed = stepped.filter(F.col("comp") < F.col("comp_old")).count()
-        if changed == 0:
-            labels = stepped.select("id", "comp")
-            break
-        # path halving: comp := comp's comp (cheap — stepped is already
-        # materialized by the count above, the self-join scans it twice)
+        # path halving composed into the same materialization: comp :=
+        # comp's comp. stepped is referenced twice inside one job — both
+        # sides are joins over the checkpointed labels/sym, no lineage
+        # re-runs — and ONE reuse() pin publishes the round's result.
         lookup = stepped.select(
             F.col("id").alias("jid"), F.col("comp").alias("jcomp")
         )
-        labels = reuse(
+        halved = reuse(
             stepped.join(lookup, stepped["comp"] == F.col("jid"), "left")
             .select(
                 "id",
+                "comp_old",
                 F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
             )
         )
+        changed = halved.filter(F.col("comp") < F.col("comp_old")).count()
+        labels = halved.select("id", "comp")
+        if changed == 0:
+            break
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("component_id"),
