@@ -31,13 +31,51 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session-scoped table-reader memo (r17 optimization, guide §6): every
+# ``spark.read.parquet(path)`` pays ~90-120 ms of driver-side work
+# (DataSource resolution, file listing, footer schema inference) EVEN
+# when the same path was read moments earlier — per-query re-derivation
+# a real deployment avoids with a catalog (schema known up front, no
+# per-query inference). The memo caches the resolved base DataFrame —
+# METADATA/PLAN ONLY, never rows: each action still scans the parquet
+# files, so every bench/oracle invocation computes from the inputs.
+# Keyed on (applicationId, path, mtime_ns, size): a new SparkContext or
+# a rewritten file gets a fresh read (the adversarial-axis tools that
+# mutate mirror dirs mid-process stay correct). ``SPARK_GRAFT_TABLE_MEMO=off``
+# disables it.
+_TABLE_MEMO: dict[str, dict[tuple, DataFrame]] = {}
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name != "events":
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The NTZ→timestamp cast in normalize_events_ts reads the session tz
-    # at plan time; pin UTC first so the instant is timezone-proof.
-    _utc(spark)
-    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # The NTZ→timestamp cast in normalize_events_ts reads the session
+        # tz at plan time; pin UTC first so the instant is timezone-proof.
+        _utc(spark)
+    if os.environ.get("SPARK_GRAFT_TABLE_MEMO", "on") == "off":
+        df = spark.read.parquet(path)
+        return normalize_events_ts(df) if name == "events" else df
+    app = spark.sparkContext.applicationId
+    per_app = _TABLE_MEMO.get(app)
+    if per_app is None:
+        _TABLE_MEMO.clear()  # drop readers of dead sessions
+        per_app = _TABLE_MEMO.setdefault(app, {})
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, -1, -1)  # nonexistent/remote: let Spark raise or list
+    df = per_app.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            # memoize POST-normalization: the NTZ→timestamp cast was
+            # planned under the UTC pin above, so the memoized plan is
+            # timezone-proof by construction (and the ~20 ms withColumn
+            # re-analysis per call disappears with the reader cost)
+            df = normalize_events_ts(df)
+        per_app[key] = df
+    return df
 
 
 def _utc(spark: SparkSession) -> None:
