@@ -372,11 +372,20 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     orders = _table(spark, sf_dir, "orders").select(day_o.alias("d"))
     li = _table(spark, sf_dir, "lineitem").select(day_l.alias("d"))
-    ska = cms_sketch(orders, "d", depth=3, width=512)
-    skb = cms_sketch(li, "d", depth=3, width=512)
+    # r17 optimization (guide §2.3 — aggregate before you shuffle, and
+    # don't compute things twice): both the sketches and the exact side
+    # need per-day counts, so ONE map-side-combined count per table is
+    # computed, pinned, and shared. The sketches ride the weighted
+    # cms_sketch form (cell-identical; see its docstring), so md5×depth
+    # runs per DISTINCT day (~10^3) instead of per row, and each table
+    # is scanned once instead of twice.
+    co = reuse(orders.groupBy("d").agg(F.count("*").alias("ca")))
+    cl = reuse(li.groupBy("d").agg(F.count("*").alias("cb")))
+    ska = cms_sketch(co, "d", depth=3, width=512, weight_col="ca")
+    skb = cms_sketch(cl, "d", depth=3, width=512, weight_col="cb")
     est = cms_join_size(ska, skb)
-    ca = orders.groupBy("d").agg(F.count("*").alias("ca"))
-    cb = li.groupBy("d").agg(F.count("*").alias("cb"))
+    ca = co
+    cb = cl
     exact = (
         ca.join(cb, "d")
         .agg(
@@ -592,24 +601,41 @@ def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.graph import pagerank_ppm
     from .operators.text import tokens_of
+    from .qcommon import let
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = (
-        docs.select(
-            F.col("doc_id").alias("doc"),
-            F.posexplode(tokens_of("text")).alias("pos", "term"),
+    # r17 optimization (guide §2.4 — remove the shuffle outright): the
+    # old shape built bigrams by SELF-JOINING the exploded (doc, pos,
+    # term) frame on (doc, pos+1) — one full hash exchange of every
+    # token row (and a second evaluation of the tokenize subtree saved
+    # only by ReusedExchange). Adjacent-position pairs are a per-row
+    # ARRAY expression: zip tokens with their tail, keep pairs whose
+    # endpoints are both non-empty — bit-identical to the positional
+    # join (an empty token still breaks adjacency, exactly as the
+    # pos+1 condition and the oracle's tok CTE have it), with ZERO
+    # exchanges before the (src, dst) count aggregate.
+    def _bigrams(toks):
+        idx = F.sequence(F.lit(1), F.size(toks) - 1)
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("src"),
+                F.element_at(toks, i + 1).alias("dst"),
+            ),
         )
-        .filter(F.col("term") != "")
-    )
-    a, b = tok.alias("a"), tok.alias("b")
+        return F.when(
+            F.size(toks) >= 2,
+            F.filter(
+                pairs, lambda p: (p["src"] != "") & (p["dst"] != "")
+            ),
+        ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+
     edges = (
-        a.join(
-            b,
-            (F.col("a.doc") == F.col("b.doc"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
+        docs.select(
+            F.explode(let(tokens_of("text"), _bigrams)).alias("bg")
         )
         .groupBy(
-            F.col("a.term").alias("src"), F.col("b.term").alias("dst")
+            F.col("bg.src").alias("src"), F.col("bg.dst").alias("dst")
         )
         .agg(F.count("*").alias("w"))
     )
@@ -1137,6 +1163,12 @@ def q_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.merge import incremental_join_agg
     from .operators.sampling import hash_bucket
 
+    # Deliberately UNPINNED (r17 audit, same adjudication as
+    # percentile_stats): the four delta-identity legs re-read the
+    # column-pruned parquet scans, which beats materializing a
+    # row-format checkpoint; and a repartition-by-key pin was measured
+    # and rejected — localCheckpoint reports UnknownPartitioning in
+    # Spark 4.1, so the joins cannot reuse its layout.
     orders = _table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )

@@ -168,11 +168,12 @@ def connected_components(
       — both references are joins of already-checkpointed inputs, so
       the duplicated work is two cheap hash joins, not a recomputed
       lineage (the pre-r17 shape paid a full extra materialization
-      barrier per round instead);
-    - the symmetric edge list is hash-partitioned on its join key ``b``
-      BEFORE the checkpoint: LogicalRDD preserves the partitioning, so
-      the per-round edge-side exchange (the only corpus-sized shuffle
-      in the loop) is paid once at setup, not once per round.
+      barrier per round instead).
+
+    (A pre-partition-by-``b`` of the symmetric edge checkpoint was
+    measured and rejected: localCheckpoint in Spark 4.1 reports
+    UnknownPartitioning — the probe in the r17 notes — so the extra
+    exchange bought nothing.)
 
     Exit condition: labels decrease monotonically and
     ``halved <= stepped <= old`` pointwise, so "no row with
@@ -198,7 +199,6 @@ def connected_components(
     )
     sym = reuse(
         base.union(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .repartition(F.col("b"))
     )
     # init == the first propagation round: comp[v] = min(v, min nbr(v))
     # (labels start as own ids, so round 1's join degenerates to this

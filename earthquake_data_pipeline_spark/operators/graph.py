@@ -72,10 +72,17 @@ def pagerank_ppm(
     Overflow bounds: ranks ≤ PPM, weights ≤ ~2^40 keeps every product
     under 2^63.
     """
-    e = edges.select(
-        F.col(src_col).alias("s"),
-        F.col(dst_col).alias("d"),
-        F.col(weight_col).cast("long").alias("w"),
+    # r17: pin the edge input up front — this frame fans out FOUR ways
+    # (wout aggregate, ew join side, nodes union s-leg, nodes union
+    # d-leg), so an unpinned caller subtree (tokenize + pair-expand +
+    # count here) would re-evaluate once per leg; one materialization
+    # feeds all of them (guide §1.2: don't compute things twice).
+    e = reuse(
+        edges.select(
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
     )
     # w <= 0 edges carry no mass: they are NON-EDGES for the transfer
     # (a source with no positive-weight out-edge becomes dangling and

@@ -130,7 +130,11 @@ def _cms_bucket(key, j: int, width: int):
 
 
 def cms_sketch(
-    df: DataFrame, key_col: str, depth: int = 3, width: int = 64
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of a key column as a (row j, bucket, n) frame —
     depth × width cells TOTAL, independent of input size.
@@ -154,8 +158,18 @@ def cms_sketch(
     ≲ width — past that, collision mass makes point estimates useless
     (round-10 sweep: 358 keys at width 64 → mean rel err 10.9). Size
     real workloads with ``cms_auto_width(approx distinct count)``.
+
+    ``weight_col`` (r17 optimization): feed a PRE-AGGREGATED
+    (key, weight) frame and each cell sums the weights instead of
+    counting rows — ``cms_sketch(df.groupBy(k).count(), k,
+    weight_col="count")`` is cell-for-cell identical to sketching the
+    raw rows (addition commutes), but hashes each DISTINCT key once
+    instead of once per row: the md5×depth per-row cost drops to
+    O(distinct keys), and the wide shuffle happens on the plain count
+    aggregate (map-side combined) rather than on depth× exploded rows.
     """
     cells = df.select(
+        *([F.col(weight_col).alias("_w")] if weight_col else []),
         F.explode(
             F.array(
                 *[
@@ -166,11 +180,14 @@ def cms_sketch(
                     for j in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("c"),
     )
+    agg = (
+        F.sum("_w").cast("long") if weight_col else F.count("*")
+    ).alias("n")
     return (
         cells.groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count("*").alias("n"))
+        .agg(agg)
     )
 
 

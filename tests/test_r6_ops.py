@@ -556,6 +556,32 @@ def test_cms_sketch_is_mergeable(spark):
     assert a == b
 
 
+def test_cms_sketch_weighted_equals_raw(spark):
+    # the r17 weight_col path: sketching a pre-aggregated (key, count)
+    # frame must be cell-for-cell identical to sketching the raw rows
+    from earthquake_data_pipeline_spark.operators.sketches import cms_sketch
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [(k,) for k in ["a", "a", "a", "b", "b", "c"]], ["k"]
+    )
+    pre = raw.groupBy("k").agg(F.count("*").alias("cnt"))
+    a = {
+        (r.j, r.bucket): r.n
+        for r in cms_sketch(raw, "k", depth=3, width=8).collect()
+    }
+    b = {
+        (r.j, r.bucket): r.n
+        for r in cms_sketch(
+            pre, "k", depth=3, width=8, weight_col="cnt"
+        ).collect()
+    }
+    assert a == b
+    # the weighted cells must be longs, like the count path
+    wsk = cms_sketch(pre, "k", depth=3, width=8, weight_col="cnt")
+    assert dict(wsk.dtypes)["n"] == "bigint"
+
+
 def test_bloom_prune_no_false_negatives_even_when_saturated(spark):
     from earthquake_data_pipeline_spark.operators.scale import bloom_prune
 
