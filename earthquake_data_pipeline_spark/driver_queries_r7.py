@@ -146,6 +146,15 @@ def q_zone_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hb"),
     )
+    # reuse() pin (r17 optimization, guide §1.2/§5): three consumers
+    # (range zone-map, hash zone-map, rows_matched) each re-ran the
+    # lineitem scan AND the per-row md5 bucket hash. Two longs per row
+    # materialized once replace three scans and three md5 passes —
+    # same adjudication as zorder_skipping's pin (the consumers need
+    # the DERIVED d/hb columns, so recompute is not a pruned-scan win).
+    from .qcommon import reuse
+
+    dd = reuse(dd)
     zm_range = zone_maps(dd, F.floor(F.col("d") / 7), F.col("d"))
     zm_hash = zone_maps(dd, F.pmod(F.col("hb"), F.lit(360)), F.col("d"))
     a_range = skip_audit(zm_range, _ZONE_PREDS).select(
@@ -1615,6 +1624,19 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = keyed.withColumn(
         "f_lin", F.expr("((pk - pk_lo) * 125) DIV (pk_hi - pk_lo + 1)")
     ).withColumn("f_z", F.expr("zk DIV 8192"))  # 2^20 key space / 128
+    # reuse() pin (r17 optimization, guide §1.2/§5): THREE consumers
+    # read this subtree (linear audit, z-order audit, rows_matched),
+    # and each re-ran the lineitem scan + bounds aggregate + the
+    # 20-bit Morton interleave per reference. Projected to the four
+    # longs the consumers use, one materialization replaces three
+    # scans and three bit-interleave passes; the bounds aggregate runs
+    # once inside it. (~32 B/row — cheaper than 3× recompute at any
+    # scale; the percentile_stats unpinned adjudication does not apply
+    # because the consumers need the DERIVED zk/file columns, not raw
+    # scan columns.)
+    from .qcommon import reuse
+
+    dd = reuse(dd.select("pk", "sk", "f_lin", "f_z"))
     preds = spark.createDataFrame(
         _Z2_PREDS, "pred_id int, plo long, phi long, slo long, shi long"
     )

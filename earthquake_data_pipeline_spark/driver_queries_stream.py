@@ -42,7 +42,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .qcommon import _utc, epoch_s, normalize_events_ts
+from .qcommon import _table_schema, _utc, epoch_s, normalize_events_ts
 
 _SINK_IDS = itertools.count()
 
@@ -59,7 +59,10 @@ def _read_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge on layout support.
     """
     _utc(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # r17 optimization: the schema probe rides the qcommon raw-schema
+    # memo (file-identity keyed) instead of paying a fresh ~100 ms
+    # reader resolution per stream query build.
+    schema = _table_schema(spark, sf_dir, "events")
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -78,6 +78,35 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_RAW_SCHEMA_MEMO: dict[tuple, "object"] = {}
+
+
+def _table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """RAW parquet schema of a table (r17 optimization): the streaming
+    file source requires the schema declared up front, and each
+    ``spark.read.parquet(path).schema`` probe pays the same ~90-120 ms
+    reader resolution the ``_table`` memo eliminates for batch reads.
+    Memoized on (path, mtime_ns, size) — a plain value, not a plan, so
+    no session key is needed; a rewritten file invalidates. NOTE: this
+    is the PRE-normalization schema (events ``ts`` stays TIMESTAMP_NTZ),
+    which is exactly what ``readStream.schema(...)`` must declare so the
+    stream-side ``normalize_events_ts`` applies the identical cast.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if os.environ.get("SPARK_GRAFT_TABLE_MEMO", "on") == "off":
+        return spark.read.parquet(path).schema
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path).schema
+    schema = _RAW_SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _RAW_SCHEMA_MEMO[key] = schema
+    return schema
+
+
 def _utc(spark: SparkSession) -> None:
     # The driver owns the SparkSession; pin UTC at runtime so parquet
     # timestamps collate identically to DuckDB's UTC-naive timestamps.

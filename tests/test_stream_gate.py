@@ -68,3 +68,30 @@ def test_streaming_query_restores_shuffle_partitions(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     q_stream_dedup_days(spark, SF)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_table_schema_memo_raw_schema_and_invalidation(spark, tmp_path):
+    """r17 optimization: the stream schema probe memoizes the RAW
+    (pre-normalization) parquet schema on file identity — a hit must not
+    re-read, and a rewritten file must invalidate."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import TimestampNTZType
+
+    from earthquake_data_pipeline_spark import qcommon
+
+    sf = str(tmp_path)
+    shutil.copy(f"{SF}/events.parquet", f"{sf}/events.parquet")
+
+    s1 = qcommon._table_schema(spark, sf, "events")
+    # RAW layout: ts stays TIMESTAMP_NTZ (the stream source must declare
+    # the pre-normalization schema so normalize_events_ts applies)
+    assert isinstance(s1["ts"].dataType, TimestampNTZType)
+    # memo hit: same object, no fresh probe
+    assert qcommon._table_schema(spark, sf, "events") is s1
+    # rewritten file (new mtime) -> fresh probe, not the stale entry
+    os.utime(f"{sf}/events.parquet", ns=(1, 1))
+    s2 = qcommon._table_schema(spark, sf, "events")
+    assert s2 is not s1
+    assert s2 == s1  # same bytes -> same schema value
