@@ -130,6 +130,51 @@ def _calibrate_ms() -> float:
     return round(min(spin() for _ in range(3)) * 1000, 2)
 
 
+def _spin_child(_: int) -> int:
+    """The serial calibration spin body, importable for multiprocessing."""
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    return acc
+
+
+_CAL_PAR_PROCS = 8
+
+
+def _calibrate_par_ms(procs: int = _CAL_PAR_PROCS):
+    """PARALLEL throughput calibration: wall-ms of ``procs`` concurrent
+    copies of the serial spin in separate processes (the GIL serializes
+    threads on pure-Python work, so threads would measure nothing).
+
+    Why it exists (r17 optimization-round finding): this host's noise
+    now arrives in windows that throttle MULTI-core throughput while
+    the single-thread spin stays fast — identical-code back-to-back
+    runs swung 1.6× with serial calibrations of 130-150 ms throughout,
+    and the serial-spin era model inverted (close sweep 144 s at
+    cal 143 ms vs open 149 s at cal 167 ms normalizes to +14% on a
+    HEAD whose same-day job/scan counts dropped 18-24%). A parallel
+    probe sees exactly what the serial one cannot: contention for the
+    other cores. Recorded as advisory fields this round
+    (``calibration_par_ms``, pool-startup excluded from the timed
+    region, min-of-2); wiring it into the ``noisy`` gate waits for a
+    round of observed values so a flaky probe cannot falsely refuse
+    ``--require-quiet`` certification runs.
+    """
+    try:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        best = float("inf")
+        for _ in range(2):
+            with ctx.Pool(procs) as pool:
+                t0 = time.perf_counter()
+                pool.map(_spin_child, range(procs))
+                best = min(best, time.perf_counter() - t0)
+        return round(best * 1000, 2)
+    except Exception:
+        return None  # probe is advisory: never fail the bench over it
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -138,6 +183,7 @@ def main() -> None:
     # sample co-tenant load BEFORE Spark spins up its own threads
     loadavg_pre = [round(x, 2) for x in os.getloadavg()]
     cal_pre = _calibrate_ms()
+    cal_par_pre = _calibrate_par_ms()
     noisy = load_noisy(loadavg_pre[0], os.cpu_count() or cpus)
     if noisy and "--require-quiet" in sys.argv[1:]:
         # isolation/certification runs refuse to measure on a loud host
@@ -182,6 +228,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     cal_post = _calibrate_ms()
+    cal_par_post = _calibrate_par_ms()
     # mid-sweep co-tenant arrival: the spin slowed although our own
     # executors are idle at both sample points
     cal_noisy = cal_post > 1.5 * cal_pre
@@ -209,6 +256,13 @@ def main() -> None:
                 # loadavg_pre cannot see); such sweeps are inadmissible
                 # for drift adjudication even with noisy=false
                 "calibration_ms": [cal_pre, cal_post],
+                # N-process spin wall-ms before/after (None if the
+                # probe failed): sees multi-core contention windows the
+                # serial spin cannot (r17 optimization-round finding).
+                # ADVISORY this round — not wired into `noisy` until a
+                # round of observed values bounds its variance.
+                "calibration_par_ms": [cal_par_pre, cal_par_post],
+                "calibration_par_procs": _CAL_PAR_PROCS,
                 "noisy": noisy or cal_noisy,
                 "sf": sf,
                 # direction-matched protocol (VERDICT r14 item 4): the

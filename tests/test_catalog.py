@@ -88,3 +88,19 @@ def test_bench_load_noise_guard():
     quiet = json.loads(bench._compact_line({"q": 1.0}, 1.0, 0.1, False))
     loud = json.loads(bench._compact_line({"q": 1.0}, 1.0, 0.1, True))
     assert "noisy" not in quiet and loud["noisy"] is True
+
+
+def test_bench_parallel_calibration_probe():
+    """r17 optimization round: the N-process throughput probe must
+    return a plausible wall-ms (bounded below by one serial spin — the
+    processes cannot finish before their own work) or None on failure,
+    and must never raise (it is advisory)."""
+    import bench
+
+    serial = bench._calibrate_ms()
+    par = bench._calibrate_par_ms(procs=2)
+    assert par is None or (
+        isinstance(par, float) and 0.5 * serial < par < 100 * serial
+    )
+    # the child spin is deterministic (same accumulator every call)
+    assert bench._spin_child(0) == bench._spin_child(1)

@@ -136,6 +136,21 @@ def _against_baseline(new_path: str) -> int:
     if era_old and era_new:
         print(f"era-normalized ratio: "
               f"{t_new * (era_old / era_new) / t_old:.3f}x")
+    # Parallel-throughput era (r17 optimization round): the serial spin
+    # cannot see multi-core contention windows; when BOTH sides carry
+    # the N-process probe, print the par-normalized advisory beside the
+    # serial one (min of the pre/post samples, like era_ms).
+    par_new = new.get("calibration_par_ms") or []
+    par_new_min = min((p for p in par_new if p), default=None)
+    par_old = row.get("era_par_ms")
+    if par_new_min:
+        print(f"par-era (x{new.get('calibration_par_procs', '?')} "
+              f"procs): new {par_new_min} ms"
+              + (f", baseline {par_old} ms, par-normalized ratio "
+                 f"{t_new * (par_old / par_new_min) / t_old:.3f}x"
+                 if par_old else
+                 " (baseline row predates the probe — serial advisory "
+                 "only)"))
     return rc
 
 
