@@ -154,11 +154,18 @@ def _calibrate_par_ms(procs: int = _CAL_PAR_PROCS):
     cal 143 ms vs open 149 s at cal 167 ms normalizes to +14% on a
     HEAD whose same-day job/scan counts dropped 18-24%). A parallel
     probe sees exactly what the serial one cannot: contention for the
-    other cores. Recorded as advisory fields this round
-    (``calibration_par_ms``, pool-startup excluded from the timed
-    region, min-of-2); wiring it into the ``noisy`` gate waits for a
-    round of observed values so a flaky probe cannot falsely refuse
-    ``--require-quiet`` certification runs.
+    other cores.
+
+    r18 (VERDICT r17 item 2): with a round of observed values banked
+    (quiet-host repeats read post/pre within ±12% — see
+    OPTIMIZATION_r18.md measurement notes), the probe now FEEDS the
+    ``noisy`` flag via _PAR_NOISY_RATIO below, same shape as the
+    serial cal gate. The pool is driven through ``map_async(...)
+    .get(timeout=30)`` (ADVICE r17): the bench process hosts a live
+    py4j gateway by the post-sweep sample, and fork-with-threads can
+    wedge a pool worker — a hang must surface as TimeoutError (→
+    advisory None), not block the bench after an otherwise-complete
+    sweep.
     """
     try:
         import multiprocessing as mp
@@ -168,11 +175,24 @@ def _calibrate_par_ms(procs: int = _CAL_PAR_PROCS):
         for _ in range(2):
             with ctx.Pool(procs) as pool:
                 t0 = time.perf_counter()
-                pool.map(_spin_child, range(procs))
+                pool.map_async(_spin_child, range(procs)).get(timeout=30)
                 best = min(best, time.perf_counter() - t0)
         return round(best * 1000, 2)
     except Exception:
         return None  # probe is advisory: never fail the bench over it
+
+
+# Multi-core contention gate (r18, VERDICT r17 item 2): post/pre ratio
+# of the 8-process spin beyond this marks the sweep noisy. Bound
+# derivation: 12 back-to-back probe pairs at round-18 open (loadavg
+# 2-5 decaying from our own prior runs — conservative conditions)
+# read post/pre in [0.76, 1.18] with samples 129-187 ms; the r17
+# close's co-tenant-hit forward sweep carried par 207/188 ms against
+# the same day's quiet 172 ms level. 1.35 sits above every observed
+# same-conditions ratio while staying far below the 1.6× wall swings
+# the probe exists to catch; a false flag only downgrades a sweep to
+# advisory, it never fails the bench.
+_PAR_NOISY_RATIO = 1.35
 
 
 def main() -> None:
@@ -232,6 +252,13 @@ def main() -> None:
     # mid-sweep co-tenant arrival: the spin slowed although our own
     # executors are idle at both sample points
     cal_noisy = cal_post > 1.5 * cal_pre
+    # multi-core contention the serial spin cannot see (r18): same
+    # post/pre shape on the 8-process probe; None samples (failed
+    # probe) never flag — the probe stays advisory in that case
+    par_noisy = bool(
+        cal_par_pre and cal_par_post
+        and cal_par_post > _PAR_NOISY_RATIO * cal_par_pre
+    )
     # order-guard runs must not clobber the canonical forward artifact
     path = _FULL_PATH.replace(".json", "_REVERSE.json") if reverse else _FULL_PATH
     with open(path, "w") as fh:
@@ -259,11 +286,11 @@ def main() -> None:
                 # N-process spin wall-ms before/after (None if the
                 # probe failed): sees multi-core contention windows the
                 # serial spin cannot (r17 optimization-round finding).
-                # ADVISORY this round — not wired into `noisy` until a
-                # round of observed values bounds its variance.
+                # Wired into `noisy` since r18 (post/pre >
+                # _PAR_NOISY_RATIO — see the constant's derivation).
                 "calibration_par_ms": [cal_par_pre, cal_par_post],
                 "calibration_par_procs": _CAL_PAR_PROCS,
-                "noisy": noisy or cal_noisy,
+                "noisy": noisy or cal_noisy or par_noisy,
                 "sf": sf,
                 # direction-matched protocol (VERDICT r14 item 4): the
                 # run order is ±8%-level material; cross-round deltas
@@ -275,7 +302,7 @@ def main() -> None:
             indent=1,
         )
         fh.write("\n")
-    print(_compact_line(timings, total, sf, noisy or cal_noisy,
+    print(_compact_line(timings, total, sf, noisy or cal_noisy or par_noisy,
                         direction=direction, fingerprint=fp))
 
 

@@ -1033,15 +1033,37 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter_join,
         shingles_of,
     )
+    from .qcommon import reuse
 
     docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # ONE shingle pass for both sides (r18, guide §1.2 — don't compute
+    # things twice): the exact side (prefix filter over shingle sets)
+    # and the MinHash side each shingled the whole corpus independently;
+    # this pin — byte-identical to the frame prefix_filter_join built
+    # internally (shingles_of is array_distinct and a 3-gram can never
+    # be '', so the ''-filter is a no-op and the sz>0 filter drops
+    # exactly the docs whose empty arrays explode to nothing on the
+    # MinHash side) — is now computed once and shared. At 100 TB this
+    # removes one full corpus scan + shingle transform.
+    sh = (
+        reuse(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.array_distinct(
+                    F.filter(shingles_of("text"), lambda x: x != "")
+                ).alias("toks"),
+            )
+        )
+        .withColumn("sz", F.size("toks"))
+        .filter(F.col("sz") > 0)
+    )
     exact = prefix_filter_join(
         docs, threshold_num=4, threshold_den=5,
-        tokens_expr=shingles_of("text"),
+        tokens_df=sh,
     ).select("id_a", "id_b", "n_inter", "n_union")
-    lsh = minhash_lsh_pairs(docs, num_hashes=12, num_bands=4).select(
-        "id_a", "id_b", F.lit(True).alias("in_lsh")
-    )
+    lsh = minhash_lsh_pairs(
+        sh, id_col="id", num_hashes=12, num_bands=4, tokens_col="toks"
+    ).select("id_a", "id_b", F.lit(True).alias("in_lsh"))
     joined = exact.join(lsh, ["id_a", "id_b"], "full")
     j = F.col("n_inter") / F.col("n_union")
     y = F.lit(1.0) - j * j * j

@@ -86,6 +86,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     num_bands: int = 4,
     star_over: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash+LSH banding.
 
@@ -103,6 +104,16 @@ def minhash_lsh_pairs(
     mass (ubiquitous at web scale) collides in every band and cliques
     quadratically. Connectivity consumers (components/keep-lists) should
     set it; pair-list consumers must leave ``None`` (see bucket_pairs).
+
+    ``tokens_col`` (r18, guide §1.2): name of an array<string> column on
+    ``df`` holding the ALREADY-COMPUTED distinct shingle set per doc —
+    the explode then reads that column instead of re-running
+    shingles_of(text_col), so a caller that also needs the exact
+    shingle sets (lsh_recall_audit's ground-truth side) shingles the
+    corpus once. Equivalence: shingles_of output is array_distinct and
+    can never contain '' (each 3-gram carries two separator spaces), so
+    the shared pin's filter(x != '')/sz>0 shape explodes to the
+    identical row set (empty arrays produce no rows either way).
     """
     if not (1 <= num_bands <= num_hashes) or num_hashes % num_bands:
         raise ValueError(
@@ -121,8 +132,12 @@ def minhash_lsh_pairs(
     # out of the explode, which matches the oracle (their NULL minhashes
     # can never band-match).
     a, b = minhash_coeffs(num_hashes)
+    shingle_src = (
+        F.col(tokens_col) if tokens_col is not None
+        else shingles_of(text_col, shingle_n)
+    )
     exploded = df.select(
-        F.col(id_col), F.explode(shingles_of(text_col, shingle_n)).alias("shingle")
+        F.col(id_col), F.explode(shingle_src).alias("shingle")
     )
     hashed = exploded.select(id_col, minhash_base("shingle").alias("x"))
     sig = hashed.groupBy(id_col).agg(
@@ -311,33 +326,46 @@ def _prefix_candidates(
     den: int,
     tokens_expr: Column | None,
     positional_filter: bool = True,
+    tokens_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate-generation stage of prefix_filter_join, exposed so the
     profiling harness (and tests) can count candidates independently of
     verification. Returns ``(toks, cand)``: the checkpointed tokenized
     frame (id, toks, sz) and the candidate pair frame (id_a, id_b).
     Every filter is an exact bound — cand is a superset of the true
-    result for any input (no false negatives by construction)."""
-    base_tokens = tokens_of(text_col) if tokens_expr is None else tokens_expr
-    # reuse() BEFORE the size/filter projection: CollapseProject folds
-    # withColumn("sz", size("toks")) and the sz>0 filter back INTO the
-    # select, substituting the full tokenize/shingle/distinct expression
-    # for each reference — measured 7x the materialization cost at
-    # sf0.1 (3.3 s vs 0.45 s). Pinning first evaluates the expensive
-    # expression exactly once; sz and the emptiness filter then read
-    # the materialized array (size() of a stored array is O(1)-ish).
-    toks = (
-        reuse(
-            docs.select(
-                F.col(id_col).alias("id"),
-                F.array_distinct(
-                    F.filter(base_tokens, lambda x: x != "")
-                ).alias("toks"),
+    result for any input (no false negatives by construction).
+
+    ``tokens_df`` (r18, guide §1.2 — don't compute things twice): a
+    caller-supplied ``(id, toks, sz)`` frame — already distinct,
+    empty-filtered (sz > 0) and pinned — that REPLACES the internal
+    tokenize+pin entirely (``docs``/``id_col``/``text_col``/
+    ``tokens_expr`` are then ignored). Lets a consumer that needs the
+    identical token sets for another operator (lsh_recall_audit's
+    MinHash side) shingle the corpus once instead of once per side.
+    """
+    if tokens_df is not None:
+        toks = tokens_df
+    else:
+        base_tokens = tokens_of(text_col) if tokens_expr is None else tokens_expr
+        # reuse() BEFORE the size/filter projection: CollapseProject folds
+        # withColumn("sz", size("toks")) and the sz>0 filter back INTO the
+        # select, substituting the full tokenize/shingle/distinct expression
+        # for each reference — measured 7x the materialization cost at
+        # sf0.1 (3.3 s vs 0.45 s). Pinning first evaluates the expensive
+        # expression exactly once; sz and the emptiness filter then read
+        # the materialized array (size() of a stored array is O(1)-ish).
+        toks = (
+            reuse(
+                docs.select(
+                    F.col(id_col).alias("id"),
+                    F.array_distinct(
+                        F.filter(base_tokens, lambda x: x != "")
+                    ).alias("toks"),
+                )
             )
+            .withColumn("sz", F.size("toks"))
+            .filter(F.col("sz") > 0)
         )
-        .withColumn("sz", F.size("toks"))
-        .filter(F.col("sz") > 0)
-    )
     ex = toks.select("id", "sz", F.explode("toks").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy("df", "tok")
@@ -425,6 +453,7 @@ def prefix_filter_join(
     threshold_den: int = 2,
     tokens_expr: Column | None = None,
     positional_filter: bool = True,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold set-similarity self-join via prefix
     filtering (the AllPairs/PPJoin family — Bayardo et al., WWW'07;
@@ -463,6 +492,10 @@ def prefix_filter_join(
     ``tokens_expr`` overrides the default whitespace tokenization with
     any array<string> Column (e.g. shingles_of for shingle-set
     similarity) — the filter chain is tokenization-agnostic.
+    ``tokens_df`` goes one step further (r18): a pre-pinned
+    ``(id, toks, sz)`` frame replaces the internal tokenize+pin so a
+    caller can share one materialized token-set frame with another
+    operator (see _prefix_candidates).
 
     100 TB design: the document-frequency aggregate and the prefix
     equi-join shuffle on TOKENS (heavily reduced: one row per prefix
@@ -476,7 +509,8 @@ def prefix_filter_join(
 
     num, den = threshold_num, threshold_den
     toks, cand = _prefix_candidates(
-        docs, id_col, text_col, num, den, tokens_expr, positional_filter
+        docs, id_col, text_col, num, den, tokens_expr, positional_filter,
+        tokens_df=tokens_df,
     )
     ta = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))

@@ -92,15 +92,32 @@ def test_bench_load_noise_guard():
 
 def test_bench_parallel_calibration_probe():
     """r17 optimization round: the N-process throughput probe must
-    return a plausible wall-ms (bounded below by one serial spin — the
-    processes cannot finish before their own work) or None on failure,
-    and must never raise (it is advisory)."""
+    return a positive wall-ms or None on failure, and must never raise
+    (it is advisory). ADVICE r17: no serial-relative bounds — the test
+    previously compared one noisy measurement against another and could
+    flake on a contended CI host for reasons unrelated to the code.
+    r18: the probe also feeds the noisy gate, so the ratio constant
+    must be a sane >1 bound shared with tools/bench_compare.py."""
     import bench
 
-    serial = bench._calibrate_ms()
     par = bench._calibrate_par_ms(procs=2)
-    assert par is None or (
-        isinstance(par, float) and 0.5 * serial < par < 100 * serial
-    )
+    assert par is None or (isinstance(par, float) and par > 0)
     # the child spin is deterministic (same accumulator every call)
     assert bench._spin_child(0) == bench._spin_child(1)
+    assert 1.0 < bench._PAR_NOISY_RATIO < 2.0
+    import importlib.util as _iu
+    import os as _os
+
+    spec = _iu.spec_from_file_location(
+        "bench_compare",
+        _os.path.join(_os.path.dirname(bench.__file__), "tools",
+                      "bench_compare.py"),
+    )
+    bc = _iu.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    assert bc.PAR_NOISY_RATIO == bench._PAR_NOISY_RATIO
+    # the re-derivation helper applies the same bar to old artifacts
+    assert bc._par_noisy({"calibration_par_ms": [100.0, 150.0]})
+    assert not bc._par_noisy({"calibration_par_ms": [100.0, 110.0]})
+    assert not bc._par_noisy({"calibration_par_ms": [None, 110.0]})
+    assert not bc._par_noisy({})

@@ -727,6 +727,60 @@ def test_prefix_filter_join_matches_brute_force(spark):
     assert (23, 24) in got and (23, 25) in got  # the exact-dup clique
 
 
+def test_shared_shingle_frame_paths_are_equivalent(spark):
+    """r18 optimization (lsh_recall_audit): prefix_filter_join's
+    ``tokens_df`` and minhash_lsh_pairs' ``tokens_col`` let one pinned
+    shingle frame feed both sides. Pin that each shared-frame path is
+    row-identical to its self-computed twin on a corpus with near-dups,
+    exact dups, sub-3-token docs (empty shingle arrays) and a blank
+    doc — the edge cases the ''-filter/sz>0 equivalence argument in
+    the operator docstrings rides on."""
+    from earthquake_data_pipeline_spark.operators.fuzzy_dedup import (
+        minhash_lsh_pairs,
+        prefix_filter_join,
+        shingles_of,
+    )
+    from earthquake_data_pipeline_spark.qcommon import reuse
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    texts = [base, base + " bank", base.replace("fox", "cat")]
+    texts += [f"unrelated doc {i} about spark tuning and shuffles" for i in range(10)]
+    texts += ["alpha beta gamma delta epsilon zeta"] * 3   # exact dups
+    texts += ["two tokens", "one", "", "   "]              # no 3-gram shingles
+    docs = _docs(spark, texts)
+
+    sh = (
+        reuse(
+            docs.select(
+                F.col("doc_id").alias("id"),
+                F.array_distinct(
+                    F.filter(shingles_of("text"), lambda x: x != "")
+                ).alias("toks"),
+            )
+        )
+        .withColumn("sz", F.size("toks"))
+        .filter(F.col("sz") > 0)
+    )
+
+    ex_self = prefix_filter_join(
+        docs, threshold_num=4, threshold_den=5, tokens_expr=shingles_of("text")
+    )
+    ex_shared = prefix_filter_join(
+        docs, threshold_num=4, threshold_den=5, tokens_df=sh
+    )
+    rows_self = sorted(map(tuple, ex_self.collect()))
+    rows_shared = sorted(map(tuple, ex_shared.collect()))
+    assert rows_self == rows_shared and rows_self  # non-vacuous
+
+    lsh_self = minhash_lsh_pairs(docs, num_hashes=12, num_bands=4)
+    lsh_shared = minhash_lsh_pairs(
+        sh, id_col="id", num_hashes=12, num_bands=4, tokens_col="toks"
+    )
+    p_self = sorted(map(tuple, lsh_self.collect()))
+    p_shared = sorted(map(tuple, lsh_shared.collect()))
+    assert p_self == p_shared and p_self
+
+
 def test_prefix_filter_join_asymmetric_prefix_no_false_negatives(spark):
     """Round-10 candidate-cut filters (PPJoin index prefix + positional
     filter) vs brute force on an ADVERSARIAL corpus: heavily varied set

@@ -26,7 +26,11 @@ This tool makes those rules mechanical instead of SURVEY prose: it
 REFUSES (exit 2) to compare artifacts whose directions differ, warns
 when fingerprints differ (totals still comparable like-direction;
 per-query deltas are then order-confounded and are NOT printed), and
-flags noisy artifacts as inadmissible for regression adjudication.
+REFUSES per-query adjudication (exit 2) when either side is noisy —
+including par-probe drift re-derived from ``calibration_par_ms`` on
+artifacts that predate the r18 in-bench gate (VERDICT r17 item 2:
+the r17 cross-round comparison manufactured 24 "regressed" rows, 20
+on byte-identical plans, from exactly this pair of holes).
 
 Usage:
   python tools/bench_compare.py OLD_BENCH.json NEW_BENCH.json [top_n]
@@ -45,6 +49,19 @@ import sys
 
 ERA_TOL = 0.06  # >6% calibration difference = different host clock era
 BAND = 0.10     # raw total delta beyond ±10% is inadmissible cross-era
+# par-probe post/pre beyond this = multi-core contention mid-sweep
+# (bench.py._PAR_NOISY_RATIO twin — re-applied here so artifacts
+# written before the r18 gate wiring are judged by the same bar)
+PAR_NOISY_RATIO = 1.35
+
+
+def _par_noisy(art: dict) -> bool:
+    par = art.get("calibration_par_ms")
+    if isinstance(par, (list, tuple)) and len(par) == 2 and all(
+        isinstance(x, (int, float)) and x > 0 for x in par
+    ):
+        return par[1] > PAR_NOISY_RATIO * par[0]
+    return False
 
 
 def _era_ms(art: dict) -> float | None:
@@ -204,6 +221,20 @@ def main() -> int:
               "order changed between sweeps — per-query deltas are "
               "order-confounded and are not printed")
         return rc
+    # Per-query adjudication gate (r18, VERDICT r17 item 2): a sweep
+    # that is noisy (pre-load, serial-cal drift, or — on artifacts
+    # that carry the probe — par-probe drift re-checked here) cannot
+    # adjudicate per-query regressions: the r17 comparison produced 24
+    # "regressed" rows, 20 of them on byte-identical plans, from
+    # exactly this. Totals above remain printed (advisory).
+    for path, art in ((old_path, old), (new_path, new)):
+        if art.get("noisy") or _par_noisy(art):
+            why = "par-probe drift" if _par_noisy(art) and not art.get(
+                "noisy") else "noisy=true"
+            print(f"PER-QUERY DELTAS REFUSED: {path} is {why} — "
+                  "inadmissible for per-query regression adjudication; "
+                  "re-run that side on a quiet host (--require-quiet)")
+            return 2
 
     q_old = old.get("queries", {})
     q_new = new.get("queries", {})
