@@ -777,7 +777,10 @@ def q_regex_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.enrichment import regex_token_join
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # _fanout removed (r18, guide §2.4 — an exchange added "for
+    # parallelism" that cost more than it bought): A/B 1.15 s -> 0.61 s
+    # at sf0.1; on a wide cluster scan the guard never fired anyway.
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     return regex_token_join(
         docs, "text", REGEX_TOKENS, ["doc_id"], case_insensitive=False
     ).select("doc_id", "matched_token")
@@ -1227,7 +1230,9 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import repetition_signals
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # _fanout removed (r18, guide §2.4): A/B 0.90 s -> 0.67 s at sf0.1
+    # — the widening repartition cost more than the per-row ratio work.
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_signals(docs).orderBy("doc_id")
 
 
@@ -1357,7 +1362,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.text import tokens_of
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # _fanout removed (r18, guide §2.4): A/B 0.87 s -> 0.51 s at sf0.1,
+    # and the 8-vs-32-core anti-scaling ratio (0.62, VERDICT r17 item 6)
+    # was exactly this repartition's core-count-dependent cost.
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.explode(tokens_of("text")).alias("term"))
     n = docs.agg(F.count("*").alias("n_docs"))
     df_counts = toks.groupBy("term").agg(

@@ -455,25 +455,31 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.analytics import (
         _nsjoin,
-        percentile_by_counts,
         percentile_cont_bracket,
+        percentile_moments_by_counts,
     )
-    # Deliberately UNPINNED (r12 shuffle-audit adjudication): three
-    # subtrees (quantity histogram, price bracket, stddev) each
-    # re-execute the scan+fanout — 3 narrow shuffles locally (8 MB at
-    # sf0.1, a local-only _fanout artifact). A reuse() pin looks
-    # cheaper in the record census but materializes ROW-format
-    # checkpoint blocks that defeat parquet column pruning (measured:
-    # 515 MB I/O full-row, 299 MB narrowed, vs 3 pruned columnar
-    # scans); on a wide cluster scan _fanout is a no-op and the
-    # unpinned form does ZERO fact-side shuffles — the scale-correct
-    # shape is three pruned scans, not a materialized intermediate.
-    li = _fanout(
-        _table(spark, sf_dir, "lineitem").select(
-            "l_returnflag", "l_quantity", "l_extendedprice"
-        )
+    # Deliberately UNPINNED (r12 shuffle-audit adjudication): the
+    # subtrees (quantity histogram, price bracket legs, stddev) each
+    # re-execute the scan. A reuse() pin looks cheaper in the record
+    # census but materializes ROW-format checkpoint blocks that defeat
+    # parquet column pruning (measured: 515 MB I/O full-row, 299 MB
+    # narrowed, vs pruned columnar scans); the scale-correct shape is
+    # pruned scans, not a materialized intermediate.
+    # _fanout removed (r18, guide §2.4): every leg is a map-side-
+    # combined aggregate or sketch — the widening repartition re-ran
+    # per leg and cost more than the legs themselves (A/B with/without:
+    # 2.57 s -> 1.82 s full query; the histogram leg alone 0.91 ->
+    # 0.32 s at sf0.1). On a wide cluster scan the guard never fired.
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    qty = percentile_by_counts(
+    # ONE histogram leg for percentiles + stddev + the group anchor
+    # (r18, guide §1.2): the old shape ran a separate stddev aggregate
+    # over the fact scan and a third groupBy as the all-groups anchor;
+    # percentile_moments_by_counts fuses all three into the histogram
+    # pipeline (all keys survive, incl. all-NULL-value groups) — one
+    # fact-column read instead of two, one join instead of two.
+    qty = percentile_moments_by_counts(
         li.select("l_returnflag", "l_quantity"),
         "l_returnflag",
         "l_quantity",
@@ -493,26 +499,18 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", F.round(F.col("p_0"), 6).alias("median_price")
     )
-    rest = li.groupBy("l_returnflag").agg(
-        F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
-    )
-    # LEFT from the groupBy side, null-safe: a flag whose values are
-    # ALL NULL has no histogram/bracket row (both forms exclude NULL
-    # values), and a NULL flag key never equi-joins — all groups must
-    # survive with NULL percentiles, as the single-aggregate form and
-    # the oracle's GROUP BY keep them
+    # LEFT from the histogram side, null-safe: the moments histogram
+    # keeps every group (incl. all-NULL-value flags, with NULL
+    # percentiles/sd — the anchor role the separate stddev groupBy used
+    # to play), while the price bracket drops NULL-value-only keys and
+    # a NULL flag key never plain-equi-joins.
     return (
-        _nsjoin(
-            _nsjoin(rest, qty, ["l_returnflag"], how="left"),
-            price,
-            ["l_returnflag"],
-            how="left",
-        )
+        _nsjoin(qty, price, ["l_returnflag"], how="left")
         .select(
             "l_returnflag",
             F.round(F.col("p_0"), 6).alias("median_qty"),
             F.round(F.col("p_1"), 6).alias("p90_qty"),
-            "sd_qty",
+            F.round(F.col("sd"), 6).alias("sd_qty"),
             "median_price",
         )
         .orderBy("l_returnflag")
@@ -634,7 +632,10 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     idiomatic restatement of the reference's per-row dict walking
     (extract_historical.py:88-108)."""
     _utc(spark)
-    ev = _fanout(_table(spark, sf_dir, "events").select("props", "value"))
+    # _fanout removed (r18, guide §2.4): A/B 0.68 s -> 0.53 s at sf0.1
+    # — one JSON field probe + a map-side-combined aggregate never
+    # amortized the widening repartition.
+    ev = _table(spark, sf_dir, "events").select("props", "value")
     k = F.get_json_object("props", "$.k").cast("long")
     # decimal accumulation, not F.avg (r13 bare-avg class close).
     # events.value is NULLABLE: avg averages the non-null values, so
@@ -2151,7 +2152,9 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import bigram_lm_scores
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # _fanout removed (r18, guide §2.4): A/B 1.47 s -> 0.83 s at sf0.1
+    # (anti-scaling ratio 0.60 in VERDICT r17 item 6 — the repartition).
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 

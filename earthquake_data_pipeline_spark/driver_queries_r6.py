@@ -262,7 +262,9 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import canonical_url
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id"))
+    # _fanout removed (r18, guide §2.4): A/B 0.74 s -> 0.38 s at sf0.1
+    # — string seeding + one hash aggregate never needed the widening.
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
     g = (F.col("doc_id") / 4).cast("long")
     host = F.concat(F.lit("site"), (g % 50).cast("string"))
     base = F.concat(host, F.lit(".com/page/"), g.cast("string"))
@@ -792,7 +794,10 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.text import boilerplate_flags
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # _fanout removed (r18, guide §2.4): A/B 1.21 s -> 0.78 s at sf0.1;
+    # this was the catalog's worst 8-vs-32-core anti-scaling entry
+    # (ratio 0.35, VERDICT r17 item 6) — the ratio WAS the repartition.
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
     flags = boilerplate_flags(docs, para_tokens=16, max_df=1)
     return (
         flags.groupBy("doc_id")
@@ -1101,7 +1106,9 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.collocations import pmi_collocations
 
-    docs = _fanout(_table(spark, sf_dir, "documents").select("text"))
+    # _fanout removed (r18, guide §2.4): A/B 1.17 s -> 0.62 s at sf0.1
+    # (anti-scaling ratio 0.54 in VERDICT r17 item 6 — the repartition).
+    docs = _table(spark, sf_dir, "documents").select("text")
     return pmi_collocations(docs, min_count=8)
 
 

@@ -190,6 +190,77 @@ def test_percentile_by_counts_matches_exact_percentile(spark):
             assert a == b, (k, ps[i], a, b)  # exact bits, no tolerance
 
 
+def test_percentile_moments_by_counts_matches_row_form(spark):
+    """r18 fusion (percentile_stats): the moments histogram must match
+    percentile_by_counts BIT-identically on percentiles (that operator
+    carries the F.percentile-parity pin and the oracle's
+    lo + frac·(hi−lo) interpolation — NB F.percentile itself uses the
+    two-sided (1−f)·lo + f·hi form, which differs in the last ulp on
+    some fracs, so it is NOT the bit-identity reference) and
+    stddev_samp to 6-dp-rounding identity, across duplicate mass,
+    constant-value groups (sd exactly 0), 1-row groups (sd NULL),
+    all-NULL-value groups (group SURVIVES with NULL stats — the anchor
+    semantics), and NULL keys."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        percentile_moments_by_counts,
+    )
+
+    random.seed(18)
+    rows = []
+    rows += [("hot", float(random.choice([1, 2, 3, 5, 8, 13, 21])))
+             for _ in range(5000)]
+    rows += [("cont", round(random.uniform(0, 100), 3)) for _ in range(997)]
+    rows += [("const", 7.25)] * 40                      # sd must be exactly 0
+    rows += [("one", 42.0)]                              # sd NULL
+    rows += [("allnull", None), ("allnull", None)]       # group must survive
+    rows += [("mixed", None), ("mixed", 1.0), ("mixed", 3.0)]
+    rows += [(None, 5.0), (None, 9.0)]                   # NULL key survives
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    ps = [0.0, 0.5, 0.9]
+    from earthquake_data_pipeline_spark.operators.analytics import (
+        percentile_by_counts,
+    )
+
+    pbc = {
+        r["k"]: [r[f"p_{i}"] for i in range(len(ps))]
+        for r in percentile_by_counts(df, "k", "v", ps).collect()
+    }
+    want = {
+        r["k"]: (
+            pbc.get(r["k"], [None] * len(ps)),  # absent = all-null group
+            r["n"],
+            r["sd"],
+        )
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").isNotNull().cast("long")).alias("n"),
+            F.stddev_samp("v").alias("sd"),
+        )
+        .collect()
+    }
+    got = {
+        r["k"]: ([r[f"p_{i}"] for i in range(len(ps))], r["n"], r["sd"])
+        for r in percentile_moments_by_counts(df, "k", "v", ps).collect()
+    }
+    assert set(got) == set(want)  # every group survives, incl. allnull/NULL
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        for i, (a, b) in enumerate(zip(got[k][0], want[k][0])):
+            assert a == b, (k, ps[i], a, b)  # percentiles: exact bits
+        sd_g, sd_w = got[k][2], want[k][2]
+        if sd_w is None:
+            assert sd_g is None, k
+        else:
+            assert sd_g is not None, k
+            assert round(sd_g, 6) == round(sd_w, 6), (k, sd_g, sd_w)
+    assert got["const"][2] == 0.0  # exactly zero, not 1e-13
+
+
 def test_percentile_by_counts_plan_has_no_row_level_sort_buffer(spark):
     """The point of the histogram form: the only per-key window runs
     over DISTINCT VALUES (post-aggregation), and no sort-based
