@@ -2428,52 +2428,50 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #      embeddings — even if no query changed;
 #   4. remaining slots go to the queries with the OLDEST banked row.
 #
-# ROUND-17 HEAD: proof debt enters the round at 0/148; last-green
-# histogram entering: r13×6, r14×47, r15×45, r16×50 (the r16 close
-# target, judge-verified digit-for-digit). Per the committed r16
-# sketch and VERDICT r16 item 1, this head seats:
-# (1) round-17 churn — ADVICE r16's four fixes: _route_by_skew rejects
-#     unrecognized skew hints loudly (analytics.py — the five dispatch
-#     hosts re-seat under rotation rule 2: called operator changed);
-#     foreach_batch_merge tie-breaks non-orderable payload columns via
-#     to_json; audit_checkpoint_inputs skips pathless/remote-host
-#     entries; txnlog commit_overwrite pins version=0 on empty tables.
-#     (The last three touch no catalog host — the stream catalog
-#     queries use memory sinks, not foreach_batch_merge, and no query
-#     calls the txnlog — covered by suite tests plus the file-source
-#     chaos / txnlog-race / writer-permission axes.)
-# (2) the r13 bank remainder (6 rows — retiring the r13 generation):
-#     stream_running_totals, trimmed_mean, unpivot_measures,
-#     window_running, yearly_stats, zorder_layout;
-# (3) the r14 bank alphabetically until the window fills (39 rows,
-#     approx_distinct..text_quality; tfidf_top_terms, token_bucket,
+# ROUND-18 HEAD (optimization round 2): proof debt enters at 0/148;
+# last-green histogram entering: r14×8, r15×45, r16×45, r17×50. Per
+# the committed r18 sketch (SURVEY) and the rotation policy:
+# (1) round-18 churn — every query whose code or CALLED OPERATOR
+#     changed this round: the fuzzy_dedup shared-shingle params
+#     (tokens_df/tokens_col — seats every minhash_lsh_pairs /
+#     prefix_filter_join consumer), the _cum_value_counts one-window
+#     rewrite + percentile_moments_by_counts fusion (seats every
+#     by-counts consumer), the nine measured fanout removals, the
+#     bloom_prune fanout addition — PLUS the two driver-side
+#     regression adjudication seats VERDICT r17 item 1 requires
+#     (dedup_keep_list, cluster_purity; quiet A/Bs in
+#     OPTIMIZATION_r18.md).
+# (2) the r14 bank remainder (7 rows after tfidf_top_terms seats as
+#     churn — retiring the r14 generation): token_bucket,
 #     top2_per_user, top_k_orders, trend_fit, url_domains,
-#     usgs_pipeline, value_histogram — 8 rows — roll to r18).
-#     qcommon.py, functions/scalar.py, tools/check.py untouched this
-#     round, so the rule-3 sentinels are not forced; events
-#     (interval_merge, sessionization), lineitem (asof_join,
-#     grouping_sets, salted_join), documents (text_quality,
-#     corpus_curation), embeddings (semdedup_prune, kcenter_select)
-#     are covered regardless.
+#     usgs_pipeline, value_histogram.
+# (3) the r15 bank alphabetically until the window fills (22 rows,
+#     array_suite..expectations_report; the rest of the r15 bank rolls
+#     to r19). qcommon.py, functions/scalar.py, tools/check.py are
+#     untouched this round so rule-3 sentinels are not forced; events
+#     (json_extract, usgs_pipeline), lineitem (percentile_stats,
+#     trimmed_mean), documents (boilerplate_strip, prefix_filter_join),
+#     embeddings (cluster_purity) are covered regardless.
 _GATE_FIRST = [
-    # (1) round-17 churn (dispatch-hint validation, ADVICE r16):
-    "interval_merge", "sessionization", "funnel_steps", "event_debounce",
-    "event_transitions",
-    # (2) the r13 bank, retired in full (6 rows):
-    "stream_running_totals", "trimmed_mean", "unpivot_measures",
-    "window_running", "yearly_stats", "zorder_layout",
-    # (3) the r14 bank alphabetically through text_quality (39 rows):
-    "approx_distinct", "approx_quality_bins", "approx_stats", "asof_join",
-    "attribution", "bigram_lm_score", "chi2_independence", "cms_join_size",
-    "codec_roundtrip", "cohort_retention", "corpus_curation",
-    "cumulative_reach", "epoch_shuffle", "fingerprint_dedup",
-    "fk_integrity", "funnel_windowed", "gap_fill", "golden_record",
-    "grouping_sets", "hash_sample", "hourly_profile", "kcenter_select",
-    "lsh_jaccard_refine", "multimodal_features", "null_census",
-    "range_frame", "rate_limit", "regex_token_match", "rfm_segments",
-    "salted_join", "scalar_derivations", "scd2_snapshot", "semdedup_prune",
-    "semi_anti_join", "set_ops", "stream_dedup_days",
-    "stream_window_counts", "string_suite", "text_quality",
+    # (1) round-18 churn (21):
+    "lsh_recall_audit", "prefix_filter_join", "minhash_lsh",
+    "dedup_components", "lsh_jaccard_refine", "dedup_keep_list",
+    "percentile_stats", "quality_deciles", "robust_scaling",
+    "trimmed_mean", "mad_outliers", "json_extract", "boilerplate_strip",
+    "pmi_collocations", "bigram_lm_score", "tfidf_top_terms",
+    "url_canonical", "regex_token_match", "doc_repetition",
+    "bloom_prune", "cluster_purity",
+    # (2) the r14 bank, retired in full (7 rows):
+    "token_bucket", "top2_per_user", "top_k_orders", "trend_fit",
+    "url_domains", "usgs_pipeline", "value_histogram",
+    # (3) the r15 bank alphabetically through expectations_report (22):
+    "array_suite", "bm25_topk", "boolean_search", "char_diversity",
+    "chunk_documents", "clean_events", "cms_frequency", "column_profile",
+    "compaction_plan", "conditional_ratio", "corr_stats",
+    "correlated_subquery", "cube_agg", "datetime_suite", "distinct_agg",
+    "domain_mixture", "enrich_coalesce", "enrich_events",
+    "equidepth_histogram", "eval_overlap", "exact_substring_dup",
+    "expectations_report",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

@@ -663,7 +663,13 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     bloom = bloom_filter_build(dim, "c_custkey", m_bits=65536, k_hashes=3)
-    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # _fanout ADDED (r18, the converse of this round's removals): the
+    # probe is md5×3 per fact row on a single-partition local scan —
+    # exactly the CPU-heavy map work the widening exists for (A/B
+    # 1.7 s -> 0.7-1.4 s at sf0.1; no-op on a wide cluster scan).
+    orders = _fanout(
+        _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    )
     flags = orders.crossJoin(F.broadcast(bloom)).select(
         "o_orderkey",
         "o_custkey",
