@@ -1805,7 +1805,10 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.similarity import embedding_near_dup_pairs_lsh
 
-    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # _fanout removed (r18, guide §2.4): the widening repartition cost
+    # more than this query's downstream vector work at sf0.1 (A/B in
+    # OPTIMIZATION_r18.md); on a wide cluster scan the guard never fired.
+    emb = _table(spark, sf_dir, "embeddings")
     # 28 planes / 4 bands = 7 sign bits -> 128 buckets per band: the
     # candidate set scales as n^2/128 per band (bounded re-rank; at larger
     # corpora raise planes-per-band further to keep buckets small), while
@@ -1876,7 +1879,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.similarity import lsh_bucket_topk
 
-    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # _fanout removed (r18, guide §2.4): the widening repartition cost
+    # more than this query's downstream vector work at sf0.1 (A/B in
+    # OPTIMIZATION_r18.md); on a wide cluster scan the guard never fired.
+    emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_topk(emb, queries, k=10, num_planes=6)
 
@@ -1941,7 +1947,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from .operators.similarity import ivf_topk
 
-    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # _fanout removed (r18, guide §2.4): the widening repartition cost
+    # more than this query's downstream vector work at sf0.1 (A/B in
+    # OPTIMIZATION_r18.md); on a wide cluster scan the guard never fired.
+    emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16)
 
@@ -2069,7 +2078,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity in the value hash. The shuffle carries (label × dim) partial
     sums, not vectors × rows — scan-bound at any corpus size."""
     _utc(spark)
-    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # _fanout removed (r18, guide §2.4): the widening repartition cost
+    # more than this query's downstream vector work at sf0.1 (A/B in
+    # OPTIMIZATION_r18.md); on a wide cluster scan the guard never fired.
+    emb = _table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "comp")
     )
@@ -2437,23 +2449,24 @@ ORACLE["dedup_keep_list"] = dedup_keep_list_sql(_minhash_sql())
 #     prefix_filter_join consumer), the _cum_value_counts one-window
 #     rewrite + percentile_moments_by_counts fusion (seats every
 #     by-counts consumer), the nine measured fanout removals, the
-#     bloom_prune fanout addition — PLUS the two driver-side
-#     regression adjudication seats VERDICT r17 item 1 requires
-#     (dedup_keep_list, cluster_purity; quiet A/Bs in
-#     OPTIMIZATION_r18.md).
+#     bloom_prune fanout addition, the embeddings-family fanout
+#     removals — PLUS the two driver-side regression adjudication
+#     seats VERDICT r17 item 1 requires (dedup_keep_list,
+#     cluster_purity; quiet A/Bs in OPTIMIZATION_r18.md).
 # (2) the r14 bank remainder (7 rows after tfidf_top_terms seats as
 #     churn — retiring the r14 generation): token_bucket,
 #     top2_per_user, top_k_orders, trend_fit, url_domains,
 #     usgs_pipeline, value_histogram.
-# (3) the r15 bank alphabetically until the window fills (22 rows,
-#     array_suite..expectations_report; the rest of the r15 bank rolls
+# (3) the r15 bank alphabetically until the window fills (17 rows,
+#     array_suite..enrich_coalesce; the rest of the r15 bank rolls
 #     to r19). qcommon.py, functions/scalar.py, tools/check.py are
 #     untouched this round so rule-3 sentinels are not forced; events
 #     (json_extract, usgs_pipeline), lineitem (percentile_stats,
 #     trimmed_mean), documents (boilerplate_strip, prefix_filter_join),
 #     embeddings (cluster_purity) are covered regardless.
 _GATE_FIRST = [
-    # (1) round-18 churn (21):
+    # (1) round-18 churn (26 — the last five are the embeddings-family
+    # fanout removals landed after the first rotation cut):
     "lsh_recall_audit", "prefix_filter_join", "minhash_lsh",
     "dedup_components", "lsh_jaccard_refine", "dedup_keep_list",
     "percentile_stats", "quality_deciles", "robust_scaling",
@@ -2461,17 +2474,18 @@ _GATE_FIRST = [
     "pmi_collocations", "bigram_lm_score", "tfidf_top_terms",
     "url_canonical", "regex_token_match", "doc_repetition",
     "bloom_prune", "cluster_purity",
+    "kmeans_clusters", "label_centroids", "ann_lsh", "ann_ivf",
+    "embedding_near_dup_lsh",
     # (2) the r14 bank, retired in full (7 rows):
     "token_bucket", "top2_per_user", "top_k_orders", "trend_fit",
     "url_domains", "usgs_pipeline", "value_histogram",
-    # (3) the r15 bank alphabetically through expectations_report (22):
+    # (3) the r15 bank alphabetically through enrich_coalesce (17 rows;
+    # enrich_events..expectations_report roll to r19 with the rest):
     "array_suite", "bm25_topk", "boolean_search", "char_diversity",
     "chunk_documents", "clean_events", "cms_frequency", "column_profile",
     "compaction_plan", "conditional_ratio", "corr_stats",
     "correlated_subquery", "cube_agg", "datetime_suite", "distinct_agg",
-    "domain_mixture", "enrich_coalesce", "enrich_events",
-    "equidepth_histogram", "eval_overlap", "exact_substring_dup",
-    "expectations_report",
+    "domain_mixture", "enrich_coalesce",
 ]
 
 assert len(_GATE_FIRST) == 50, len(_GATE_FIRST)

@@ -1557,7 +1557,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import _update_centroids, assign_clusters
     from .operators.similarity import finite_vectors
 
-    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # _fanout removed (r18, guide §2.4): the widening repartition cost
+    # more than this query's downstream vector work at sf0.1 (A/B in
+    # OPTIMIZATION_r18.md); on a wide cluster scan the guard never fired.
+    emb = _table(spark, sf_dir, "embeddings")
     # non-finite vectors excluded BEFORE init (r13 NaN-mirror axis): a
     # poisoned point has NaN distance to every centroid, and a poisoned
     # vec_id < k row would seed a poisoned init centroid that NaNs the

@@ -1419,7 +1419,10 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import _update_centroids, assign_clusters
     from .operators.similarity import finite_vectors
 
-    emb = _fanout(_table(spark, sf_dir, "embeddings"))
+    # _fanout removed (r18, guide §2.4): the widening repartition cost
+    # more than this query's downstream vector work at sf0.1 (A/B in
+    # OPTIMIZATION_r18.md); on a wide cluster scan the guard never fired.
+    emb = _table(spark, sf_dir, "embeddings")
     # non-finite vectors excluded (r13 NaN-mirror axis) — see
     # q_kmeans_clusters, whose oracle e CTE this query's oracle reuses;
     # labels still join from the unfiltered table (inner join keeps
